@@ -1,0 +1,61 @@
+"""Engine configuration.
+
+Reference analog: ``TextEmbedConfig`` builder defaults
+(/root/reference/rust/src/config.rs:64-78 — chunk_size 1000, batch_size 32,
+buffer_size 100).  Ours governs the Ray Data pipeline instead: BM25
+parameters, partition counts for the single build shuffle, codec block
+size, and per-stage batch sizing.  A plain frozen dataclass so it pickles
+cheaply into every Ray task closure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 scoring (BASELINE.json north_star: k1=1.2, b=0.75) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- index layout ---
+    # Number of term partitions (segments).  Part assignment is
+    # hash64(term) % num_parts — fixed by config, NOT by input blocking,
+    # so segment bytes are identical at any parallelism (FIXTURES.md §5).
+    # At 10^12-doc scale this is thousands; tests use small values.
+    num_parts: int = 16
+    # Number of docmeta partitions (doc_id -> url, doclen), keyed by
+    # hash(doc_id) % docmeta_parts and carried through the SAME shuffle
+    # as the postings (part ids num_parts..num_parts+docmeta_parts-1).
+    docmeta_parts: int = 4
+    # Posting-list block size for delta+varbyte blocks and block-max
+    # skip metadata (block-max WAND granularity).
+    block_size: int = 128
+
+    # --- build-stage knobs ---
+    # Rows per map_batches batch in the extract/tokenize stages.  html
+    # payloads can be MBs, so this is a row cap; Ray's block sizing
+    # (DataContext.target_max_block_size) caps bytes.
+    extract_batch_size: int = 256
+    tokenize_batch_size: int = 256
+    # Dedup policy for duplicate urls: keep the row with the earliest
+    # warc_ts (FIXTURES.md §1, explicit stable rule).
+    dedup_keep: str = "earliest"
+
+    # --- tokenizer ---
+    # Lowercase + Unicode letter/digit runs, CJK chars as unigrams
+    # (FIXTURES.md §3).  cjk_unigrams=False gives the SQL-parity simple
+    # mode used by the DuckDB oracles (testdata is ASCII so both modes
+    # agree there).
+    cjk_unigrams: bool = True
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "EngineConfig":
+        return EngineConfig(**d)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,170 @@
+"""Index segment I/O: atomic per-part commits, manifest, checkpoint/resume.
+
+The index layout (SURVEY.md §1.2 "on-disk index"):
+
+    index_dir/
+      part=00000/            one per term partition (hash64(term) % P)
+        terms.parquet        term -> df, cf, byte ranges (schema.TERMS)
+        postings.bin         concatenated delta+varbyte posting blocks
+        skips.bin            concatenated block-max skip arrays
+        _COMMIT.json         PartMetrics; presence == durably committed
+      docmeta=00000/         one per docmeta partition (hash(doc_id) % D)
+        docmeta.parquet      doc_id (sorted) -> url, doclen
+        _COMMIT.json
+      _manifest.json         finalize(): config + rolled-up stats
+
+Resumability (north_rule "resumable from checkpoint with per-partition
+lineage + metrics"): each part directory is written to a ``.tmp`` path
+and atomically renamed, the commit marker written last.  A rerun lists
+committed parts and anti-joins them out of the shuffle — the reference's
+``get_files_to_index`` primitive
+(/root/reference/rust/src/file_loader.rs:118-126) promoted to the core
+checkpoint mechanism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from engine.config import EngineConfig
+from engine.metrics import PartMetrics
+
+MANIFEST = "_manifest.json"
+COMMIT = "_COMMIT.json"
+
+
+def part_dir(index_dir: str, kind: str, part: int) -> str:
+    prefix = "part" if kind == "postings" else "docmeta"
+    return os.path.join(index_dir, f"{prefix}={part:05d}")
+
+
+def _atomic_write_dir(final_dir: str, files: dict[str, bytes],
+                      tables: dict[str, pa.Table], metrics: PartMetrics) -> None:
+    """Write payload files + tables + commit marker, atomically rename.
+
+    Idempotent under task retry: an already-committed part is left
+    untouched; a half-written final dir (no commit marker) is replaced.
+    """
+    if os.path.exists(os.path.join(final_dir, COMMIT)):
+        return
+    tmp = final_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for name, blob in files.items():
+        with open(os.path.join(tmp, name), "wb") as f:
+            f.write(blob)
+    for name, table in tables.items():
+        pq.write_table(table, os.path.join(tmp, name))
+    with open(os.path.join(tmp, COMMIT), "w") as f:
+        f.write(metrics.to_json())
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp, final_dir)
+
+
+def write_postings_part(index_dir: str, part: int, terms: pa.Table,
+                        postings_blob: bytes, skips_blob: bytes,
+                        metrics: PartMetrics) -> None:
+    _atomic_write_dir(
+        part_dir(index_dir, "postings", part),
+        files={"postings.bin": postings_blob, "skips.bin": skips_blob},
+        tables={"terms.parquet": terms},
+        metrics=metrics,
+    )
+
+
+def write_docmeta_part(index_dir: str, part: int, docmeta: pa.Table,
+                       metrics: PartMetrics) -> None:
+    _atomic_write_dir(
+        part_dir(index_dir, "docmeta", part),
+        files={},
+        tables={"docmeta.parquet": docmeta},
+        metrics=metrics,
+    )
+
+
+def committed_parts(index_dir: str) -> dict[tuple[str, int], PartMetrics]:
+    """Scan for committed parts -> {(kind, part): metrics}. Resume input."""
+    out: dict[tuple[str, int], PartMetrics] = {}
+    if not os.path.isdir(index_dir):
+        return out
+    for name in os.listdir(index_dir):
+        if "=" not in name or name.endswith(".tmp"):
+            continue
+        commit = os.path.join(index_dir, name, COMMIT)
+        if not os.path.exists(commit):
+            continue
+        prefix, num = name.split("=")
+        kind = "postings" if prefix == "part" else "docmeta"
+        with open(commit) as f:
+            out[(kind, int(num))] = PartMetrics.from_json(f.read())
+    return out
+
+
+def finalize(index_dir: str, cfg: EngineConfig, lineage: dict | None = None) -> dict:
+    """Roll committed part metrics into the manifest (corpus stats live
+    here: N, avgdl — the reference delegates IDF to the vector DB,
+    /root/reference/examples/hybridsearch.py:40-42; ours is explicit)."""
+    parts = committed_parts(index_dir)
+    n_docs = sum(m.n_docs for (k, _), m in parts.items() if k == "docmeta")
+    sum_dl = sum(m.sum_doclen for (k, _), m in parts.items() if k == "docmeta")
+    manifest = {
+        "version": 1,
+        "config": cfg.to_dict(),
+        "lineage": lineage or {},
+        "stats": {
+            "n_docs": n_docs,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+            "total_tokens": sum_dl,
+            "n_terms": sum(m.n_terms for (k, _), m in parts.items() if k == "postings"),
+            "n_postings": sum(m.n_postings for (k, _), m in parts.items() if k == "postings"),
+        },
+        "parts": {
+            f"{kind}:{part:05d}": {
+                "n_terms": m.n_terms, "n_postings": m.n_postings,
+                "n_docs": m.n_docs, "checksum": m.checksum,
+                "wall_s": round(m.wall_s, 4), "lineage": m.lineage,
+            }
+            for (kind, part), m in sorted(parts.items())
+        },
+    }
+    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))
+    return manifest
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        return json.load(f)
+
+
+def read_postings_part(index_dir: str, part: int):
+    """-> (terms table, postings bytes, skips bytes) for one segment."""
+    d = part_dir(index_dir, "postings", part)
+    terms = pq.read_table(os.path.join(d, "terms.parquet"))
+    with open(os.path.join(d, "postings.bin"), "rb") as f:
+        postings = f.read()
+    with open(os.path.join(d, "skips.bin"), "rb") as f:
+        skips = f.read()
+    return terms, postings, skips
+
+
+def read_docmeta(index_dir: str, cfg: EngineConfig) -> pa.Table:
+    tables = []
+    for p in range(cfg.docmeta_parts):
+        path = os.path.join(part_dir(index_dir, "docmeta", p), "docmeta.parquet")
+        if os.path.exists(path):
+            tables.append(pq.read_table(path))
+    if not tables:
+        import pyarrow as _pa
+        from engine.schema import DOCMETA
+        return _pa.table({f.name: [] for f in DOCMETA}, schema=DOCMETA)
+    return pa.concat_tables(tables)

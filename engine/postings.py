@@ -1,0 +1,168 @@
+"""Posting-list codec: delta + variable-byte encoding with block-max skips.
+
+The reference delegates all index structure to external vector DBs
+(/root/reference/python/python/embed_anything/vectordb.py:9-28); here the
+index is the product, so the codec is first-class (north_rule: "docID-sorted
+runs compressed with delta + variable-byte encoding and block-max skip
+metadata").
+
+Layout per term:
+  postings bytes = per block of <= block_size entries:
+      varbyte(delta doc_ids)  ++  varbyte(tfs)
+    where the first delta of block i is relative to the last doc_id of
+    block i-1 (0 for the first block) — blocks decode independently given
+    the skip entry, enabling block skipping in WAND.
+  skip bytes = little-endian int64 array, 4 per block:
+      (last_doc_id, byte_offset_of_block, max_tf, min_doclen)
+    max_tf / min_doclen give a safe per-block BM25 upper bound: the
+    term score is increasing in tf and decreasing in doclen, so
+    score(max_tf, min_doclen) >= any entry in the block.
+
+Varbyte is LEB128-style (7 data bits/byte, high bit = continuation),
+encoded and decoded with vectorized numpy — no per-int Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SKIP_WIDTH = 4  # int64 fields per block in skip metadata
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a non-negative int array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + floor(bitlen/7) for bitlen>0
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    maxnb = int(nb.max())
+    for j in range(maxnb):
+        mask = nb > j
+        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[mask] + j] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.array([], dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, ends - starts + 1)
+    shifted = (b.astype(np.uint64) & np.uint64(0x7F)) << (np.uint64(7) * pos.astype(np.uint64))
+    vals = np.add.reduceat(shifted, starts)
+    if count is not None and vals.size != count:
+        raise ValueError(f"varbyte_decode: expected {count} values, got {vals.size}")
+    return vals
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    block_size: int = 128,
+) -> tuple[bytes, bytes]:
+    """Encode one term's docID-sorted postings -> (postings_bytes, skip_bytes).
+
+    ``doc_ids`` must be strictly increasing (docID-sorted runs are the
+    north-rule invariant, enforced by the merge stage; asserted here).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    doclens = np.asarray(doclens, dtype=np.uint64)
+    n = doc_ids.size
+    if n == 0:
+        return b"", b""
+    if n > 1 and not (np.diff(doc_ids.astype(np.int64)) > 0).all():
+        raise ValueError("encode_postings: doc_ids must be strictly increasing")
+
+    parts: list[bytes] = []
+    n_blocks = (n + block_size - 1) // block_size
+    skips = np.empty((n_blocks, SKIP_WIDTH), dtype=np.int64)
+    offset = 0
+    prev_last = np.uint64(0)
+    for bi in range(n_blocks):
+        lo, hi = bi * block_size, min((bi + 1) * block_size, n)
+        ids = doc_ids[lo:hi]
+        deltas = np.empty(hi - lo, dtype=np.uint64)
+        deltas[0] = ids[0] - prev_last
+        if hi - lo > 1:
+            deltas[1:] = ids[1:] - ids[:-1]
+        blk = varbyte_encode(deltas) + varbyte_encode(tfs[lo:hi])
+        skips[bi, 0] = ids[-1].astype(np.int64)
+        skips[bi, 1] = offset
+        skips[bi, 2] = int(tfs[lo:hi].max())
+        skips[bi, 3] = int(doclens[lo:hi].min())
+        parts.append(blk)
+        offset += len(blk)
+        prev_last = ids[-1]
+    return b"".join(parts), skips.tobytes()
+
+
+def decode_skips(skip_bytes: bytes | memoryview) -> np.ndarray:
+    """skip bytes -> (n_blocks, 4) int64 array (last_doc, offset, max_tf, min_dl)."""
+    arr = np.frombuffer(skip_bytes, dtype=np.int64)
+    return arr.reshape(-1, SKIP_WIDTH)
+
+
+def decode_block(
+    postings: bytes | memoryview,
+    skips: np.ndarray,
+    block_index: int,
+    n_total: int,
+    block_size: int = 128,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block -> (doc_ids, tfs). Independent random access."""
+    n_blocks = skips.shape[0]
+    lo = block_index * block_size
+    hi = min(lo + block_size, n_total)
+    cnt = hi - lo
+    start = int(skips[block_index, 1])
+    end = int(skips[block_index + 1, 1]) if block_index + 1 < n_blocks else len(postings)
+    buf = np.frombuffer(postings, dtype=np.uint8)[start:end]
+    # deltas and tfs are concatenated varbyte streams of `cnt` values each
+    vals = varbyte_decode(buf, count=2 * cnt)
+    deltas, tfs = vals[:cnt], vals[cnt:]
+    base = np.uint64(0) if block_index == 0 else np.uint64(skips[block_index - 1, 0])
+    ids = base + np.cumsum(deltas, dtype=np.uint64)
+    return ids, tfs
+
+
+def decode_postings(
+    postings: bytes | memoryview,
+    skip_bytes: bytes | memoryview,
+    n_total: int,
+    block_size: int = 128,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode of one term -> (doc_ids uint64, tfs uint64)."""
+    if n_total == 0:
+        return np.array([], np.uint64), np.array([], np.uint64)
+    skips = decode_skips(skip_bytes)
+    n_blocks = skips.shape[0]
+    # one vectorized decode of the whole stream: blocks are laid out
+    # [deltas_b0, tfs_b0, deltas_b1, tfs_b1, ...]
+    vals = varbyte_decode(postings, count=2 * n_total)
+    if n_blocks == 1:
+        deltas, tfs = vals[:n_total], vals[n_total:]
+        return np.cumsum(deltas, dtype=np.uint64), tfs
+    counts = np.full(n_blocks, block_size, dtype=np.int64)
+    counts[-1] = n_total - block_size * (n_blocks - 1)
+    ends = np.cumsum(2 * counts)
+    starts = ends - 2 * counts
+    delta_idx = np.concatenate(
+        [np.arange(s, s + c) for s, c in zip(starts, counts)]
+    )
+    # block-start deltas are relative to the previous block's last doc,
+    # so the concatenated delta stream cumsums to absolute doc_ids
+    ids = np.cumsum(vals[delta_idx], dtype=np.uint64)
+    tfs = vals[np.concatenate([np.arange(s + c, s + 2 * c) for s, c in zip(starts, counts)])]
+    return ids, tfs

@@ -1,0 +1,113 @@
+"""Unicode analyzer + term-frequency counting.
+
+Reference analog: the tokenizer-encode step of the embedding path
+(/root/reference/rust/src/embeddings/utils.rs:6-33,
+/root/reference/rust/src/embeddings/local/bert.rs:114-127) — there a HF
+WordPiece vocab, here a closed-form Unicode analyzer (FIXTURES.md §3):
+
+  * lowercase (str.lower — simple case mapping)
+  * token = maximal run of Unicode letters/digits (underscore excluded)
+  * CJK characters (Han / Hiragana / Katakana) are emitted as unigram
+    tokens, matching the DuckDB/RE2 pattern
+    ``[\\p{Han}\\p{Hiragana}\\p{Katakana}]|([\\p{N}]|[^\\P{L}\\p{Han}\\p{Hiragana}\\p{Katakana}])+``
+  * no stopword removal, no stemming (BM25 handles stopwords via idf;
+    skew is handled in the shuffle, SURVEY.md §4)
+
+All batch entry points are vectorized where the work allows: the regex
+scan is per-document (C-level ``findall``), counting is pandas C groupby.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+# Letters+digits runs.  [^\W_] == \w minus underscore; with re.UNICODE this
+# is "Unicode alphanumeric", aligning with RE2 [\p{L}\p{N}] on the
+# character classes the fixtures exercise.
+_WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+# CJK ranges emitted as unigrams: Hiragana, Katakana (+ phonetic ext),
+# CJK Unified Ideographs (+ ext A).  Mirrors RE2 \p{Hiragana}\p{Katakana}\p{Han}
+# on the BMP subset the fixture generator uses.
+_CJK_RE = re.compile(
+    "([぀-ゟ゠-ヿㇰ-ㇿ㐀-䶿一-鿿])"
+)
+
+
+def tokenize(text: str, cjk_unigrams: bool = True) -> list[str]:
+    """Analyze one document into its token list (FIXTURES.md §3 goldens)."""
+    out: list[str] = []
+    for run in _WORD_RE.findall(text.lower()):
+        if cjk_unigrams and _CJK_RE.search(run):
+            # split the run so each CJK char is its own token while
+            # non-CJK subruns stay intact: "abcこんde" -> abc こ ん de
+            for piece in _CJK_RE.split(run):
+                if piece:
+                    out.append(piece)
+        else:
+            out.append(run)
+    return out
+
+
+def tokenize_batch(texts: Iterable[str], cjk_unigrams: bool = True) -> list[list[str]]:
+    return [tokenize(t, cjk_unigrams) for t in texts]
+
+
+def stable_hash64(values: np.ndarray | list) -> np.ndarray:
+    """Deterministic 64-bit hash of a string array.
+
+    Uses pandas' SipHash-based ``hash_array`` with its fixed default key —
+    stable across processes and Python hash randomization (unlike builtin
+    ``hash``), vectorized in C.  Used for doc_id assignment
+    (hash64(url)), term->part routing, and salts; determinism at any
+    parallelism is a north-rule requirement (SURVEY.md §7.5).
+    """
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def doc_ids_from_urls(urls: np.ndarray | list) -> np.ndarray:
+    """doc_id = hash64(url) masked to int64-positive (Arrow/DuckDB-safe).
+
+    Deterministic dense-enumeration-free id assignment (SURVEY.md §7.4):
+    ids don't depend on task order or partitioning.  63-bit space; at
+    10^12 docs the collision expectation is ~2.7% for a full corpus —
+    the scale path widens to a 128-bit split id, documented not built.
+    """
+    return (stable_hash64(urls) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def count_terms(
+    texts: Iterable[str],
+    doc_ids: np.ndarray,
+    cjk_unigrams: bool = True,
+) -> pd.DataFrame:
+    """Per-(doc, term) tf for a batch -> DataFrame(doc_id, term, tf, doclen).
+
+    The in-batch combiner (reference analog: SPLADE's per-doc max-pool
+    reduce, /root/reference/rust/src/embeddings/local/bert.rs:386-388 —
+    here the reduce is tf counting).  Counting is one pandas C groupby
+    over the exploded token array, not a per-row Python Counter loop.
+    """
+    tok_lists = tokenize_batch(texts, cjk_unigrams)
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    if lens.sum() == 0:
+        return pd.DataFrame(
+            {"doc_id": np.array([], np.int64), "term": np.array([], object),
+             "tf": np.array([], np.int32), "doclen": np.array([], np.int32)}
+        )
+    all_tokens = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+    rep_ids = np.repeat(np.asarray(doc_ids, dtype=np.int64), lens)
+    df = pd.DataFrame({"doc_id": rep_ids, "term": all_tokens})
+    tf = df.groupby(["doc_id", "term"], sort=False).size()
+    out = tf.reset_index(name="tf")
+    out["tf"] = out["tf"].astype(np.int32)
+    dl = pd.Series(lens, index=np.asarray(doc_ids, dtype=np.int64))
+    # a doc_id can repeat within a batch only pre-dedup; keep first
+    dl = dl[~dl.index.duplicated(keep="first")]
+    out["doclen"] = dl.reindex(out["doc_id"]).to_numpy().astype(np.int32)
+    return out
