@@ -1,0 +1,136 @@
+"""End-to-end build: webtext -> index, checked against brute-force truth.
+
+Covers FIXTURES.md §5 merge-equivalence (identical segments at different
+parallelism) and the dedup-by-url rule, plus manifest stats.
+"""
+
+import collections
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from engine import index_io
+from engine.build import build_index
+from engine.config import EngineConfig
+from engine.postings import decode_postings
+from engine.tokenize import tokenize, doc_ids_from_urls
+
+CFG = EngineConfig(num_parts=8, docmeta_parts=3)
+
+
+def _expected_corpus(src_dir):
+    """Brute-force expected docs after dedup: url -> (doc_id, text)."""
+    import glob
+    tables = [pq.read_table(f) for f in sorted(glob.glob(f"{src_dir}/*.parquet"))]
+    import pyarrow as pa
+    t = pa.concat_tables(tables)
+    best = {}
+    for url, ts, text in zip(t["url"].to_pylist(),
+                             t["warc_ts"].cast("int64").to_pylist(),
+                             t["text"].to_pylist()):
+        if url not in best or ts < best[url][0]:
+            best[url] = (ts, text)
+    urls = sorted(best)
+    ids = doc_ids_from_urls(urls)
+    return {u: (int(i), best[u][1]) for u, i in zip(urls, ids)}
+
+
+@pytest.fixture(scope="module")
+def built(unit_webtext, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx") / "unit_index")
+    manifest = build_index(unit_webtext, idx, CFG)
+    return unit_webtext, idx, manifest
+
+
+def test_manifest_stats(built):
+    src, idx, manifest = built
+    exp = _expected_corpus(src)
+    assert manifest["stats"]["n_docs"] == len(exp)
+    exp_tokens = sum(len(tokenize(t)) for _, t in exp.values())
+    assert manifest["stats"]["total_tokens"] == exp_tokens
+    assert manifest["stats"]["avgdl"] == pytest.approx(exp_tokens / len(exp))
+    # per-part lineage + metrics present (north_rule)
+    assert manifest["parts"]
+    for key, pm in manifest["parts"].items():
+        assert pm["checksum"]
+        assert "wall_s" in pm
+
+
+def test_docmeta_complete(built):
+    src, idx, _ = built
+    exp = _expected_corpus(src)
+    dm = index_io.read_docmeta(idx, CFG)
+    got = dict(zip(dm["doc_id"].to_pylist(), dm["url"].to_pylist()))
+    assert len(got) == len(exp)
+    for url, (did, _) in exp.items():
+        assert got[did] == url
+
+
+def test_postings_match_bruteforce(built):
+    src, idx, _ = built
+    exp = _expected_corpus(src)
+    # brute-force inverted index
+    truth = collections.defaultdict(dict)
+    for url, (did, text) in exp.items():
+        for term, tf in collections.Counter(tokenize(text)).items():
+            truth[term][did] = tf
+    n_terms_seen = 0
+    for part in range(CFG.num_parts):
+        terms, postings, skips = index_io.read_postings_part(idx, part)
+        for row in terms.to_pylist():
+            t = row["term"]
+            ids, tfs = decode_postings(
+                postings[row["post_off"]:row["post_off"] + row["post_len"]],
+                skips[row["skip_off"]:row["skip_off"] + row["skip_len"]],
+                row["df"], CFG.block_size)
+            expected = truth[t]
+            assert row["df"] == len(expected), t
+            assert (np.diff(ids.astype(np.int64)) > 0).all() or len(ids) <= 1
+            got = dict(zip(ids.astype(np.int64).tolist(),
+                           tfs.astype(int).tolist()))
+            assert got == expected, f"postings mismatch for term {t!r}"
+            n_terms_seen += 1
+    assert n_terms_seen == len(truth)
+
+
+def test_merge_equivalence_parallelism(built, unit_webtext, tmp_path_factory):
+    """Same corpus at different input blocking -> byte-identical segments
+    (FIXTURES.md §5)."""
+    _, idx_a, _ = built
+    import hashlib
+
+    def seg_hashes(idx):
+        out = {}
+        for part in range(CFG.num_parts):
+            d = index_io.part_dir(idx, "postings", part)
+            if not os.path.isdir(d):
+                continue
+            h = hashlib.sha256()
+            for name in ("postings.bin", "skips.bin"):
+                with open(os.path.join(d, name), "rb") as f:
+                    h.update(f.read())
+            terms = pq.read_table(os.path.join(d, "terms.parquet"))
+            h.update(json.dumps(terms.to_pylist(), sort_keys=True).encode())
+            out[part] = h.hexdigest()
+        return out
+
+    for blocks in (1, 13):
+        idx_b = str(tmp_path_factory.mktemp("idx_eq") / f"blk{blocks}")
+        ds = ray.data.read_parquet(unit_webtext,
+                                   columns=["url", "warc_ts", "html"])
+        ds = ds.repartition(blocks)
+        build_index(ds, idx_b, CFG)
+        assert seg_hashes(idx_b) == seg_hashes(idx_a), f"blocks={blocks}"
+
+
+def test_dedup_kept_earliest(built):
+    src, idx, _ = built
+    exp = _expected_corpus(src)
+    dm = index_io.read_docmeta(idx, CFG)
+    # every url appears exactly once
+    urls = dm["url"].to_pylist()
+    assert len(urls) == len(set(urls)) == len(exp)

