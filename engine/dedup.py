@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's only dedup is the path-set anti-join
+(/root/reference/rust/src/file_loader.rs:118-126); these are the
+training-data-pipeline extensions (SURVEY.md §2.7 D3) built Ray-Data-first:
+
+  exact     content-hash column -> groupby(hash) -> keep min id.  Only
+            16-byte hashes shuffle, never the text.
+  minhash   shingle -> 64-perm minhash -> band rows -> groupby(band,
+            band_hash) -> candidate pairs -> Jaccard verify.
+  simhash   64-bit weighted sign sketch per doc (stateless map_batches).
+  jaccard   token-shingle Jaccard between explicit pairs.
+
+Determinism: all hashes via the fixed-key SipHash in tokenize.stable_hash64
+and fixed-seed permutation parameters — identical output at any
+parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from engine.tokenize import stable_hash64, tokenize_batch
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """-> (doc_id, n_dups): the surviving (minimum) id per distinct text
+    and the group size.  Shuffles only (hash, id) pairs."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = stable_hash64(np.asarray(batch.column(text_col).to_pylist(),
+                                     dtype=object))
+        return pa.table({
+            "content_hash": pa.array(h.astype(np.int64)),
+            id_col: batch.column(id_col),
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: [int(g[id_col].min())],
+                             "n_dups": [len(g)]})
+
+    return (docs.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("content_hash")
+            .map_groups(keep_first, batch_format="pandas")
+            .select_columns([id_col, "n_dups"]))
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(n_perm: int, seed: int = 77) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+    """k-token shingle strings -> unique 64-bit hashes."""
+    if len(tokens) < k:
+        shingles = [" ".join(tokens)] if tokens else []
+    else:
+        shingles = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    if not shingles:
+        return np.array([], dtype=np.uint64)
+    return np.unique(stable_hash64(np.asarray(shingles, dtype=object)))
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*h + b) mod p minimized over shingles -> n_perm-long signature."""
+    if sh.size == 0:
+        return np.full(a.size, np.iinfo(np.uint64).max >> 1, dtype=np.uint64)
+    # (n_perm, n_shingles) mod-Mersenne arithmetic; wraparound-safe in
+    # python-int domain is overkill — 61-bit values * 61-bit a wraps
+    # mod 2^64 but stays a deterministic universal-ish hash family
+    vals = (a[:, None] * (sh[None, :] & _MERSENNE) + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_bands(
+    docs: "ray.data.Dataset",
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """-> exploded (band, band_hash, doc_id) rows — the LSH index table.
+    groupby((band, band_hash)) downstream yields candidate groups."""
+    assert n_perm % bands == 0
+    r = n_perm // bands
+    a, b = _perm_params(n_perm)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch.column(text_col).to_pylist())
+        ids = batch.column(id_col).to_numpy()
+        out_band, out_hash, out_id = [], [], []
+        for did, ts in zip(ids, toks):
+            sig = minhash_signature(shingle_hashes(ts, shingle_k), a, b)
+            for bi in range(bands):
+                row = sig[bi * r:(bi + 1) * r]
+                bh = int(stable_hash64(
+                    np.array([row.tobytes().hex()], dtype=object))[0]) & 0x7FFFFFFFFFFFFFFF
+                out_band.append(bi); out_hash.append(bh); out_id.append(int(did))
+        return pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+        })
+
+    return docs.map_batches(to_bands, batch_format="pyarrow")
+
+
+def minhash_candidates(
+    docs: "ray.data.Dataset",
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """LSH candidate pairs -> DataFrame(id_a, id_b) distinct, id_a<id_b."""
+    band_rows = minhash_bands(docs, n_perm, bands, shingle_k, id_col, text_col)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        iu = np.triu_indices(ids.size, 1)
+        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+
+    cand = (band_rows.groupby(["band", "band_hash"])
+            .map_groups(pairs, batch_format="pandas").to_pandas())
+    if not len(cand):
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64)})
+    return (cand.drop_duplicates().astype(np.int64)
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def verify_jaccard(
+    docs: "ray.data.Dataset",
+    pairs: pd.DataFrame,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Exact shingle-Jaccard for candidate pairs -> (id_a, id_b, jaccard)
+    filtered to >= threshold.
+
+    The candidate set is small by construction (LSH bands); its doc ids
+    are broadcast and only those docs' shingle sets are computed — a
+    broadcast semi-join, not a shuffle."""
+    if not len(pairs):
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    wanted = set(pairs["id_a"].tolist()) | set(pairs["id_b"].tolist())
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        keep = np.fromiter((int(i) in wanted for i in ids), dtype=bool,
+                           count=ids.size)
+        sub = batch.filter(pa.array(keep))
+        toks = tokenize_batch(sub.column(text_col).to_pylist())
+        return pa.table({
+            id_col: sub.column(id_col),
+            "shingles": pa.array(
+                [shingle_hashes(t, shingle_k).astype(np.int64).tolist()
+                 for t in toks],
+                pa.large_list(pa.int64())),
+        })
+
+    sh_tab = (docs.map_batches(shingles_of, batch_format="pyarrow")
+              .to_pandas())
+    sets = {int(r[id_col]): set(r["shingles"])
+            for _, r in sh_tab.iterrows()}
+    out = []
+    for _, r in pairs.iterrows():
+        sa, sb = sets.get(int(r["id_a"]), set()), sets.get(int(r["id_b"]), set())
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j >= threshold:
+            out.append((int(r["id_a"]), int(r["id_b"]), round(j, 6)))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """-> adds simhash:int64 — 64-bit weighted sign sketch over token
+    hashes (tf-weighted).  Hamming-close simhashes = near-dup candidates."""
+    toks = tokenize_batch(batch.column(text_col).to_pylist())
+    shifts = np.arange(64, dtype=np.uint64)
+    out = []
+    for ts in toks:
+        if not ts:
+            out.append(0)
+            continue
+        uniq, counts = np.unique(np.asarray(ts, dtype=object),
+                                 return_counts=True)
+        h = stable_hash64(uniq)
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.float64)
+        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        code = ((acc > 0).astype(np.uint64) << shifts).sum()
+        out.append(int(code & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    return batch.append_column("simhash", pa.array(out, pa.int64()))
+
+
+def ngram_jaccard_adjacent(
+    docs: "ray.data.Dataset",
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """n-gram Jaccard between each doc and the doc with the next id
+    (a linear, SQL-checkable slice of the all-pairs similarity)."""
+    def rows(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch.column(text_col).to_pylist())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "shingles": pa.array(
+                [sorted(set(
+                    " ".join(t[i:i + shingle_k])
+                    for i in range(max(len(t) - shingle_k + 1, 0))) or
+                    ([" ".join(t)] if t else []))
+                 for t in toks],
+                pa.large_list(pa.large_string())),
+        })
+
+    df = docs.map_batches(rows, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(id_col).reset_index(drop=True)
+    ids = df[id_col].to_numpy()
+    sets = [set(s) for s in df["shingles"]]
+    out = []
+    for i in range(len(ids) - 1):
+        if ids[i + 1] != ids[i] + 1:
+            continue
+        union = len(sets[i] | sets[i + 1])
+        j = (len(sets[i] & sets[i + 1]) / union) if union else 0.0
+        out.append((int(ids[i]), int(ids[i + 1]), round(j, 6)))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])

@@ -1,0 +1,243 @@
+"""Driver-contract pipelines over the /root/testdata tables.
+
+One function per ``__ray_entry__.queries()`` entry; each takes ``sf_dir``
+and returns a Dataset / pandas DataFrame.  Column names and rounding are
+chosen to match the DuckDB oracle SQL in __ray_entry__.py exactly
+(the driver hashes values after sorting columns by name).
+
+The BM25 entries run against a REAL index built by engine.build in docs
+mode (doc_id + text), cached per sf_dir under /tmp — so the correctness
+gate exercises the full build+query engine, not a shortcut
+reimplementation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from engine.build import build_index
+from engine.config import EngineConfig
+from engine.query import InvertedIndex
+from engine.tokenize import count_terms
+from engine import dedup as dedup_ops
+from engine import similarity as sim_ops
+from engine import textstats
+
+DOCS_CFG = EngineConfig(num_parts=8, docmeta_parts=2)
+
+
+def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=list(columns))
+
+
+def docs_index(sf_dir: str) -> InvertedIndex:
+    """Build (or resume) the documents-table index for this sf_dir."""
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx_dir = os.path.join("/tmp", "engine_cache", f"docsidx-{key}")
+    if not os.path.exists(os.path.join(idx_dir, "_manifest.json")):
+        build_index(os.path.join(sf_dir, "documents.parquet"), idx_dir,
+                    DOCS_CFG, mode="docs")
+    return InvertedIndex(idx_dir)
+
+
+# --- tokenization / stats ---------------------------------------------------
+
+def q_doclen(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        tf = count_terms(batch.column("text").to_pylist(),
+                         batch.column("doc_id").to_numpy())
+        per = tf.groupby("doc_id", sort=False)["doclen"].first()
+        ids = batch.column("doc_id").to_numpy()
+        dl = per.reindex(ids).fillna(0).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "doclen": pa.array(dl)})
+    return documents_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def _exploded_tf(sf_dir: str) -> "ray.data.Dataset":
+    """(term, doc_id, tf) rows — per-batch partial already unique per
+    (doc, term), the combiner for the df/cf aggregates."""
+    def f(batch: pa.Table) -> pa.Table:
+        tf = count_terms(batch.column("text").to_pylist(),
+                         batch.column("doc_id").to_numpy())
+        return pa.table({
+            "term": pa.array(tf["term"].to_numpy(dtype=object), pa.string()),
+            "doc_id": pa.array(tf["doc_id"].to_numpy()),
+            "tf": pa.array(tf["tf"].to_numpy().astype(np.int64)),
+        })
+    return documents_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_term_df_top100(sf_dir: str) -> pd.DataFrame:
+    agg = _exploded_tf(sf_dir).groupby("term").aggregate(
+        Count(alias_name="df")).to_pandas()
+    agg = agg.sort_values(["df", "term"], ascending=[False, True]).head(100)
+    agg["df"] = agg["df"].astype(np.int64)
+    return agg.reset_index(drop=True)
+
+
+def q_term_cf_top100(sf_dir: str) -> pd.DataFrame:
+    agg = _exploded_tf(sf_dir).groupby("term").aggregate(
+        Sum("tf", alias_name="cf")).to_pandas()
+    agg = agg.sort_values(["cf", "term"], ascending=[False, True]).head(100)
+    agg["cf"] = agg["cf"].astype(np.int64)
+    return agg.reset_index(drop=True)
+
+
+def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    dl = q_doclen(sf_dir).to_pandas()
+    return pd.DataFrame([{
+        "n_docs": np.int64(len(dl)),
+        "total_tokens": np.int64(dl["doclen"].sum()),
+        "avgdl": round(float(dl["doclen"].mean()), 6),
+    }])
+
+
+# --- the real engine: BM25 + postings lookup --------------------------------
+
+BM25_QUERY = "hash join table"
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    idx = docs_index(sf_dir)
+    hits = idx.search(BM25_QUERY, k=10, method="bmw")
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits], dtype=np.float64),
+    })
+
+
+LOOKUP_TERM = "hash"
+
+
+def q_term_top_docs(sf_dir: str) -> pd.DataFrame:
+    """Postings lookup for one term -> top 20 docs by tf (J3 query path)."""
+    idx = docs_index(sf_dir)
+    ent = idx.lookup(LOOKUP_TERM)
+    if ent is None:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "tf": pd.Series(dtype=np.int64)})
+    df, pbytes, skips = ent
+    from engine.postings import decode_postings
+    ids, tfs = decode_postings(pbytes, skips.tobytes(), df,
+                               idx.cfg.block_size)
+    order = np.lexsort((ids.astype(np.int64), -tfs.astype(np.int64)))[:20]
+    return pd.DataFrame({
+        "doc_id": ids.astype(np.int64)[order],
+        "tf": tfs.astype(np.int64)[order],
+    })
+
+
+# --- dedup family -----------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    out = dedup_ops.exact_dedup(documents_ds(sf_dir)).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_minhash_candidates(sf_dir: str) -> pd.DataFrame:
+    return dedup_ops.minhash_candidates(documents_ds(sf_dir))
+
+
+def q_simhash(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        dedup_ops.simhash_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "simhash"])
+
+
+def q_ngram_jaccard_adjacent(sf_dir: str) -> pd.DataFrame:
+    return dedup_ops.ngram_jaccard_adjacent(documents_ds(sf_dir))
+
+
+# --- similarity search ------------------------------------------------------
+
+def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    i = t.column("vec_id").to_pylist().index(vec_id)
+    return np.asarray(t.column("embedding")[i].as_py(), dtype=np.float64)
+
+
+def _embeddings_ds(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
+    q = _query_vec(sf_dir, 0)
+    return sim_ops.knn_cosine(_embeddings_ds(sf_dir), q[None, :], [0], k=10)
+
+
+def q_lsh_knn(sf_dir: str) -> pd.DataFrame:
+    """All-bucket probe == exact (oracle-checked); prod uses nprobe<<2^bits."""
+    q = _query_vec(sf_dir, 1)
+    return sim_ops.lsh_knn(_embeddings_ds(sf_dir), q[None, :], [1], k=10,
+                           n_bits=4, nprobe=None)
+
+
+def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
+    return sim_ops.neardup_pairs_blocked(_embeddings_ds(sf_dir),
+                                         threshold=0.3)
+
+
+# --- text analysis ----------------------------------------------------------
+
+def q_langid(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        textstats.langid_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "pred_lang"])
+
+
+def q_quality(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        textstats.quality_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens", "stopword_ratio", "alnum_ratio"])
+
+
+def q_token_counts(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        textstats.token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "ws_tokens", "bpeish_tokens"])
+
+
+def q_fingerprints(sf_dir: str):
+    return documents_ds(sf_dir).map_batches(
+        textstats.fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+# --- windowed aggregate over the events stream table ------------------------
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h window per event_type: count + sum(value).
+
+    Partial-aggregates inside map_batches (one row per (type, hour) per
+    batch), then a small groupby — the pre-agg + final-agg shape that
+    holds at stream scale (ray_guide 'Aggregation at scale')."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    ).to_pandas()
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["sum_value"] = agg["sum_value"].round(6)
+    return agg.sort_values(["event_type", "hour"]).reset_index(drop=True)

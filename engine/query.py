@@ -122,6 +122,8 @@ class InvertedIndex:
 
     def search(self, query: str, k: int = 10, method: str = "bmw"):
         """-> list of (doc_id, score) sorted score desc, doc_id asc."""
+        if k <= 0:
+            return []
         terms = self.query_terms(query)
         entries = [(t, self.lookup(t)) for t in terms]
         entries = [(t, e) for t, e in entries if e is not None]

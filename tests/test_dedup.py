@@ -1,0 +1,98 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard — verified
+against brute-force set math on corpora with planted duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from engine.dedup import (exact_dedup, minhash_candidates, verify_jaccard,
+                          simhash_batch, ngram_jaccard_adjacent,
+                          shingle_hashes)
+from engine.tokenize import tokenize
+
+
+def _corpus():
+    """20 docs: 0/1 identical; 2/3 near-dup (one word changed);
+    4/5 near-dup; rest random-ish distinct."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    base = " ".join(rng.choice(vocab, 60))
+    near = base.rsplit(" ", 2)[0] + " zz1 zz2"
+    base2 = " ".join(rng.choice(vocab, 80))
+    near2 = "zz3 " + base2.split(" ", 1)[1]
+    docs = [base, base, base + " tail", near, base2, near2]
+    docs += [" ".join(rng.choice(vocab, 50)) for _ in range(14)]
+    return pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                         "text": docs})
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _corpus()
+
+
+def _ds(df):
+    return ray.data.from_pandas(df)
+
+
+def test_exact_dedup(corpus):
+    out = exact_dedup(_ds(corpus)).to_pandas().sort_values("doc_id")
+    # docs 0 and 1 are byte-identical -> one survivor (id 0) with n_dups 2
+    assert len(out) == len(corpus) - 1
+    row = out[out["doc_id"] == 0]
+    assert row["n_dups"].iloc[0] == 2
+    assert 1 not in set(out["doc_id"])
+
+
+def test_minhash_finds_planted_pairs(corpus):
+    cand = minhash_candidates(_ds(corpus))
+    pairs = set(map(tuple, cand[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairs          # identical
+    assert (2, 3) in pairs or (0, 3) in pairs or (1, 3) in pairs  # near
+    assert (4, 5) in pairs
+
+
+def test_verify_jaccard(corpus):
+    cand = minhash_candidates(_ds(corpus))
+    ver = verify_jaccard(_ds(corpus), cand, threshold=0.5)
+    got = set(map(tuple, ver[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in got
+    j = ver[(ver["id_a"] == 0) & (ver["id_b"] == 1)]["jaccard"].iloc[0]
+    assert j == 1.0
+    # brute-force check of every reported value
+    sets = {r.doc_id: set(shingle_hashes(tokenize(r.text)).tolist())
+            for r in corpus.itertuples()}
+    for r in ver.itertuples():
+        sa, sb = sets[r.id_a], sets[r.id_b]
+        assert r.jaccard == pytest.approx(len(sa & sb) / len(sa | sb), abs=1e-6)
+
+
+def test_simhash_identical_and_near(corpus):
+    import pyarrow as pa
+    out = simhash_batch(pa.Table.from_pandas(corpus)).to_pandas()
+    sh = dict(zip(out["doc_id"], out["simhash"]))
+    assert sh[0] == sh[1]  # identical docs -> identical simhash
+    ham = bin(sh[2] ^ sh[0]).count("1")
+    assert ham <= 12       # near-dup -> hamming-close
+    far = bin(sh[0] ^ sh[10]).count("1")
+    assert far > ham
+
+
+def test_ngram_jaccard_adjacent(corpus):
+    out = ngram_jaccard_adjacent(_ds(corpus))
+    assert len(out) == len(corpus) - 1
+    j01 = out[(out["id_a"] == 0)]["jaccard"].iloc[0]
+    assert j01 == 1.0      # identical adjacent docs
+    # spot-check one value against brute force
+    t4 = set(shingle_hashes(tokenize(corpus["text"][4])).tolist())
+    t5 = set(shingle_hashes(tokenize(corpus["text"][5])).tolist())
+    want = round(len(t4 & t5) / len(t4 | t5), 6)
+    got = out[(out["id_a"] == 4)]["jaccard"].iloc[0]
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_determinism_across_parallelism(corpus):
+    a = minhash_candidates(_ds(corpus))
+    b = minhash_candidates(ray.data.from_pandas(corpus).repartition(7))
+    pd.testing.assert_frame_equal(a, b)

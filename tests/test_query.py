@@ -59,6 +59,15 @@ def test_zero_hit(index):
     assert index.search("!!! ...", 10) == []
 
 
+def test_degenerate_k(index):
+    assert index.search("the", 0) == []
+    assert index.search("the", -3) == []
+    # k far beyond corpus size returns every scored doc, still ordered
+    big = index.search("the", 10**6, method="bmw")
+    ref = index.search("the", 10**6, method="daat")
+    assert [d for d, _ in big] == [d for d, _ in ref]
+
+
 def test_bmw_equals_daat_random(index):
     """Property: WAND pruning never changes results (50 random queries
     built from indexed terms)."""

@@ -1,0 +1,86 @@
+"""Similarity search: brute-force + LSH vs a numpy ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from engine.similarity import knn_cosine, lsh_knn, neardup_pairs_blocked
+
+
+@pytest.fixture(scope="module")
+def emb():
+    rng = np.random.default_rng(11)
+    n, d = 300, 16
+    vecs = rng.standard_normal((n, d))
+    # plant near-dups: 5/6 and 7/8 nearly parallel
+    vecs[6] = vecs[5] + 0.01 * rng.standard_normal(d)
+    vecs[8] = vecs[7] + 0.01 * rng.standard_normal(d)
+    vecs[9] = vecs[5] + 0.01 * rng.standard_normal(d)  # same label as 5 (%4)
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+        "label": (np.arange(n) % 4).astype(np.int32),
+    })
+    return df, vecs
+
+
+def _truth_topk(vecs, q, k, exclude):
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = vn @ qn
+    order = np.lexsort((np.arange(len(vecs)), -sims))
+    out = [(int(i), round(float(sims[i]), 6)) for i in order if i != exclude]
+    return out[:k]
+
+
+def test_knn_matches_truth(emb):
+    df, vecs = emb
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = knn_cosine(ds, vecs[0][None, :], [0], k=10)
+    want = _truth_topk(vecs, vecs[0], 10, exclude=0)
+    assert list(zip(got["vec_id"], got["cos"])) == [
+        (i, pytest.approx(c, abs=1e-6)) for i, c in want]
+    assert got["vec_id"].iloc[0] != 0
+
+
+def test_knn_multi_query(emb):
+    df, vecs = emb
+    ds = ray.data.from_pandas(df)
+    got = knn_cosine(ds, vecs[[5, 7]], [5, 7], k=3)
+    assert set(got["query_id"]) == {5, 7}
+    assert got[got["query_id"] == 5]["vec_id"].iloc[0] == 6  # planted pair
+    assert got[got["query_id"] == 7]["vec_id"].iloc[0] == 8
+
+
+def test_lsh_full_probe_exact(emb):
+    df, vecs = emb
+    ds = ray.data.from_pandas(df).repartition(4)
+    exact = knn_cosine(ds, vecs[3][None, :], [3], k=10)
+    lsh = lsh_knn(ds, vecs[3][None, :], [3], k=10, n_bits=4, nprobe=None)
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  lsh.reset_index(drop=True))
+
+
+def test_lsh_partial_probe_recall(emb):
+    df, vecs = emb
+    ds = ray.data.from_pandas(df)
+    exact = knn_cosine(ds, vecs[5][None, :], [5], k=5)
+    lsh = lsh_knn(ds, vecs[5][None, :], [5], k=5, n_bits=4, nprobe=4)
+    # nearest bucket must contain the planted near-dup
+    assert 6 in set(lsh["vec_id"])
+    recall = len(set(lsh["vec_id"]) & set(exact["vec_id"])) / 5
+    assert recall >= 0.4
+
+
+def test_neardup_blocked(emb):
+    df, vecs = emb
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = neardup_pairs_blocked(ds, threshold=0.95)
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (5, 9) in pairs  # planted same-label near-dup
+    # every reported pair shares a label and really exceeds the threshold
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for a, b in pairs:
+        assert a % 4 == b % 4
+        assert vn[a] @ vn[b] > 0.95

@@ -1,0 +1,69 @@
+"""Text-analysis stages: langid on the webtext fixture langs, quality
+ratios, token counts, fingerprint determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.fixtures import gen_webtext
+from engine.textstats import (langid_batch, quality_batch, token_count_batch,
+                              fingerprint_batch)
+
+
+def _tbl(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_langid_markers():
+    out = langid_batch(_tbl([
+        "the cat of the house is here for now",
+        "der hund ist nicht mit der katze",
+        "le chat est dans la maison pour les amis",
+        "el perro es un animal para la casa",
+        "こんにちは世界 データ",
+        "xyzzy plugh",
+    ])).column("pred_lang").to_pylist()
+    assert out == ["en", "de", "fr", "es", "ja", "unknown"]
+
+
+def test_langid_on_fixture_ja():
+    t = gen_webtext(100)
+    out = langid_batch(t.select(["url", "text", "lang"]))
+    langs = t["lang"].to_pylist()
+    preds = out.column("pred_lang").to_pylist()
+    ja = [p for l, p in zip(langs, preds) if l == "ja"]
+    assert ja and all(p == "ja" for p in ja)  # CJK unigrams vote ja
+    en = [p for l, p in zip(langs, preds) if l == "en"]
+    # stopword-forced en docs detected; others fall back to unknown
+    assert en.count("en") > len(en) * 0.5
+
+
+def test_quality_ratios():
+    out = quality_batch(_tbl(["the cat. THE dog!", ""])).to_pylist()
+    r = out[0]
+    assert r["n_tokens"] == 4
+    assert r["stopword_ratio"] == pytest.approx(0.5)
+    alnum = sum(ch.isalnum() for ch in "the cat. THE dog!")
+    assert r["alnum_ratio"] == pytest.approx(round(alnum / 17, 6))
+    assert out[1]["n_tokens"] == 0 and out[1]["stopword_ratio"] == 0.0
+
+
+def test_token_counts():
+    out = token_count_batch(_tbl(["a b  c", "don't stop-me", ""])).to_pylist()
+    assert out[0]["ws_tokens"] == 3
+    assert out[1]["ws_tokens"] == 2
+    assert out[1]["bpeish_tokens"] == 6  # don ' t stop - me
+    assert out[2]["ws_tokens"] == 0
+
+
+def test_fingerprint_deterministic_and_shift_invariant():
+    texts = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 2
+    a = fingerprint_batch(_tbl(texts)).column("fingerprint").to_pylist()
+    assert a[0] == a[1] != 0
+    b = fingerprint_batch(_tbl([texts[0]])).column("fingerprint").to_pylist()
+    assert b[0] == a[0]
+    # different text -> different fingerprint (overwhelming probability)
+    c = fingerprint_batch(_tbl(["totally different words here my friend "
+                                "with many more tokens involved"]))
+    assert c.column("fingerprint").to_pylist()[0] != a[0]
