@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data inverted-index + BM25 engine.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the flagship webtext index build over the
+deterministic bench fixture, and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"webtext_build": sec, ...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` evidences the north rule's two-cluster-size criterion in
+this single-node sandbox: the SAME webtext build runs in two fresh
+processes (``--child-build``) at num_cpus=8 and num_cpus=32 on identical
+input, and the parent reports both throughputs + scaling efficiency
+(T8/T32)/(32/8).  Results are recorded in BASELINE.md.
+
+This script OWNS its Ray session (the only places allowed to:
+bench.py, tests/conftest.py, tools/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "100000"))
+WEBTEXT_DIR = os.path.join(
+    os.environ.get("GRAFT_BENCH_SCRATCH", "/tmp/engine_bench"),
+    f"webtext-{BENCH_ROWS}")
+
+# Fixture query set (tests/queries.json) for the latency measurement.
+QUERIES_PATH = os.path.join(REPO, "tests", "queries.json")
+
+# Driver-contract pipelines timed at sf_dir (subset chosen to cover each
+# operator family without re-running near-identical variants).
+CONTRACT_QUERIES = [
+    "term_df_top100", "corpus_stats", "dedup_exact", "minhash_candidates",
+    "knn_cosine", "embed_neardup", "langid", "quality", "token_counts",
+    "events_hourly",
+]
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _bench_cfg():
+    from engine.config import EngineConfig
+    # Partition counts sized so segments stay ~10-100 MB at bench scale;
+    # at 10^12 docs the same layout runs with num_parts in the thousands.
+    return EngineConfig(num_parts=32, docmeta_parts=8)
+
+
+def _ensure_webtext() -> str:
+    from engine.fixtures import write_webtext_ray
+    return write_webtext_ray(WEBTEXT_DIR, BENCH_ROWS)
+
+
+def _run_webtext_build(index_dir: str) -> dict:
+    """The flagship pipeline: read -> dedup -> extract -> tokenize ->
+    groupby(part) shuffle -> compressed segments + manifest."""
+    from engine.build import build_index
+    t0 = time.perf_counter()
+    manifest = build_index(WEBTEXT_DIR, index_dir, _bench_cfg(),
+                           mode="webtext", resume=False)
+    wall = time.perf_counter() - t0
+    n_docs = manifest["stats"]["n_docs"]
+    return {"wall_s": wall, "n_docs": n_docs,
+            "docs_per_sec": n_docs / wall,
+            "total_tokens": manifest["stats"]["total_tokens"]}
+
+
+def _query_latency(index_dir: str, iters: int = 200, k: int = 10) -> dict:
+    from engine.query import InvertedIndex
+    idx = InvertedIndex(index_dir)
+    with open(QUERIES_PATH) as f:
+        qset = json.load(f)
+    # warm the term-dictionary caches once
+    for q in qset:
+        idx.search(q, k=k)
+    lat = []
+    for _ in range(max(1, iters // len(qset))):
+        for q in qset:
+            t0 = time.perf_counter()
+            idx.search(q, k=k, method="bmw")
+            lat.append(time.perf_counter() - t0)
+    lat.sort()
+    return {"p50_s": statistics.median(lat),
+            "p95_s": lat[int(len(lat) * 0.95) - 1],
+            "n": len(lat)}
+
+
+def run_default(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    queries: dict[str, float] = {}
+
+    _ensure_webtext()  # cached; generation excluded from build timing
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_", dir="/tmp")
+    build = _run_webtext_build(idx_dir)
+    queries["webtext_build"] = round(build["wall_s"], 3)
+
+    lat = _query_latency(idx_dir)
+    queries["bm25_query_p50"] = round(lat["p50_s"], 6)
+    queries["bm25_query_p95"] = round(lat["p95_s"], 6)
+
+    from engine import docops
+    import __ray_entry__ as entrymod
+    qmap = entrymod.queries()
+    for name in CONTRACT_QUERIES:
+        t0 = time.perf_counter()
+        res = qmap[name](sf_dir)
+        # consume lazily-built Datasets so the pipeline actually runs
+        import ray.data
+        if isinstance(res, ray.data.Dataset):
+            for _ in res.iter_batches(batch_size=4096):
+                pass
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "webtext index build + BM25 query + contract pipelines",
+        "value": total, "unit": "sec", "queries": queries,
+        "sf": sf_dir, "num_cpus": num_cpus,
+        "build_docs_per_sec": round(build["docs_per_sec"], 1),
+        "build_n_docs": build["n_docs"],
+        "build_total_tokens": build["total_tokens"],
+    }
+    import ray
+    ray.shutdown()
+    return out
+
+
+def run_child_build(num_cpus: int) -> dict:
+    """Fresh-process leg of the scaling experiment (input pre-generated
+    by the parent)."""
+    _init_ray(num_cpus)
+    idx_dir = tempfile.mkdtemp(prefix=f"bench_scale_{num_cpus}_", dir="/tmp")
+    build = _run_webtext_build(idx_dir)
+    import ray
+    ray.shutdown()
+    return {"num_cpus": num_cpus, "wall_s": round(build["wall_s"], 3),
+            "docs_per_sec": round(build["docs_per_sec"], 1),
+            "n_docs": build["n_docs"]}
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    # generate the shared input once (parallel, then shut down so the
+    # children own fresh sessions)
+    _init_ray(cpus_hi)
+    _ensure_webtext()
+    import ray
+    ray.shutdown()
+
+    legs = {}
+    for n in (cpus_lo, cpus_hi):
+        env = dict(os.environ)
+        env.pop("RAY_ADDRESS", None)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--child-build", "--num-cpus", str(n)],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        if p.returncode != 0:
+            raise RuntimeError(f"child num_cpus={n} failed:\n{p.stderr[-4000:]}")
+        legs[n] = json.loads(p.stdout.strip().splitlines()[-1])
+
+    t_lo, t_hi = legs[cpus_lo]["wall_s"], legs[cpus_hi]["wall_s"]
+    eff = (t_lo / t_hi) / (cpus_hi / cpus_lo)
+    return {
+        "metric": f"build scaling num_cpus={cpus_lo} vs {cpus_hi}",
+        "value": round(eff, 3), "unit": "efficiency",
+        "queries": {
+            f"build_cpus{cpus_lo}": t_lo,
+            f"build_cpus{cpus_hi}": t_hi,
+        },
+        "sf": sf_dir,
+        "num_cpus": cpus_hi,
+        "docs_per_sec": {str(n): legs[n]["docs_per_sec"] for n in legs},
+        "n_docs": legs[cpus_hi]["n_docs"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child-build", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--sf-dir", default=None)
+    args = ap.parse_args()
+
+    sf_dir = args.sf_dir or os.environ.get("GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1")
+    num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.child_build:
+        out = run_child_build(num_cpus)
+    elif args.scaling:
+        out = run_scaling(sf_dir)
+    else:
+        out = run_default(sf_dir, num_cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -240,16 +240,7 @@ def gen_row(row_idx: int, seed: int = SEED, dup_of: int | None = None,
             "text": text, "lang": lang}
 
 
-def gen_webtext(n_rows: int, seed: int = SEED, dup_rate: float = 0.02) -> pa.Table:
-    """Deterministic webtext table, ~2% duplicate urls appended + shuffled."""
-    rows = [gen_row(i, seed) for i in range(n_rows)]
-    dup_rng = np.random.default_rng([seed, 999_999_937])
-    n_dups = int(round(n_rows * dup_rate))
-    dup_targets = dup_rng.choice(n_rows, size=n_dups, replace=False)
-    for k, t in enumerate(sorted(int(x) for x in dup_targets)):
-        rows.append(gen_row(n_rows + k, seed, dup_of=t, dup_nonce=1))
-    order = np.random.default_rng([seed, 999_999_893]).permutation(len(rows))
-    rows = [rows[i] for i in order]
+def _rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.table({
         "url": pa.array([r["url"] for r in rows], pa.string()),
         "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
@@ -257,6 +248,70 @@ def gen_webtext(n_rows: int, seed: int = SEED, dup_rate: float = 0.02) -> pa.Tab
         "text": pa.array([r["text"] for r in rows], pa.string()),
         "lang": pa.array([r["lang"] for r in rows], pa.string()),
     })
+
+
+def _dup_targets(n_rows: int, seed: int, dup_rate: float) -> list[int]:
+    dup_rng = np.random.default_rng([seed, 999_999_937])
+    n_dups = int(round(n_rows * dup_rate))
+    return sorted(int(x) for x in
+                  dup_rng.choice(n_rows, size=n_dups, replace=False))
+
+
+def gen_webtext(n_rows: int, seed: int = SEED, dup_rate: float = 0.02) -> pa.Table:
+    """Deterministic webtext table, ~2% duplicate urls appended + shuffled."""
+    rows = [gen_row(i, seed) for i in range(n_rows)]
+    for k, t in enumerate(_dup_targets(n_rows, seed, dup_rate)):
+        rows.append(gen_row(n_rows + k, seed, dup_of=t, dup_nonce=1))
+    order = np.random.default_rng([seed, 999_999_893]).permutation(len(rows))
+    rows = [rows[i] for i in order]
+    return _rows_to_table(rows)
+
+
+def write_webtext_ray(out_dir: str, n_rows: int, seed: int = SEED,
+                      dup_rate: float = 0.02,
+                      rows_per_file: int = 5000) -> str:
+    """Bench-scale deterministic webtext writer, parallelized with Ray.
+
+    Every row is a pure function of (seed, row_index) — shard generation
+    is embarrassingly parallel and the on-disk bytes are independent of
+    parallelism.  Rows stay in index order within shards (the permutation
+    step of ``gen_webtext`` only exists to exercise out-of-order dedup in
+    tiny unit fixtures; dedup correctness is order-free by construction).
+    Idempotent via a content-stamped _DONE marker.
+    """
+    import ray
+
+    marker = f"ray n={n_rows} seed={seed} dup={dup_rate} per={rows_per_file}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == marker:
+                return out_dir
+        import shutil
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    dup_targets = _dup_targets(n_rows, seed, dup_rate)
+    n_files = max(1, (n_rows + rows_per_file - 1) // rows_per_file)
+
+    @ray.remote
+    def write_shard(shard: int, lo: int, hi: int,
+                    dups: list[tuple[int, int]]) -> int:
+        rows = [gen_row(i, seed) for i in range(lo, hi)]
+        rows += [gen_row(n_rows + k, seed, dup_of=t, dup_nonce=1)
+                 for k, t in dups]
+        pq.write_table(_rows_to_table(rows),
+                       os.path.join(out_dir, f"part-{shard:05d}.parquet"))
+        return len(rows)
+
+    refs = []
+    for s in range(n_files):
+        lo, hi = s * rows_per_file, min((s + 1) * rows_per_file, n_rows)
+        dups = [(k, t) for k, t in enumerate(dup_targets) if k % n_files == s]
+        refs.append(write_shard.remote(s, lo, hi, dups))
+    ray.get(refs)
+    with open(done, "w") as f:
+        f.write(marker + "\n")
+    return out_dir
 
 
 def write_webtext(out_dir: str, tier: str = "unit", seed: int = SEED,

@@ -31,7 +31,6 @@ distributed query serving (one `QueryActor` per replica).
 
 from __future__ import annotations
 
-import heapq
 import os
 
 import numpy as np
@@ -66,6 +65,7 @@ class InvertedIndex:
         self._urls = np.asarray(dm.column("url").to_pylist(), dtype=object)[order]
         self._term_cache: dict[int, dict] = {}
         self._blob_cache: dict[int, tuple[bytes, bytes]] = {}
+        self._postings_cache: dict[tuple, tuple] = {}  # hot decoded terms
 
     # -- segment access -----------------------------------------------------
     def _part_of(self, term: str) -> int:
@@ -166,75 +166,106 @@ class InvertedIndex:
         np.add.at(acc, inv, scores)
         return self._topk(uniq, acc, k)
 
-    def _search_bmw(self, entries, k: int):
-        """Block-max WAND (Ding & Suel 2011 shape): maintain a top-k
-        threshold; a block of term t is decoded only if the sum of the
-        still-possible per-term block upper bounds reaches the threshold.
+    def _decode_term(self, term: str, df: int, pbytes: bytes,
+                     skips: np.ndarray):
+        """Full decode with a small hot-term cache (production engines
+        cache decoded stopword lists)."""
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            return hit
+        ids, tfs = decode_postings(pbytes, skips.tobytes(), df,
+                                   self.cfg.block_size)
+        out = (ids.astype(np.int64), tfs)
+        if len(self._postings_cache) < 64:
+            self._postings_cache[term] = out
+        return out
 
-        Implemented block-at-a-time over the per-term skip tables: we
-        compute each block's safe upper bound score(max_tf, min_dl),
-        globally order candidate blocks by their docID ranges, and skip
-        any block whose own bound + the other terms' remaining global
-        max bound can't beat the threshold.  Safe (never drops a true
-        top-k doc) because bounds are monotone upper bounds.
+    def _search_bmw(self, entries, k: int):
+        """Block-max top-k: two-phase MaxScore (Turtle & Flood 1995 /
+        PISA shape) driven by the per-block (max_tf, min_doclen) skip
+        bounds — exact scores, rank-identical with ``daat`` and the
+        brute-force oracle, fully vectorized.
+
+        Phase A (essential terms, descending upper bound): decode +
+        score exhaustively, maintaining the running kth-best partial
+        score θ (a valid lower bound of the true kth-best).  Once the
+        remaining terms' summed upper bounds fall strictly below θ, no
+        unseen doc can enter the top-k — the remaining terms are
+        non-essential.
+
+        Phase B (non-essential terms): existing candidates still need
+        their exact contributions, but only blocks that CONTAIN a
+        candidate are decoded (binary search of candidate ids against
+        the skip table's last_doc boundaries); candidates whose partial
+        score + remaining upper bounds fall strictly below θ are dropped
+        before each term, shrinking stopword-list decode to a few
+        blocks.  Strict inequalities keep doc_id-asc tie-breaks exact.
         """
         k1, b = self.cfg.k1, self.cfg.b
-        term_data = []
+        terms = []
         for term, (df, pbytes, skips) in entries:
             idf = self.idf(df)
             max_tf = skips[:, 2].astype(np.float64)
             min_dl = skips[:, 3].astype(np.float64)
-            ub = idf * max_tf * (k1 + 1.0) / (
+            block_ub = idf * max_tf * (k1 + 1.0) / (
                 max_tf + k1 * (1.0 - b + b * min_dl / self.avgdl))
-            term_data.append({
-                "df": df, "idf": idf, "pbytes": pbytes, "skips": skips,
-                "block_ub": ub, "term_ub": float(ub.max()) if ub.size else 0.0,
-            })
-        # accumulate scores sparsely; prune decode at block level
-        scores: dict[int, float] = {}
-        heap: list[float] = []  # top-k running scores (min-heap)
+            ub = float(block_ub.max()) if block_ub.size else 0.0
+            terms.append((ub, term, df, idf, pbytes, skips, block_ub))
+        terms.sort(key=lambda t: (-t[0], t[1]))
+        ubs = np.array([t[0] for t in terms])
+        # suffix_ub[i] = sum of ubs of terms[i:]
+        suffix_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
 
-        # Order terms by descending term upper bound: high-impact terms
-        # first so the threshold rises quickly.
-        term_data.sort(key=lambda d: -d["term_ub"])
-        n_terms = len(term_data)
-        # suffix max-bound: what the remaining terms could still add
-        suffix_ub = np.zeros(n_terms + 1)
-        for i in range(n_terms - 1, -1, -1):
-            suffix_ub[i] = suffix_ub[i + 1] + term_data[i]["term_ub"]
+        cand_ids = np.array([], dtype=np.int64)     # sorted unique
+        cand_scores = np.array([], dtype=np.float64)
+        theta = -np.inf
+        n_ess = len(terms)
+        for i, (ub, term, df, idf, pbytes, skips, block_ub) in enumerate(terms):
+            if suffix_ub[i] < theta:
+                n_ess = i
+                break
+            ids, tfs = self._decode_term(term, df, pbytes, skips)
+            s = self._term_score(tfs, self._doclen_of(ids), idf)
+            merged = np.concatenate([cand_ids, ids])
+            uniq, inv = np.unique(merged, return_inverse=True)
+            acc = np.zeros(uniq.size)
+            np.add.at(acc, inv, np.concatenate([cand_scores, s]))
+            cand_ids, cand_scores = uniq, acc
+            if cand_scores.size >= k:
+                theta = float(np.partition(cand_scores, -k)[-k])
 
-        for ti, td in enumerate(term_data):
-            skips = td["skips"]
-            n_blocks = skips.shape[0]
-            others = suffix_ub[ti + 1]
-            threshold = heap[0] if len(heap) >= k else -np.inf
-            for bi in range(n_blocks):
-                # prune: this block's best + future terms + best already-
-                # accumulated partial in this block's range
-                if td["block_ub"][bi] + others < threshold and not scores:
-                    continue
-                ids, tfs = decode_block(td["pbytes"], skips, bi, td["df"],
-                                        self.cfg.block_size)
-                ids64 = ids.astype(np.int64)
-                # if no accumulated doc falls in this block and the bound
-                # can't beat the threshold, skip scoring entirely
-                if td["block_ub"][bi] + others < threshold:
-                    if not any(int(i) in scores for i in ids64):
-                        continue
-                dls = self._doclen_of(ids64)
-                s = self._term_score(tfs, dls, td["idf"])
-                for d, sc in zip(ids64.tolist(), s.tolist()):
-                    scores[d] = scores.get(d, 0.0) + sc
-                # update running threshold
-                if len(scores) >= k:
-                    top = heapq.nlargest(k, scores.values())
-                    threshold = top[-1] if len(top) == k else -np.inf
-                    heap = top[::-1]
-        if not scores:
-            return []
-        ids = np.fromiter(scores.keys(), dtype=np.int64, count=len(scores))
-        vals = np.fromiter(scores.values(), dtype=np.float64, count=len(scores))
-        return self._topk(ids, vals, k)
+        for j, (ub, term, df, idf, pbytes, skips, block_ub) in enumerate(
+                terms[n_ess:], start=n_ess):
+            # drop candidates that can no longer reach θ (strict);
+            # suffix_ub[j] = this term + all remaining ones
+            keep = cand_scores + suffix_ub[j] >= theta
+            cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
+            if cand_ids.size == 0:
+                break
+            # blocks whose docID range contains a candidate
+            need = np.unique(np.searchsorted(skips[:, 0], cand_ids))
+            need = need[need < skips.shape[0]]
+            if need.size == 0:
+                continue
+            if need.size * 4 >= skips.shape[0]:
+                # candidates touch most blocks: one vectorized full
+                # decode (cached) beats per-block random access
+                ids, tfs = self._decode_term(term, df, pbytes, skips)
+            else:
+                blk_parts = [decode_block(pbytes, skips, int(bi), df,
+                                          self.cfg.block_size) for bi in need]
+                ids = np.concatenate([p[0] for p in blk_parts]).astype(np.int64)
+                tfs = np.concatenate([p[1] for p in blk_parts])
+            pos = np.searchsorted(cand_ids, ids)
+            pos[pos >= cand_ids.size] = cand_ids.size - 1
+            hitmask = cand_ids[pos] == ids
+            if hitmask.any():
+                s = self._term_score(tfs[hitmask],
+                                     self._doclen_of(ids[hitmask]), idf)
+                np.add.at(cand_scores, pos[hitmask], s)
+            if cand_scores.size >= k:
+                theta = float(np.partition(cand_scores, -k)[-k])
+        return self._topk(cand_ids, cand_scores, k)
 
 
 # --------------------------------------------------------------------------
