@@ -20,6 +20,8 @@ from typing import Any
 # testdata text is ASCII so the simple pattern is exact here).
 _TOK = r"regexp_extract_all(lower(text), '[\p{L}\p{N}]+')"
 
+SESSION_GAP_S = 1800  # must match engine.docops.SESSION_GAP_S
+
 _DE = "('der','die','das','und','ist','nicht','mit','ein','eine','für')"
 _EN = "('the','of','and','to','a','in','is','it','that','for')"
 _ES = "('el','la','los','las','y','es','un','una','para','con')"
@@ -67,8 +69,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": d.q_quality,
         "token_counts": d.q_token_counts,
         "fingerprints": d.q_fingerprints,                 # rows-only
-        # windowed aggregate over the events stream table
+        # chunking (M2/M3)
+        "chunks_fixed": d.q_chunks_fixed,
+        "chunks_markdown": d.q_chunks_markdown,           # rows-only
+        # embedding actor pool + rerank + hybrid (A1-A5, RRF)
+        "embed_knn": d.q_embed_knn,                       # rows-only
+        "rerank_topk": d.q_rerank_topk,                   # rows-only
+        "hybrid_rrf": d.q_hybrid_rrf,                     # rows-only
+        # windowed aggregate + sessionization over the events table
         "events_hourly": d.q_events_hourly,
+        "events_sessions": d.q_events_sessions,
     }
 
 
@@ -213,6 +223,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+
+        "chunks_fixed": """
+            WITH n AS (SELECT doc_id, text,
+                              CAST(ceil(length(text) / 200.0) AS INT) AS k
+                       FROM documents WHERE length(text) > 0)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   substr(text, CAST(i * 200 + 1 AS INT), 200) AS chunk,
+                   CAST(length(substr(text, CAST(i * 200 + 1 AS INT), 200))
+                        AS BIGINT) AS n_chars
+            FROM n, unnest(range(k)) AS t(i)""",
+
+        "events_sessions": f"""
+            WITH o AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_S}
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1
+                        AS session_id
+              FROM o)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, session_id""",
         # minhash_candidates / simhash / fingerprints: deterministic
         # SipHash-based sketches, not expressible in ANSI SQL -> driver
         # rows-only check; pytest verifies them against brute force.

@@ -32,10 +32,19 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "100000"))
-WEBTEXT_DIR = os.path.join(
-    os.environ.get("GRAFT_BENCH_SCRATCH", "/tmp/engine_bench"),
-    f"webtext-{BENCH_ROWS}")
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "200000"))
+# --scaling uses a larger input so the fixed costs (actor pools, read
+# planning) don't dominate either leg; at 200k the 32-cpu leg is ~half
+# overhead and the measured efficiency is noise-bound.
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "400000"))
+_SCRATCH = os.environ.get("GRAFT_BENCH_SCRATCH", "/tmp/engine_bench")
+
+
+def _webtext_dir(n_rows: int) -> str:
+    return os.path.join(_SCRATCH, f"webtext-{n_rows}")
+
+
+WEBTEXT_DIR = _webtext_dir(BENCH_ROWS)
 
 # Fixture query set (tests/queries.json) for the latency measurement.
 QUERIES_PATH = os.path.join(REPO, "tests", "queries.json")
@@ -59,22 +68,23 @@ def _init_ray(num_cpus: int) -> None:
 
 def _bench_cfg():
     from engine.config import EngineConfig
-    # Partition counts sized so segments stay ~10-100 MB at bench scale;
-    # at 10^12 docs the same layout runs with num_parts in the thousands.
-    return EngineConfig(num_parts=32, docmeta_parts=8)
+    # Partition counts sized so segments stay ~10-100 MB at bench scale
+    # and the reduce has ~2x CPU-count tasks to even out stopword-part
+    # skew; at 10^12 docs the same layout runs with thousands of parts.
+    return EngineConfig(num_parts=64, docmeta_parts=16)
 
 
-def _ensure_webtext() -> str:
+def _ensure_webtext(n_rows: int = BENCH_ROWS) -> str:
     from engine.fixtures import write_webtext_ray
-    return write_webtext_ray(WEBTEXT_DIR, BENCH_ROWS)
+    return write_webtext_ray(_webtext_dir(n_rows), n_rows)
 
 
-def _run_webtext_build(index_dir: str) -> dict:
+def _run_webtext_build(index_dir: str, n_rows: int = BENCH_ROWS) -> dict:
     """The flagship pipeline: read -> dedup -> extract -> tokenize ->
     groupby(part) shuffle -> compressed segments + manifest."""
     from engine.build import build_index
     t0 = time.perf_counter()
-    manifest = build_index(WEBTEXT_DIR, index_dir, _bench_cfg(),
+    manifest = build_index(_webtext_dir(n_rows), index_dir, _bench_cfg(),
                            mode="webtext", resume=False)
     wall = time.perf_counter() - t0
     n_docs = manifest["stats"]["n_docs"]
@@ -143,12 +153,12 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def run_child_build(num_cpus: int) -> dict:
+def run_child_build(num_cpus: int, n_rows: int) -> dict:
     """Fresh-process leg of the scaling experiment (input pre-generated
     by the parent)."""
     _init_ray(num_cpus)
     idx_dir = tempfile.mkdtemp(prefix=f"bench_scale_{num_cpus}_", dir="/tmp")
-    build = _run_webtext_build(idx_dir)
+    build = _run_webtext_build(idx_dir, n_rows)
     import ray
     ray.shutdown()
     return {"num_cpus": num_cpus, "wall_s": round(build["wall_s"], 3),
@@ -160,7 +170,7 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     # generate the shared input once (parallel, then shut down so the
     # children own fresh sessions)
     _init_ray(cpus_hi)
-    _ensure_webtext()
+    _ensure_webtext(SCALING_ROWS)
     import ray
     ray.shutdown()
 
@@ -170,7 +180,8 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
         env.pop("RAY_ADDRESS", None)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--child-build", "--num-cpus", str(n)],
+             "--child-build", "--num-cpus", str(n),
+             "--rows", str(SCALING_ROWS)],
             capture_output=True, text=True, env=env, cwd=REPO)
         if p.returncode != 0:
             raise RuntimeError(f"child num_cpus={n} failed:\n{p.stderr[-4000:]}")
@@ -198,6 +209,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--child-build", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--sf-dir", default=None)
     args = ap.parse_args()
 
@@ -206,7 +218,7 @@ def main() -> None:
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.child_build:
-        out = run_child_build(num_cpus)
+        out = run_child_build(num_cpus, args.rows or BENCH_ROWS)
     elif args.scaling:
         out = run_scaling(sf_dir)
     else:

@@ -60,23 +60,37 @@ from engine.schema import SHUFFLE
 # dedup (D1: exact dedup by url, keep earliest warc_ts — FIXTURES.md §1)
 # --------------------------------------------------------------------------
 
-def duplicate_losers(keys_ds: "ray.data.Dataset") -> dict[str, int]:
+def duplicate_losers(keys_ds: "ray.data.Dataset",
+                     num_partitions: int = 32,
+                     driver_threshold: int = 2_000_000) -> dict[str, int]:
     """Find urls with >1 row -> {url: winner warc_ts (us)}.
 
-    Input: a Dataset of just (url, warc_ts) — tiny columns, so the
-    groupby shuffles ~20 bytes/row, never the html payload.
+    Input: a Dataset of just (url, warc_ts) — tiny columns, so nothing
+    heavier than ~20 bytes/row ever moves.  Below ``driver_threshold``
+    rows the keys are collected and resolved driver-side (one pandas
+    groupby — the aggregator-pool startup of a distributed groupby costs
+    more than the whole job at this size); above it, a hash-shuffled
+    groupby keyed by url with explicit ``num_partitions``.  The result
+    dict is broadcast either way, so the driver-memory class is the same.
     """
     import pyarrow.compute as pc
-    agg = keys_ds.groupby("url").aggregate(
+    if keys_ds.count() <= driver_threshold:
+        # Arrow-native: block refs fetched zero-copy, one multithreaded
+        # C++ group_by — no pandas conversion on the driver.
+        tab = pa.concat_tables(ray.get(keys_ds.to_arrow_refs()))
+        g = tab.group_by("url").aggregate([("warc_ts", "min"),
+                                           ("warc_ts", "count")])
+        dup = g.filter(pc.greater(g.column("warc_ts_count"), 1))
+        ts_us = dup.column("warc_ts_min").cast(pa.int64()).to_pylist()
+        return dict(zip(dup.column("url").to_pylist(), ts_us))
+    agg = keys_ds.groupby("url", num_partitions=num_partitions).aggregate(
         Min("warc_ts", alias_name="min_ts"), Count(alias_name="n")
     )
     dup = agg.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)),
-                          batch_format="pyarrow")
-    out: dict[str, int] = {}
-    for row in dup.iter_rows():
-        # normalize to integer microseconds to match the filter's cast
-        out[row["url"]] = int(pd.Timestamp(row["min_ts"]).value // 1000)
-    return out
+                          batch_format="pyarrow").to_pandas()
+    ts_us = (dup["min_ts"].astype("datetime64[us]").astype(np.int64)
+             if len(dup) else [])
+    return dict(zip(dup["url"].tolist(), (int(t) for t in ts_us)))
 
 
 def make_dedup_filter(losers: dict[str, int]):
@@ -114,48 +128,66 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
         texts = batch.column("text").to_pylist()
         tf = count_terms(texts, doc_ids, cfg.cjk_unigrams)
 
-        parts, terms, d_ids, tfs_l, dls_l, urls_l = [], [], [], [], [], []
-
-        # postings partial rows: one per distinct term in the batch
+        tables = []
+        # postings partial rows: one per distinct term in the batch,
+        # posting entries packed as Arrow lists built straight from
+        # sort-order offsets (no per-term Python loop).
         if len(tf):
-            g = tf.groupby("term", sort=False)
-            agg = g.agg(doc_ids=("doc_id", list), tfs=("tf", list),
-                        doclens=("doclen", list))
-            term_arr = agg.index.to_numpy(dtype=object)
-            part_arr = (stable_hash64(term_arr) % np.uint64(P)).astype(np.int32)
-            for t, p, di, tfv, dlv in zip(term_arr, part_arr,
-                                          agg["doc_ids"], agg["tfs"], agg["doclens"]):
-                if int(p) in done_postings:
-                    continue  # resume: part already committed
-                parts.append(int(p)); terms.append(t)
-                d_ids.append(di); tfs_l.append(tfv); dls_l.append(dlv)
-                urls_l.append(None)
+            codes, uniq_terms = pd.factorize(
+                tf["term"].to_numpy(dtype=object), sort=True)
+            order = np.lexsort((tf["doc_id"].to_numpy(), codes))
+            c_s = codes[order]
+            d_s = tf["doc_id"].to_numpy()[order]
+            tf_s = tf["tf"].to_numpy()[order].astype(np.int32)
+            dl_s = tf["doclen"].to_numpy()[order].astype(np.int32)
+            starts = np.flatnonzero(
+                np.concatenate(([True], c_s[1:] != c_s[:-1])))
+            offsets = np.concatenate((starts, [c_s.size])).astype(np.int64)
+            uniq_obj = np.asarray(uniq_terms, dtype=object)
+            part_arr = (stable_hash64(uniq_obj)
+                        % np.uint64(P)).astype(np.int32)
+            t_post = pa.table({
+                "part": pa.array(part_arr),
+                "term": pa.array(uniq_obj, pa.large_string()),
+                "doc_ids": pa.LargeListArray.from_arrays(
+                    offsets, pa.array(d_s.astype(np.int64))),
+                "tfs": pa.LargeListArray.from_arrays(offsets, pa.array(tf_s)),
+                "doclens": pa.LargeListArray.from_arrays(
+                    offsets, pa.array(dl_s)),
+                "url": pa.nulls(uniq_obj.size, pa.large_string()),
+            }, schema=SHUFFLE)
+            if done_postings:  # resume: drop already-committed parts
+                keep = ~np.isin(part_arr,
+                                np.fromiter(done_postings, dtype=np.int32))
+                t_post = t_post.filter(pa.array(keep))
+            tables.append(t_post)
 
         # docmeta rows: one per doc (doclen; empty docs get doclen 0)
-        doclens = np.zeros(len(doc_ids), dtype=np.int64)
+        doclens = np.zeros(len(doc_ids), dtype=np.int32)
         if len(tf):
             per_doc = tf.groupby("doc_id", sort=False)["doclen"].first()
-            idx = pd.Series(doclens, index=doc_ids)
-            common = per_doc.reindex(idx.index).fillna(0).to_numpy()
-            doclens = common.astype(np.int64)
-        dparts = (doc_ids % D) + P
-        for did, u, dl, dp in zip(doc_ids, urls, doclens, dparts):
-            if int(dp) - P in done_docmeta:
-                continue
-            parts.append(int(dp)); terms.append(None)
-            d_ids.append([int(did)]); tfs_l.append([0])
-            dls_l.append([int(dl)]); urls_l.append(u)
-
-        return pa.table({
-            "part": pa.array(parts, pa.int32()),
-            "term": pa.array(terms, pa.large_string()),
-            "doc_ids": pa.array(d_ids, pa.large_list(pa.int64())),
-            "tfs": pa.array([[int(x) for x in v] for v in tfs_l],
-                            pa.large_list(pa.int32())),
-            "doclens": pa.array([[int(x) for x in v] for v in dls_l],
-                                pa.large_list(pa.int32())),
-            "url": pa.array(urls_l, pa.large_string()),
+            doclens = (per_doc.reindex(pd.Index(doc_ids)).fillna(0)
+                       .to_numpy().astype(np.int32))
+        dparts = ((doc_ids % D) + P).astype(np.int32)
+        n = len(doc_ids)
+        unit_off = np.arange(n + 1, dtype=np.int64)
+        t_meta = pa.table({
+            "part": pa.array(dparts),
+            "term": pa.nulls(n, pa.large_string()),
+            "doc_ids": pa.LargeListArray.from_arrays(
+                unit_off, pa.array(doc_ids.astype(np.int64))),
+            "tfs": pa.LargeListArray.from_arrays(
+                unit_off, pa.array(np.zeros(n, np.int32))),
+            "doclens": pa.LargeListArray.from_arrays(
+                unit_off, pa.array(doclens)),
+            "url": pa.array(urls.tolist(), pa.large_string()),
         }, schema=SHUFFLE)
+        if done_docmeta:
+            keep = ~np.isin(dparts - np.int32(P),
+                            np.fromiter(done_docmeta, dtype=np.int32))
+            t_meta = t_meta.filter(pa.array(keep))
+        tables.append(t_meta)
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     return tokenize_partial
 
@@ -173,8 +205,8 @@ def make_part_writer(index_dir: str, cfg: EngineConfig,
     resume test (FIXTURES.md §5 injected failure)."""
     P = cfg.num_parts
 
-    def write_part(g: pd.DataFrame) -> pd.DataFrame:
-        part = int(g["part"].iloc[0])
+    def write_part(g: pa.Table) -> pa.Table:
+        part = int(g.column("part")[0].as_py())
         if part in fail_parts:
             raise RuntimeError(f"injected failure for part {part}")
         with Timer() as t:
@@ -183,18 +215,27 @@ def make_part_writer(index_dir: str, cfg: EngineConfig,
             else:
                 m = _write_postings(g, part)
         m.wall_s = t.wall_s
-        return pd.DataFrame([{
-            "part": part, "kind": m.kind, "n_terms": m.n_terms,
-            "n_postings": m.n_postings, "n_docs": m.n_docs,
-            "sum_doclen": m.sum_doclen, "checksum": m.checksum,
-        }])
+        return pa.table({
+            "part": [part], "kind": [m.kind], "n_terms": [m.n_terms],
+            "n_postings": [m.n_postings], "n_docs": [m.n_docs],
+            "sum_doclen": [m.sum_doclen], "checksum": [m.checksum],
+        })
 
-    def _write_docmeta(g: pd.DataFrame, dpart: int) -> PartMetrics:
-        doc_ids = np.fromiter((v[0] for v in g["doc_ids"]), dtype=np.int64,
-                              count=len(g))
-        doclens = np.fromiter((v[0] for v in g["doclens"]), dtype=np.int32,
-                              count=len(g))
-        urls = g["url"].to_numpy(dtype=object)
+    def _flat(g: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+        """large_list column -> (flat values, per-row counts), zero-copy."""
+        arr = g.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        counts = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        return flat, counts
+
+    def _write_docmeta(g: pa.Table, dpart: int) -> PartMetrics:
+        doc_ids, _ = _flat(g, "doc_ids")
+        doclens, _ = _flat(g, "doclens")
+        doc_ids = doc_ids.astype(np.int64)
+        doclens = doclens.astype(np.int32)
+        urls = np.asarray(g.column("url").to_pylist(), dtype=object)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, doclens, urls = doc_ids[order], doclens[order], urls[order]
         # a doc appears exactly once (dedup upstream); tolerate re-runs
@@ -209,42 +250,46 @@ def make_part_writer(index_dir: str, cfg: EngineConfig,
         index_io.write_docmeta_part(index_dir, dpart, table, m)
         return m
 
-    def _write_postings(g: pd.DataFrame, part: int) -> PartMetrics:
-        # merge: per term, concat partial lists -> docID-sort -> encode
-        order = np.argsort(g["term"].to_numpy(dtype=object), kind="stable")
-        g = g.iloc[order]
-        terms_out, dfs, cfs = [], [], []
-        offs, lens, soffs, slens = [], [], [], []
+    def _write_postings(g: pa.Table, part: int) -> PartMetrics:
+        # vectorized merge: explode every partial list (zero-copy), one
+        # global lexsort by (term, doc_id), then per-term slices encode.
+        terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+        id_flat, counts = _flat(g, "doc_ids")
+        tf_flat, _ = _flat(g, "tfs")
+        dl_flat, _ = _flat(g, "doclens")
+        codes, uniq_terms = pd.factorize(terms, sort=True)
+        rep = np.repeat(codes, counts)
+        order = np.lexsort((id_flat, rep))
+        c_s = rep[order]
+        d_s = id_flat[order].astype(np.int64)
+        t_s = tf_flat[order].astype(np.int64)
+        l_s = dl_flat[order].astype(np.int64)
+        # collapse duplicate (term, doc) runs: sum tfs, keep first doclen
+        # (only possible on dirty input; tolerated for idempotent re-runs)
+        new_run = np.concatenate(
+            ([True], (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])))
+        if not new_run.all():
+            starts_r = np.flatnonzero(new_run)
+            t_s = np.add.reduceat(t_s, starts_r)
+            c_s, d_s, l_s = c_s[starts_r], d_s[starts_r], l_s[starts_r]
+
+        tstarts = np.flatnonzero(
+            np.concatenate(([True], c_s[1:] != c_s[:-1])))
+        tends = np.concatenate((tstarts[1:], [c_s.size]))
+        terms_out = [str(uniq_terms[c]) for c in c_s[tstarts]]
+        dfs = (tends - tstarts).tolist()
+        offs, lens, soffs, slens, cfs = [], [], [], [], []
         post_blobs, skip_blobs = [], []
         post_off = skip_off = 0
-        n_postings = 0
-        for term, grp in g.groupby("term", sort=True):
-            ids = np.concatenate([np.asarray(v, dtype=np.int64)
-                                  for v in grp["doc_ids"]])
-            tfs = np.concatenate([np.asarray(v, dtype=np.int64)
-                                  for v in grp["tfs"]])
-            dls = np.concatenate([np.asarray(v, dtype=np.int64)
-                                  for v in grp["doclens"]])
-            o = np.argsort(ids, kind="stable")
-            ids, tfs, dls = ids[o], tfs[o], dls[o]
-            if ids.size > 1 and (np.diff(ids) == 0).any():
-                # same doc contributed twice (only possible on dirty
-                # input); merge tfs, keep first doclen
-                uniq_ids, inv = np.unique(ids, return_inverse=True)
-                tfs = np.bincount(inv, weights=tfs).astype(np.int64)
-                first = np.full(uniq_ids.size, ids.size, dtype=np.int64)
-                np.minimum.at(first, inv, np.arange(ids.size))
-                dls = dls[first]
-                ids = uniq_ids
-            pb, sb = encode_postings(ids, tfs, dls, cfg.block_size)
-            terms_out.append(term)
-            dfs.append(ids.size)
-            cfs.append(int(tfs.sum()))
+        n_postings = int(c_s.size)
+        for lo, hi in zip(tstarts, tends):
+            pb, sb = encode_postings(d_s[lo:hi], t_s[lo:hi], l_s[lo:hi],
+                                     cfg.block_size)
+            cfs.append(int(t_s[lo:hi].sum()))
             offs.append(post_off); lens.append(len(pb))
             soffs.append(skip_off); slens.append(len(sb))
             post_off += len(pb); skip_off += len(sb)
             post_blobs.append(pb); skip_blobs.append(sb)
-            n_postings += ids.size
         postings_blob = b"".join(post_blobs)
         skips_blob = b"".join(skip_blobs)
         terms_table = pa.table({
@@ -299,41 +344,81 @@ def build_index(
                else "<dataset>", "mode": mode}
 
     if not all_done:
-        if mode == "webtext":
-            if isinstance(source, ray.data.Dataset):
-                ds = source
-                keys = source.select_columns(["url", "warc_ts"])
+        # The build's one exchange is a hash shuffle on the int ``part``
+        # key (term-partition id), sized to the index layout — not the
+        # 200-partition sort-shuffle default, whose reduce serializes on
+        # small key cardinality.  Strategy is restored after execution.
+        from ray.data.context import DataContext, ShuffleStrategy
+        ctx = DataContext.get_current()
+        num_partitions = cfg.num_parts + cfg.docmeta_parts
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        prev = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+                ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+                ctx.min_hash_shuffle_aggregator_wait_time_in_s)
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # Size the aggregator actor pool to the session: ~half the CPUs
+        # worth of aggregators, each actor budgeted ~0.5 CPU (they only
+        # collect/concat partition blocks; the heavy merge runs in
+        # write_part map tasks).  The override is per PARTITION, so it
+        # is derived from the largest partition count any groupby in
+        # this build uses — an oversized pool deadlocks small sessions
+        # (aggregators wait forever for CPUs the map tasks hold).
+        dedup_eff = min(cfg.dedup_partitions, max(4, n_cpus * 2))
+        max_parts = max(num_partitions, dedup_eff)
+        n_aggr = max(2, min(max_parts, n_cpus // 2))
+        ppa = -(-max_parts // n_aggr)  # partitions per aggregator, ceil
+        cpu_override = 0.5 / ppa
+        ctx.max_hash_shuffle_aggregators = n_aggr
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = cpu_override
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = cpu_override
+        ctx.min_hash_shuffle_aggregator_wait_time_in_s = 30
+        try:
+            if mode == "webtext":
+                if isinstance(source, ray.data.Dataset):
+                    ds = source
+                    keys = source.select_columns(["url", "warc_ts"])
+                else:
+                    ds = ray.data.read_parquet(
+                        source, columns=["url", "warc_ts", "html"])
+                    keys = ray.data.read_parquet(
+                        source, columns=["url", "warc_ts"])
+                losers = duplicate_losers(keys, dedup_eff)
+                ds = ds.map_batches(make_dedup_filter(losers),
+                                    batch_format="pyarrow")
+                ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                                    batch_size=cfg.extract_batch_size)
+                with_url = True
+            elif mode == "docs":
+                if isinstance(source, ray.data.Dataset):
+                    ds = source
+                else:
+                    ds = ray.data.read_parquet(source,
+                                               columns=["doc_id", "text"])
+                with_url = False
             else:
-                ds = ray.data.read_parquet(source,
-                                           columns=["url", "warc_ts", "html"])
-                keys = ray.data.read_parquet(source, columns=["url", "warc_ts"])
-            losers = duplicate_losers(keys)
-            ds = ds.map_batches(make_dedup_filter(losers),
-                                batch_format="pyarrow")
-            ds = ds.map_batches(extract_batch, batch_format="pyarrow",
-                                batch_size=cfg.extract_batch_size)
-            with_url = True
-        elif mode == "docs":
-            if isinstance(source, ray.data.Dataset):
-                ds = source
-            else:
-                ds = ray.data.read_parquet(source, columns=["doc_id", "text"])
-            with_url = False
-        else:
-            raise ValueError(f"unknown mode {mode!r}")
+                raise ValueError(f"unknown mode {mode!r}")
 
-        shuffle_payload = ds.map_batches(
-            make_tokenize_partial(cfg, done_postings, done_docmeta, with_url),
-            batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
-        )
-        writer = make_part_writer(index_dir, cfg, lineage,
-                                  frozenset(fail_parts))
-        metrics_rows = (
-            shuffle_payload.groupby("part")
-            .map_groups(writer, batch_format="pandas")
-            .take_all()
-        )
-        lineage["n_parts_written"] = len(metrics_rows)
+            shuffle_payload = ds.map_batches(
+                make_tokenize_partial(cfg, done_postings, done_docmeta,
+                                      with_url),
+                batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
+            )
+            writer = make_part_writer(index_dir, cfg, lineage,
+                                      frozenset(fail_parts))
+            metrics_rows = (
+                shuffle_payload
+                .groupby("part",
+                         num_partitions=cfg.num_parts + cfg.docmeta_parts)
+                .map_groups(writer, batch_format="pyarrow")
+                .take_all()
+            )
+            lineage["n_parts_written"] = len(metrics_rows)
+        finally:
+            (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
+             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+             ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+             ctx.min_hash_shuffle_aggregator_wait_time_in_s) = prev
 
     lineage["wall_s"] = round(time.perf_counter() - t0, 3)
     return index_io.finalize(index_dir, cfg, lineage)

@@ -33,6 +33,9 @@ class EngineConfig:
     # skip metadata (block-max WAND granularity).
     block_size: int = 128
 
+    # Partitions for the small dedup-key groupby (url, warc_ts only).
+    dedup_partitions: int = 32
+
     # --- build-stage knobs ---
     # Rows per map_batches batch in the extract/tokenize stages.  html
     # payloads can be MBs, so this is a row cap; Ray's block sizing

@@ -215,6 +215,83 @@ def q_fingerprints(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+# --- chunking (reference M2/M3) ---------------------------------------------
+
+def q_chunks_fixed(sf_dir: str):
+    """Fixed-window chunking (SQL-parity variant), chunk_size=200."""
+    from engine.chunk import chunk_documents
+    return chunk_documents(documents_ds(sf_dir), chunk_size=200,
+                           mode="fixed")
+
+
+def q_chunks_markdown(sf_dir: str):
+    """Structure-aware greedy chunker (pinned reference-shaped spec);
+    rows-only driver check, pytest-verified lossless/budget properties."""
+    from engine.chunk import chunk_documents
+    return chunk_documents(documents_ds(sf_dir), chunk_size=200,
+                           mode="markdown")
+
+
+# --- embedding / rerank / hybrid (reference A1-A5, hybridsearch RRF) --------
+
+EMBED_DIM = 64
+
+
+def _doc_embeddings(sf_dir: str):
+    from engine.embed import embed_documents
+    return embed_documents(documents_ds(sf_dir), dim=EMBED_DIM,
+                           concurrency=2, batch_size=256)
+
+
+def q_embed_knn(sf_dir: str) -> pd.DataFrame:
+    """Text-query kNN over actor-pool hashing embeddings of documents
+    -> (doc_id, cos) top 10.  Deterministic; pytest-verified vs brute
+    force (not SQL-expressible -> rows-only driver check)."""
+    from engine.embed import HashingEmbedder
+    q = HashingEmbedder(dim=EMBED_DIM).embed_texts([BM25_QUERY])[0]
+    out = sim_ops.knn_cosine(_doc_embeddings(sf_dir), q[None, :], [-1],
+                             k=10, id_col="doc_id", vec_col="embedding")
+    return pd.DataFrame({"doc_id": out["vec_id"].astype(np.int64),
+                         "cos": out["cos"]})
+
+
+def q_rerank_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-20 candidates re-scored by the actor-shaped cross-scorer
+    (reference reranker semantics: sigmoid score, desc sort, 1-based
+    rank, /root/reference/rust/src/reranker/model.rs:239,253-268)."""
+    import pyarrow.parquet as pq
+    from engine.embed import Reranker
+    idx = docs_index(sf_dir)
+    hits = idx.search(BM25_QUERY, k=20, method="bmw")
+    ids = [d for d, _ in hits]
+    tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    texts = dict(zip(tab.column("doc_id").to_pylist(),
+                     tab.column("text").to_pylist()))
+    ranked = Reranker(dim=EMBED_DIM).rerank(
+        BM25_QUERY, [(d, texts[d]) for d in ids])
+    return pd.DataFrame({
+        "rank": pd.Series([r for r, _, _ in ranked], dtype=np.int64),
+        "doc_id": pd.Series([d for _, d, _ in ranked], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, _, s in ranked],
+                           dtype=np.float64),
+    })
+
+
+def q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval: RRF fusion of BM25 top-k and embedding-kNN
+    top-k (reference /root/reference/examples/hybridsearch.py:64-77)."""
+    from engine.embed import rrf_fuse
+    bm25_ids = [d for d, _ in docs_index(sf_dir).search(BM25_QUERY, k=10)]
+    knn_ids = q_embed_knn(sf_dir)["doc_id"].tolist()
+    fused = rrf_fuse([bm25_ids, knn_ids], k=10)
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in fused], dtype=np.int64),
+        "rrf_score": pd.Series([round(s, 6) for _, s in fused],
+                               dtype=np.float64),
+    })
+
+
 # --- windowed aggregate over the events stream table ------------------------
 
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
@@ -241,3 +318,35 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     agg["n_events"] = agg["n_events"].astype(np.int64)
     agg["sum_value"] = agg["sum_value"].round(6)
     return agg.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+SESSION_GAP_S = 1800
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization: per user, a new session starts when the
+    gap to the previous event exceeds 30 min.  The streaming-window
+    extension op (the reference has no windows, SURVEY.md §2.9); the
+    partitioning key is user_id so each session is computed wholly
+    inside one group — the scale assumption a sessionizer needs."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value",
+                                        "event_id"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        sid = ((gap.isna()) | (gap > SESSION_GAP_S)).cumsum() - 1
+        out = g.groupby(sid.to_numpy()).agg(
+            n_events=("value", "size"), start_ts=("ts", "min"),
+            end_ts=("ts", "max"), sum_value=("value", "sum"))
+        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
+        out.insert(1, "session_id", out.index.astype(np.int64))
+        return out.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(
+        sess, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)

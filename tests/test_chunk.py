@@ -1,0 +1,99 @@
+"""Chunker spec tests (engine/chunk.py pinned spec).
+
+Mirrors the reference's chunk-count golden style
+(/root/reference/processors/src/pdf/pdf_processor.rs:104-123 asserts
+4,271 chunks at chunk_size=128) with property tests: losslessness,
+budget, explode row counts.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.chunk import (split_markdown, split_fixed, chunk_documents,
+                          make_chunk_batch)
+from engine.fixtures import gen_row
+
+
+def _fixture_texts(n=40):
+    return [gen_row(i)["text"] for i in range(n)]
+
+
+def test_lossless_no_overlap():
+    for t in _fixture_texts():
+        for size in (64, 128, 1000):
+            chunks = split_markdown(t, size)
+            assert "".join(chunks) == t
+            assert all(chunks)
+
+
+def test_budget_respected():
+    for t in _fixture_texts(20):
+        for size in (50, 200):
+            for c in split_markdown(t, size):
+                assert len(c) <= size
+
+
+def test_oversize_paragraph_recurses():
+    text = "word " * 500  # single huge 'paragraph', no \n\n
+    chunks = split_markdown(text.strip(), 100)
+    assert all(len(c) <= 100 for c in chunks)
+    assert "".join(chunks) == text.strip()
+
+
+def test_unsplittable_run_falls_to_chars():
+    text = "x" * 350
+    chunks = split_markdown(text, 100)
+    assert chunks == ["x" * 100] * 3 + ["x" * 50]
+
+
+def test_overlap_prefixes():
+    t = "aaaa\n\nbbbb\n\ncccc\n\ndddd"
+    base = split_markdown(t, 8)
+    ov = split_markdown(t, 8, overlap=3)
+    assert len(ov) == len(base)
+    assert ov[0] == base[0]
+    for prev, got, b in zip(base, ov[1:], base[1:]):
+        assert got == prev[-3:] + b
+
+
+def test_fixed_windows():
+    assert split_fixed("abcdefghij", 4) == ["abcd", "efgh", "ij"]
+    assert split_fixed("abcdefghij", 4, overlap=2) == [
+        "abcd", "cdef", "efgh", "ghij", "ij"]
+    assert split_fixed("", 4) == []
+
+
+def test_degenerate_params():
+    with pytest.raises(ValueError):
+        split_markdown("x", 0)
+    with pytest.raises(ValueError):
+        split_markdown("x", 4, overlap=4)
+    with pytest.raises(ValueError):
+        split_fixed("x", 4, overlap=4)
+
+
+def test_chunk_batch_explodes():
+    batch = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["abcdefgh", ""], pa.string()),
+    })
+    out = make_chunk_batch(chunk_size=3, mode="fixed")(batch)
+    assert out.column("doc_id").to_pylist() == [7, 7, 7]
+    assert out.column("chunk_id").to_pylist() == [0, 1, 2]
+    assert out.column("chunk").to_pylist() == ["abc", "def", "gh"]
+    assert out.column("n_chars").to_pylist() == [3, 3, 2]
+
+
+def test_chunk_documents_dataset(ray_session):
+    import ray.data
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = chunk_documents(ds, chunk_size=100, mode="markdown").to_pandas()
+    docs = ds.to_pandas()
+    # every doc with text produced >= 1 chunk; reassembly matches
+    joined = out.sort_values(["doc_id", "chunk_id"]).groupby("doc_id")[
+        "chunk"].agg("".join)
+    for _, row in docs.iterrows():
+        if row["text"]:
+            assert joined[row["doc_id"]] == row["text"]

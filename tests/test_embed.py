@@ -1,0 +1,73 @@
+"""Embedding actor-pool stage + reranker + RRF (engine/embed.py).
+
+Mirrors the reference's embedding tests: dimension assertion
+(/root/reference/tests/model_tests/test_bert.py:29-40 asserts dim 384)
+and deterministic golden values
+(/root/reference/rust/src/embeddings/local/bert.rs:407-419).
+"""
+
+import numpy as np
+import pytest
+
+from engine.embed import HashingEmbedder, Reranker, embed_documents, rrf_fuse
+
+
+def test_deterministic_and_normalized():
+    e = HashingEmbedder(dim=32)
+    v1 = e.embed_texts(["hash join table", "", "the the the"])
+    v2 = HashingEmbedder(dim=32).embed_texts(["hash join table", "",
+                                              "the the the"])
+    assert np.array_equal(v1, v2)
+    assert v1.shape == (3, 32)
+    assert np.linalg.norm(v1[0]) == pytest.approx(1.0)
+    assert np.linalg.norm(v1[1]) == 0.0  # empty doc -> zero vector
+    assert np.linalg.norm(v1[2]) == pytest.approx(1.0)
+
+
+def test_cosine_reflects_overlap():
+    e = HashingEmbedder(dim=64)
+    v = e.embed_texts(["alpha beta gamma", "alpha beta gamma",
+                       "delta epsilon zeta"])
+    assert v[0] @ v[1] == pytest.approx(1.0)
+    assert abs(v[0] @ v[2]) < 0.9  # disjoint tokens: far from identical
+
+
+def test_embed_documents_actor_pool(ray_session):
+    import ray.data
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = embed_documents(ds, dim=16, concurrency=2, batch_size=128)
+    tab = out.to_pandas()
+    assert len(tab) == ds.count()
+    assert all(len(v) == 16 for v in tab["embedding"])
+    # stable across runs (determinism at any parallelism)
+    tab2 = embed_documents(ds, dim=16, concurrency=2).to_pandas()
+    a = tab.sort_values("doc_id")["embedding"].to_list()
+    b = tab2.sort_values("doc_id")["embedding"].to_list()
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_reranker_rank_semantics():
+    r = Reranker(dim=64)
+    docs = [(5, "hash join table query"), (2, "unrelated words entirely"),
+            (9, "hash join table query")]
+    ranked = r.rerank("hash join", docs)
+    assert [x[0] for x in ranked] == [1, 2, 3]       # 1-based ranks
+    assert ranked[0][2] >= ranked[-1][2]             # desc scores
+    # identical texts tie -> doc_id asc
+    ids_of_ties = [d for _, d, s in ranked if s == ranked[0][2]]
+    assert ids_of_ties == sorted(ids_of_ties)
+    assert all(0.0 < s < 1.0 for _, _, s in ranked)  # sigmoid range
+    assert r.rerank("q", []) == []
+
+
+def test_rrf_fuse():
+    fused = rrf_fuse([[1, 2, 3], [3, 2, 4]], k=4, rrf_k=60)
+    scores = dict(fused)
+    assert scores[2] == pytest.approx(1 / 62 + 1 / 62)
+    assert scores[3] == pytest.approx(1 / 63 + 1 / 61)
+    assert scores[1] == pytest.approx(1 / 61)
+    assert scores[4] == pytest.approx(1 / 63)
+    # 2 and 3 tie exactly? 1/62+1/62 vs 1/63+1/61 -> not equal; order by score
+    assert [d for d, _ in fused] == sorted(
+        scores, key=lambda d: (-scores[d], d))

@@ -1,0 +1,85 @@
+"""File-corpus source dispatch + anti-join, and the query-actor service.
+
+Reference behaviors mirrored: extension filter + unsupported-type error
+(/root/reference/rust/src/lib.rs:1199-1234 UnsupportedFileType;
+tests/model_tests/test_bert.py:115-121 asserts ValueError), incremental
+anti-join (/root/reference/rust/src/file_loader.rs:118-126 +
+file-discovery tests 129-285), adapter/serving contract
+(/root/reference/tests/model_tests/test_adapter.py:5-27).
+"""
+
+import os
+
+import pytest
+
+from engine.sources import read_text_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    (d / "a.html").write_text(
+        "<!DOCTYPE html><html><head><title>t</title></head><body>"
+        "<h1>Title here</h1>\n<p>Body <strong>text</strong>.</p></body></html>")
+    (d / "b.txt").write_text("plain text body")
+    (d / "c.md").write_text("# heading\n\nmd body")
+    (d / "d.pdf").write_bytes(b"%PDF-1.4 not supported")
+    (d / "bad.txt").write_bytes(b"\xff\xfeinvalid \xff utf8")
+    sub = d / "sub"
+    sub.mkdir()
+    (sub / "e.txt").write_text("nested file")
+    return str(d)
+
+
+def test_extension_dispatch(ray_session, corpus_dir):
+    out = read_text_corpus(corpus_dir).to_pandas()
+    by_name = {os.path.basename(r["url"]): r for _, r in out.iterrows()}
+    # .pdf excluded by the extension filter at the read (reference S1)
+    assert "d.pdf" not in by_name
+    assert by_name["a.html"]["text"] == "# Title here\n\nBody **text**."
+    assert by_name["a.html"]["error"] == ""
+    assert by_name["b.txt"]["text"] == "plain text body"
+    assert by_name["c.md"]["text"].startswith("# heading")
+    assert by_name["e.txt"]["text"] == "nested file"  # recursive walk
+    # lossy decode, never an exception (processor.rs:18 semantics)
+    assert "invalid" in by_name["bad.txt"]["text"]
+    assert by_name["bad.txt"]["error"] == ""
+
+
+def test_unsupported_extension_errors(ray_session, corpus_dir):
+    out = read_text_corpus(corpus_dir, extensions=("txt", "pdf")).to_pandas()
+    by_name = {os.path.basename(r["url"]): r for _, r in out.iterrows()}
+    assert by_name["d.pdf"]["text"] == ""
+    assert "unsupported" in by_name["d.pdf"]["error"]
+
+
+def test_incremental_anti_join(ray_session, corpus_dir):
+    full = read_text_corpus(corpus_dir).to_pandas()
+    done = {u for u in full["url"] if u.endswith(".html")}
+    rest = read_text_corpus(corpus_dir, indexed_urls=done).to_pandas()
+    assert set(rest["url"]) == set(full["url"]) - done
+
+
+def test_query_service(ray_session, e2e_webtext, tmp_path_factory):
+    import json
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.query import InvertedIndex
+    from engine.serve import QueryService
+
+    idx_dir = str(tmp_path_factory.mktemp("sidx") / "index")
+    build_index(e2e_webtext, idx_dir, EngineConfig(num_parts=8,
+                                                   docmeta_parts=3))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "queries.json")) as f:
+        queries = json.load(f)
+
+    svc = QueryService(idx_dir, replicas=2)
+    try:
+        local = InvertedIndex(idx_dir)
+        got = svc.search_many(queries, k=10)
+        for q, hits in zip(queries, got):
+            assert hits == local.search(q, k=10)
+        assert svc.search(queries[0], k=5) == local.search(queries[0], k=5)
+    finally:
+        svc.shutdown()
