@@ -69,9 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": d.q_quality,
         "token_counts": d.q_token_counts,
         "fingerprints": d.q_fingerprints,                 # rows-only
-        # chunking (M2/M3)
+        # chunking (M2/M3 + A7 semantic)
         "chunks_fixed": d.q_chunks_fixed,
         "chunks_markdown": d.q_chunks_markdown,           # rows-only
+        "chunks_semantic": d.q_chunks_semantic,           # rows-only
         # embedding actor pool + rerank + hybrid (A1-A5, RRF)
         "embed_knn": d.q_embed_knn,                       # rows-only
         "rerank_topk": d.q_rerank_topk,                   # rows-only

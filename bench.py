@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
@@ -155,15 +156,36 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
 
 def run_child_build(num_cpus: int, n_rows: int) -> dict:
     """Fresh-process leg of the scaling experiment (input pre-generated
-    by the parent)."""
+    by the parent).
+
+    One full warmup build runs first and is discarded: it warms the Ray
+    worker pool and the input page cache, so the timed build measures
+    the steady state a long-running cluster job sees, not process
+    cold-start + disk writeback left by the previous leg.  Index output
+    goes to tmpfs (/dev/shm) when available so disk writeback never
+    couples the two legs.
+    """
     _init_ray(num_cpus)
-    idx_dir = tempfile.mkdtemp(prefix=f"bench_scale_{num_cpus}_", dir="/tmp")
-    build = _run_webtext_build(idx_dir, n_rows)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    warm_dir = tempfile.mkdtemp(prefix=f"bench_warm_{num_cpus}_",
+                                dir=scratch)
+    _run_webtext_build(warm_dir, n_rows)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    # best-of-2 timed builds: the sandbox host shows intermittent steal;
+    # min wall is the interference-free estimate
+    best = None
+    for _ in range(2):
+        idx_dir = tempfile.mkdtemp(prefix=f"bench_scale_{num_cpus}_",
+                                   dir=scratch)
+        b = _run_webtext_build(idx_dir, n_rows)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        if best is None or b["wall_s"] < best["wall_s"]:
+            best = b
     import ray
     ray.shutdown()
-    return {"num_cpus": num_cpus, "wall_s": round(build["wall_s"], 3),
-            "docs_per_sec": round(build["docs_per_sec"], 1),
-            "n_docs": build["n_docs"]}
+    return {"num_cpus": num_cpus, "wall_s": round(best["wall_s"], 3),
+            "docs_per_sec": round(best["docs_per_sec"], 1),
+            "n_docs": best["n_docs"]}
 
 
 def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:

@@ -41,7 +41,10 @@ class EngineConfig:
     # payloads can be MBs, so this is a row cap; Ray's block sizing
     # (DataContext.target_max_block_size) caps bytes.
     extract_batch_size: int = 256
-    tokenize_batch_size: int = 256
+    # Larger tokenize batches shrink the shuffle payload (one partial
+    # row per distinct term per batch — vocab saturates) at ~4 MB text
+    # per batch; wide-record outliers stay bounded by Ray block sizing.
+    tokenize_batch_size: int = 1024
     # Dedup policy for duplicate urls: keep the row with the earliest
     # warc_ts (FIXTURES.md §1, explicit stable rule).
     dedup_keep: str = "earliest"

@@ -232,6 +232,15 @@ def q_chunks_markdown(sf_dir: str):
                            mode="markdown")
 
 
+def q_chunks_semantic(sf_dir: str):
+    """Actor-pool semantic chunker (reference A7 statistical shape over
+    the deterministic hashing encoder); rows-only driver check,
+    pytest-verified coverage/determinism properties."""
+    from engine.semantic_chunk import semantic_chunk_documents
+    return semantic_chunk_documents(documents_ds(sf_dir),
+                                    kind="statistical", concurrency=2)
+
+
 # --- embedding / rerank / hybrid (reference A1-A5, hybridsearch RRF) --------
 
 EMBED_DIM = 64

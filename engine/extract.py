@@ -28,6 +28,11 @@ _HEAD_RE = re.compile(r"<head>.*?</head>", re.S | re.I)
 _SCRIPT_RE = re.compile(r"<script[^>]*>.*?</script>", re.S | re.I)
 _STYLE_RE = re.compile(r"<style[^>]*>.*?</style>", re.S | re.I)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+# one alternation pass strips all four non-content regions (order of
+# alternatives irrelevant: regions cannot nest in the supported subset)
+_STRIP_RE = re.compile(
+    r"<head>.*?</head>|<script[^>]*>.*?</script>"
+    r"|<style[^>]*>.*?</style>|<!--.*?-->", re.S | re.I)
 _BLOCK_RE = re.compile(r"<(h[1-6]|p|ul)>(.*?)</\1>", re.S | re.I)
 _LI_RE = re.compile(r"<li>(.*?)</li>", re.S | re.I)
 _STRONG_RE = re.compile(r"<strong>(.*?)</strong>", re.S | re.I)
@@ -57,10 +62,7 @@ def extract_text(html: bytes | str) -> str:
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")  # lossy decode,
         # reference: processors/src/processor.rs:18
-    html = _HEAD_RE.sub("", html)
-    html = _SCRIPT_RE.sub("", html)
-    html = _STYLE_RE.sub("", html)
-    html = _COMMENT_RE.sub("", html)
+    html = _STRIP_RE.sub("", html)
     blocks: list[str] = []
     for m in _BLOCK_RE.finditer(html):
         tag = m.group(1).lower()
