@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the flagship engine: BM25 top-k + postings lookup (3.2, J3, T1)
         "bm25_topk": d.q_bm25_topk,
         "term_top_docs": d.q_term_top_docs,
+        "index_stats": d.q_index_stats,                   # rows-only
         # dedup family (D1/D3 extensions)
         "dedup_exact": d.q_dedup_exact,
         "minhash_candidates": d.q_minhash_candidates,     # rows-only

@@ -114,6 +114,24 @@ def _query_latency(index_dir: str, iters: int = 200, k: int = 10) -> dict:
             "n": len(lat)}
 
 
+def _query_qps(index_dir: str, replicas: int = 4,
+               batches: int = 40) -> float:
+    """Distributed serving throughput: actor replicas, fan-out batches."""
+    from engine.serve import QueryService
+    with open(QUERIES_PATH) as f:
+        qset = json.load(f)
+    svc = QueryService(index_dir, replicas=replicas)
+    try:
+        svc.search_many(qset)  # warm every replica's term caches
+        t0 = time.perf_counter()
+        for _ in range(batches):
+            svc.search_many(qset)
+        wall = time.perf_counter() - t0
+        return batches * len(qset) / wall
+    finally:
+        svc.shutdown()
+
+
 def run_default(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     queries: dict[str, float] = {}
@@ -126,6 +144,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     lat = _query_latency(idx_dir)
     queries["bm25_query_p50"] = round(lat["p50_s"], 6)
     queries["bm25_query_p95"] = round(lat["p95_s"], 6)
+    qps = _query_qps(idx_dir)
 
     from engine import docops
     import __ray_entry__ as entrymod
@@ -148,6 +167,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "build_docs_per_sec": round(build["docs_per_sec"], 1),
         "build_n_docs": build["n_docs"],
         "build_total_tokens": build["total_tokens"],
+        "query_qps_4replicas": round(qps, 1),
     }
     import ray
     ray.shutdown()

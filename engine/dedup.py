@@ -91,6 +91,37 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return vals.min(axis=1)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (deterministic 64-bit mix)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def batch_signatures(sh_list: list[np.ndarray], a: np.ndarray,
+                     b: np.ndarray, perm_slab: int = 16) -> np.ndarray:
+    """All docs' minhash signatures in one vectorized pass:
+    concatenate shingles, (a*h+b) mod p per permutation slab, per-doc
+    minimum via reduceat.  -> (n_docs, n_perm) uint64."""
+    n_docs, n_perm = len(sh_list), a.size
+    sig = np.full((n_docs, n_perm), np.iinfo(np.uint64).max >> 1,
+                  dtype=np.uint64)
+    counts = np.fromiter((s.size for s in sh_list), dtype=np.int64,
+                         count=n_docs)
+    nz = counts > 0
+    if not nz.any():
+        return sig
+    allsh = np.concatenate([s for s in sh_list if s.size]) & _MERSENNE
+    offs = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    for lo in range(0, n_perm, perm_slab):  # slab caps peak memory
+        hi = min(lo + perm_slab, n_perm)
+        vals = (a[lo:hi, None] * allsh[None, :] + b[lo:hi, None]) % _MERSENNE
+        sig[np.flatnonzero(nz), lo:hi] = \
+            np.minimum.reduceat(vals, offs, axis=1).T
+    return sig
+
+
 def minhash_bands(
     docs: "ray.data.Dataset",
     n_perm: int = 64,
@@ -100,26 +131,33 @@ def minhash_bands(
     text_col: str = "text",
 ) -> "ray.data.Dataset":
     """-> exploded (band, band_hash, doc_id) rows — the LSH index table.
-    groupby((band, band_hash)) downstream yields candidate groups."""
+    groupby((band, band_hash)) downstream yields candidate groups.
+    Fully vectorized per batch: one signature matrix, then a splitmix64
+    column mix per band (no per-doc Python loop)."""
     assert n_perm % bands == 0
     r = n_perm // bands
     a, b = _perm_params(n_perm)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         toks = tokenize_batch(batch.column(text_col).to_pylist())
-        ids = batch.column(id_col).to_numpy()
-        out_band, out_hash, out_id = [], [], []
-        for did, ts in zip(ids, toks):
-            sig = minhash_signature(shingle_hashes(ts, shingle_k), a, b)
-            for bi in range(bands):
-                row = sig[bi * r:(bi + 1) * r]
-                bh = int(stable_hash64(
-                    np.array([row.tobytes().hex()], dtype=object))[0]) & 0x7FFFFFFFFFFFFFFF
-                out_band.append(bi); out_hash.append(bh); out_id.append(int(did))
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        sig = batch_signatures([shingle_hashes(ts, shingle_k)
+                                for ts in toks], a, b)
+        n_docs = ids.size
+        bh = np.empty((bands, n_docs), dtype=np.uint64)
+        for bi in range(bands):
+            h = np.full(n_docs, np.uint64(0x2545F4914F6CDD1D),
+                        dtype=np.uint64) ^ np.uint64(bi)
+            for c in range(bi * r, (bi + 1) * r):
+                h = _splitmix64(h ^ sig[:, c])
+            bh[bi] = h
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            id_col: pa.array(out_id, pa.int64()),
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32),
+                                       n_docs)),
+            "band_hash": pa.array(
+                (bh.reshape(-1) & np.uint64(0x7FFFFFFFFFFFFFFF))
+                .astype(np.int64)),
+            id_col: pa.array(np.tile(ids, bands)),
         })
 
     return docs.map_batches(to_bands, batch_format="pyarrow")
@@ -133,18 +171,51 @@ def minhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> pd.DataFrame:
-    """LSH candidate pairs -> DataFrame(id_a, id_b) distinct, id_a<id_b."""
+    """LSH candidate pairs -> DataFrame(id_a, id_b) distinct, id_a<id_b.
+
+    The (band, band_hash) key space has ~bands*n_docs nearly-singleton
+    groups; a map_groups per key would pay per-group overhead millions
+    of times at scale.  Instead the shuffle key is a coarse BUCKET of
+    the band hash (fixed count), and equal-key runs inside each bucket
+    are found vectorized after one lexsort — same result, 64 groups.
+    """
     band_rows = minhash_bands(docs, n_perm, bands, shingle_k, id_col, text_col)
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy()
+        return t.append_column(
+            "bucket", pa.array((bh % n_buckets).astype(np.int32)))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        iu = np.triu_indices(ids.size, 1)
-        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+        b = g["band"].to_numpy().astype(np.int64)
+        h = g["band_hash"].to_numpy().astype(np.int64)
+        i = g[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((i, h, b))
+        b, h, i = b[order], h[order], i[order]
+        new = np.concatenate(([True], (np.diff(b) != 0) | (np.diff(h) != 0)))
+        starts = np.concatenate((np.flatnonzero(new), [b.size]))
+        sizes = np.diff(starts)
+        out_a, out_b = [], []
+        for k in np.flatnonzero(sizes >= 2):
+            ids_run = np.unique(i[starts[k]:starts[k] + sizes[k]])
+            if ids_run.size < 2:
+                continue
+            iu = np.triu_indices(ids_run.size, 1)
+            out_a.append(ids_run[iu[0]])
+            out_b.append(ids_run[iu[1]])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-    cand = (band_rows.groupby(["band", "band_hash"])
-            .map_groups(pairs, batch_format="pandas").to_pandas())
+    cand = (band_rows.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas")
+            .to_pandas())
+    if "bucket" in cand.columns:
+        cand = cand.drop(columns=["bucket"])
     if not len(cand):
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64)})

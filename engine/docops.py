@@ -232,6 +232,24 @@ def q_chunks_markdown(sf_dir: str):
                            mode="markdown")
 
 
+def q_index_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-partition lineage + metrics from the built index manifest
+    (north_rule: 'every partition emits lineage + token/posting
+    metrics').  One row per committed part."""
+    idx = docs_index(sf_dir)
+    rows = []
+    for key, m in sorted(idx.manifest["parts"].items()):
+        kind, part = key.split(":")
+        rows.append({
+            "kind": kind, "part": np.int64(int(part)),
+            "n_terms": np.int64(m["n_terms"]),
+            "n_postings": np.int64(m["n_postings"]),
+            "n_docs": np.int64(m["n_docs"]),
+            "checksum": m["checksum"],
+        })
+    return pd.DataFrame(rows)
+
+
 def q_chunks_semantic(sf_dir: str):
     """Actor-pool semantic chunker (reference A7 statistical shape over
     the deterministic hashing encoder); rows-only driver check,
