@@ -383,9 +383,22 @@ def build_index(
                         source, columns=["url", "warc_ts", "html"])
                     keys = ray.data.read_parquet(
                         source, columns=["url", "warc_ts"])
-                losers = duplicate_losers(keys, dedup_eff)
-                ds = ds.map_batches(make_dedup_filter(losers),
-                                    batch_format="pyarrow")
+                strategy = cfg.dedup_strategy
+                if strategy == "auto":
+                    strategy = ("broadcast"
+                                if keys.count() <= 2_000_000 else "join")
+                if strategy == "join":
+                    # fully distributed keep-earliest: no driver state
+                    winners = keys.groupby(
+                        "url", num_partitions=dedup_eff).aggregate(
+                        Min("warc_ts", alias_name="warc_ts"))
+                    ds = ds.join(winners, "left_semi",
+                                 num_partitions=dedup_eff,
+                                 on=("url", "warc_ts"))
+                else:
+                    losers = duplicate_losers(keys, dedup_eff)
+                    ds = ds.map_batches(make_dedup_filter(losers),
+                                        batch_format="pyarrow")
                 ds = ds.map_batches(extract_batch, batch_format="pyarrow",
                                     batch_size=cfg.extract_batch_size)
                 with_url = True

@@ -35,6 +35,15 @@ class EngineConfig:
 
     # Partitions for the small dedup-key groupby (url, warc_ts only).
     dedup_partitions: int = 32
+    # Dedup execution strategy:
+    #   "broadcast" — loser set collected to the driver, broadcast into
+    #                 a vectorized filter (html never shuffles; needs
+    #                 the dup-key dict to fit driver memory)
+    #   "join"      — fully distributed: winners = groupby(url).min(ts)
+    #                 dataset, then a left_semi hash join on
+    #                 (url, warc_ts) (no driver state; shuffles rows)
+    #   "auto"      — broadcast below ~2M keys, join above
+    dedup_strategy: str = "auto"
 
     # --- build-stage knobs ---
     # Rows per map_batches batch in the extract/tokenize stages.  html

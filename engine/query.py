@@ -152,13 +152,9 @@ class InvertedIndex:
         vectorized accumulate.  O(total postings) but all in numpy."""
         all_ids, all_scores = [], []
         for term, (df, pbytes, skips) in entries:
-            n = df
-            ids, tfs = decode_postings(pbytes, skips.tobytes(), n,
-                                       self.cfg.block_size)
-            ids = ids.astype(np.int64)
-            dls = self._doclen_of(ids)
+            ids, _tfs, s = self._decode_term(term, df, pbytes, skips)
             all_ids.append(ids)
-            all_scores.append(self._term_score(tfs, dls, self.idf(df)))
+            all_scores.append(s)
         ids = np.concatenate(all_ids)
         scores = np.concatenate(all_scores)
         uniq, inv = np.unique(ids, return_inverse=True)
@@ -167,15 +163,19 @@ class InvertedIndex:
         return self._topk(uniq, acc, k)
 
     def _decode_term(self, term: str, df: int, pbytes: bytes,
-                     skips: np.ndarray):
-        """Full decode with a small hot-term cache (production engines
-        cache decoded stopword lists)."""
+                     skips: np.ndarray, idf: float | None = None):
+        """Full decode + per-posting BM25 scores, with a small hot-term
+        cache (production engines cache decoded stopword lists; scores
+        are a pure function of (tf, doclen, df) so they cache too)."""
         hit = self._postings_cache.get(term)
         if hit is not None:
             return hit
         ids, tfs = decode_postings(pbytes, skips.tobytes(), df,
                                    self.cfg.block_size)
-        out = (ids.astype(np.int64), tfs)
+        ids = ids.astype(np.int64)
+        scores = self._term_score(tfs, self._doclen_of(ids),
+                                  self.idf(df) if idf is None else idf)
+        out = (ids, tfs, scores)
         if len(self._postings_cache) < 64:
             self._postings_cache[term] = out
         return out
@@ -224,8 +224,7 @@ class InvertedIndex:
             if suffix_ub[i] < theta:
                 n_ess = i
                 break
-            ids, tfs = self._decode_term(term, df, pbytes, skips)
-            s = self._term_score(tfs, self._doclen_of(ids), idf)
+            ids, _tfs, s = self._decode_term(term, df, pbytes, skips, idf)
             merged = np.concatenate([cand_ids, ids])
             uniq, inv = np.unique(merged, return_inverse=True)
             acc = np.zeros(uniq.size)
@@ -249,19 +248,24 @@ class InvertedIndex:
                 continue
             if need.size * 4 >= skips.shape[0]:
                 # candidates touch most blocks: one vectorized full
-                # decode (cached) beats per-block random access
-                ids, tfs = self._decode_term(term, df, pbytes, skips)
+                # decode (cached, pre-scored) beats per-block access
+                ids, _tfs, s_all = self._decode_term(term, df, pbytes,
+                                                     skips, idf)
             else:
                 blk_parts = [decode_block(pbytes, skips, int(bi), df,
                                           self.cfg.block_size) for bi in need]
                 ids = np.concatenate([p[0] for p in blk_parts]).astype(np.int64)
                 tfs = np.concatenate([p[1] for p in blk_parts])
+                s_all = None
             pos = np.searchsorted(cand_ids, ids)
             pos[pos >= cand_ids.size] = cand_ids.size - 1
             hitmask = cand_ids[pos] == ids
             if hitmask.any():
-                s = self._term_score(tfs[hitmask],
-                                     self._doclen_of(ids[hitmask]), idf)
+                if s_all is not None:
+                    s = s_all[hitmask]
+                else:
+                    s = self._term_score(tfs[hitmask],
+                                         self._doclen_of(ids[hitmask]), idf)
                 np.add.at(cand_scores, pos[hitmask], s)
             if cand_scores.size >= k:
                 theta = float(np.partition(cand_scores, -k)[-k])

@@ -134,3 +134,22 @@ def test_dedup_kept_earliest(built):
     # every url appears exactly once
     urls = dm["url"].to_pylist()
     assert len(urls) == len(set(urls)) == len(exp)
+
+
+def test_join_dedup_equals_broadcast(e2e_webtext, tmp_path_factory):
+    """The distributed left_semi-join dedup path produces a
+    bit-identical index to the broadcast-filter path (same part
+    checksums), so either strategy can run at any scale."""
+    from engine import index_io
+
+    base = tmp_path_factory.mktemp("dd")
+    cfg_b = EngineConfig(num_parts=8, docmeta_parts=3,
+                         dedup_strategy="broadcast")
+    cfg_j = EngineConfig(num_parts=8, docmeta_parts=3,
+                         dedup_strategy="join")
+    m_b = build_index(e2e_webtext, str(base / "bcast"), cfg_b)
+    m_j = build_index(e2e_webtext, str(base / "join"), cfg_j)
+    assert m_b["stats"] == m_j["stats"]
+    cks_b = {k: v["checksum"] for k, v in m_b["parts"].items()}
+    cks_j = {k: v["checksum"] for k, v in m_j["parts"].items()}
+    assert cks_b == cks_j
