@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings
         "knn_cosine": d.q_knn_cosine,
         "lsh_knn": d.q_lsh_knn,
+        "ivf_knn": d.q_ivf_knn,
         "embed_neardup": d.q_embed_neardup,
         # text analysis
         "langid": d.q_langid,
@@ -167,6 +168,18 @@ def oracle_sql() -> dict[str, str]:
                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
             FROM embeddings a, embeddings b
             WHERE a.vec_id = 1 AND b.vec_id <> 1
+            ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))
+                     DESC, b.vec_id
+            LIMIT 10""",
+
+        "ivf_knn": """
+            SELECT CAST(2 AS BIGINT) AS query_id, b.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id = 2 AND b.vec_id <> 2
             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[]))
                      DESC, b.vec_id

@@ -184,6 +184,14 @@ def q_lsh_knn(sf_dir: str) -> pd.DataFrame:
                            n_bits=4, nprobe=None)
 
 
+def q_ivf_knn(sf_dir: str) -> pd.DataFrame:
+    """IVF-cell ANN with all cells probed == exact (oracle-checked);
+    production uses nprobe << n_centroids."""
+    q = _query_vec(sf_dir, 2)
+    return sim_ops.ivf_knn(_embeddings_ds(sf_dir), q[None, :], [2], k=10,
+                           n_centroids=8, nprobe=None)
+
+
 def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
     return sim_ops.neardup_pairs_blocked(_embeddings_ds(sf_dir),
                                          threshold=0.3)

@@ -172,6 +172,100 @@ def lsh_knn(
     return out
 
 
+def _kmeans_centroids(sample: np.ndarray, n_centroids: int,
+                      iters: int = 8, seed: int = 4242) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample.
+
+    At 10^12 scale the sample is a `ds.random_sample` pulled once; the
+    centroid matrix (n_centroids x d, a few MB) is broadcast via
+    ray.put — training is O(sample), never O(corpus).
+    """
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    idx = rng.choice(sample.shape[0], size=min(n_centroids, sample.shape[0]),
+                     replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_knn(
+    embeddings: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int | None = None,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF (inverted-file) ANN: vectors are assigned to their nearest
+    spherical-kmeans centroid; a query scans only the ``nprobe``
+    nearest cells.  nprobe=None probes ALL cells (== exact brute force,
+    the correctness-gate configuration); small nprobe is the production
+    recall/latency trade-off.  Two passes over the corpus: one sampled
+    read to train centroids, one scan to score — no shuffle at all
+    (cell assignment happens inside the scoring task)."""
+    qm = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    # train on a deterministic prefix sample (seeded generator data is
+    # row-stable; at scale use ds.random_sample(frac, seed=...))
+    sample_tab = embeddings.limit(sample_size).to_pandas()
+    sample = np.stack(sample_tab[vec_col].to_numpy()).astype(np.float64)
+    cents = _kmeans_centroids(sample, n_centroids)
+    if nprobe is None:
+        nprobe = cents.shape[0]
+    # cells to probe per query, by centroid similarity (ties: lower id)
+    sims_qc = qm @ cents.T
+    probe_sets = []
+    for qi in range(qm.shape[0]):
+        order = np.lexsort((np.arange(cents.shape[0]), -sims_qc[qi]))
+        probe_sets.append(frozenset(int(c) for c in order[:nprobe]))
+    q_ref = ray.put((qm, cents, probe_sets))
+    qids = list(query_ids)
+
+    def cell_topk(batch: pa.Table) -> pa.Table:
+        q, ce, probes = ray.get(q_ref)
+        vecs = _normalize(_as_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy()
+        cell = np.argmax(vecs @ ce.T, axis=1)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.fromiter((int(c) in probes[qi] for c in cell),
+                               dtype=bool, count=cell.size)
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ q[qi]
+            sel = ids[mask]
+            kk = min(k + 1, sims.size)
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qids[qi]] * part.size)
+            out_id.extend(sel[part].tolist())
+            out_cos.extend(sims[part].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cos": pa.array(out_cos, pa.float64()),
+        })
+
+    cand = embeddings.map_batches(cell_topk, batch_format="pyarrow",
+                                  batch_size=4096).to_pandas()
+    if exclude_self:
+        cand = cand[cand["query_id"] != cand["vec_id"]]
+    cand = cand.sort_values(["query_id", "cos", "vec_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cos"] = out["cos"].round(6)
+    return out
+
+
 def neardup_pairs_blocked(
     embeddings: "ray.data.Dataset",
     threshold: float,
