@@ -54,8 +54,9 @@ QUERIES_PATH = os.path.join(REPO, "tests", "queries.json")
 # operator family without re-running near-identical variants).
 CONTRACT_QUERIES = [
     "term_df_top100", "corpus_stats", "dedup_exact", "minhash_candidates",
-    "knn_cosine", "embed_neardup", "langid", "quality", "token_counts",
-    "events_hourly",
+    "knn_cosine", "ivf_knn", "embed_neardup", "langid", "quality",
+    "token_counts", "chunks_fixed", "embed_knn", "events_hourly",
+    "events_sessions",
 ]
 
 

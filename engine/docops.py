@@ -115,6 +115,18 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
+STOP_QUERY = "the a value"  # high-df terms: exercises block-max pruning
+
+
+def q_bm25_topk_stop(sf_dir: str) -> pd.DataFrame:
+    idx = docs_index(sf_dir)
+    hits = idx.search(STOP_QUERY, k=10, method="bmw")
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits], dtype=np.float64),
+    })
+
+
 LOOKUP_TERM = "hash"
 
 
