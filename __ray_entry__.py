@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn": d.q_embed_knn,                       # rows-only
         "rerank_topk": d.q_rerank_topk,                   # rows-only
         "hybrid_rrf": d.q_hybrid_rrf,                     # rows-only
+        # multimodal actor-pool stages (stubbed decode, real plumbing)
+        "image_features": d.q_image_features,             # rows-only
+        "frame_samples": d.q_frame_samples,               # rows-only
         # windowed aggregate + sessionization over the events table
         "events_hourly": d.q_events_hourly,
         "events_sessions": d.q_events_sessions,

@@ -33,6 +33,10 @@ from engine import textstats
 
 DOCS_CFG = EngineConfig(num_parts=8, docmeta_parts=2)
 
+# bump when the on-disk index format or build semantics change, so a
+# /tmp cache built by older code is never reused across rounds
+INDEX_FORMAT_VERSION = 2
+
 
 def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -41,7 +45,9 @@ def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
 
 def docs_index(sf_dir: str) -> InvertedIndex:
     """Build (or resume) the documents-table index for this sf_dir."""
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|v{INDEX_FORMAT_VERSION}|"
+        f"{sorted(DOCS_CFG.to_dict().items())}".encode()).hexdigest()[:12]
     idx_dir = os.path.join("/tmp", "engine_cache", f"docsidx-{key}")
     if not os.path.exists(os.path.join(idx_dir, "_manifest.json")):
         build_index(os.path.join(sf_dir, "documents.parquet"), idx_dir,
@@ -337,6 +343,55 @@ def q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
         "rrf_score": pd.Series([round(s, 6) for _, s in fused],
                                dtype=np.float64),
     })
+
+
+# --- multimodal actor-pool stages (stubbed decode, real plumbing) -----------
+
+def _assets_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic synthetic asset table (payload bytes seeded from
+    the sf_dir name so each tier differs), materialized once under /tmp.
+    The real deployment reads an assets parquet next to documents."""
+    from engine.multimodal import synth_assets
+    import pyarrow.parquet as pq
+    n = 200
+    seed = int(hashlib.sha256(sf_dir.encode()).hexdigest()[:8], 16) % 10**6
+    path = os.path.join("/tmp", "engine_cache", f"assets-{seed}-{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(synth_assets(n, seed), path)
+    return ray.data.read_parquet(path)
+
+
+def q_image_features(sf_dir: str):
+    """Actor-pool image decode + feature extraction (stubbed decoder,
+    real actor signature/schema; SURVEY.md multimodal plumbing).  The
+    contract row projects the vector to scalars (norm + head) so the
+    driver's value-hash can sort it."""
+    from engine.multimodal import ImageFeatureActor
+
+    def project(batch: pa.Table) -> pa.Table:
+        feats = np.array(batch.column("feature").to_pylist(),
+                         dtype=np.float64)
+        return pa.table({
+            "asset_id": batch.column("asset_id"),
+            "decode_ok": batch.column("decode_ok"),
+            "feat_norm": pa.array(
+                np.round(np.linalg.norm(feats, axis=1), 6)),
+            "feat_0": pa.array(np.round(feats[:, 0], 6)),
+        })
+
+    return _assets_ds(sf_dir).map_batches(
+        ImageFeatureActor, batch_format="pyarrow", batch_size=64,
+        concurrency=2).map_batches(project, batch_format="pyarrow")
+
+
+def q_frame_samples(sf_dir: str):
+    """Video frame-sampling explosion (frame_index layout,
+    /root/reference/rust/src/lib.rs:546-550)."""
+    from engine.multimodal import FrameSampleActor
+    return _assets_ds(sf_dir).map_batches(
+        FrameSampleActor, batch_format="pyarrow", batch_size=64,
+        concurrency=2)
 
 
 # --- windowed aggregate over the events stream table ------------------------
