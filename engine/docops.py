@@ -428,27 +428,53 @@ SESSION_GAP_S = 1800
 def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     """Gap-based sessionization: per user, a new session starts when the
     gap to the previous event exceeds 30 min.  The streaming-window
-    extension op (the reference has no windows, SURVEY.md §2.9); the
-    partitioning key is user_id so each session is computed wholly
-    inside one group — the scale assumption a sessionizer needs."""
+    extension op (the reference has no windows, SURVEY.md §2.9).
+
+    Scale shape: the shuffle key is a coarse BUCKET of the user hash
+    (never one group per user — millions of near-singleton groups at
+    web scale); inside a bucket one lexsort + vectorized run detection
+    computes every user's sessions at once.  A user's events land
+    wholly in one bucket, the invariant a sessionizer needs."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "ts", "value",
                                         "event_id"])
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        return t.append_column(
+            "bucket", pa.array((u % n_buckets).astype(np.int32)))
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds()
-        sid = ((gap.isna()) | (gap > SESSION_GAP_S)).cumsum() - 1
-        out = g.groupby(sid.to_numpy()).agg(
-            n_events=("value", "size"), start_ts=("ts", "min"),
-            end_ts=("ts", "max"), sum_value=("value", "sum"))
-        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
-        out.insert(1, "session_id", out.index.astype(np.int64))
-        return out.reset_index(drop=True)
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts"].to_numpy().astype("datetime64[us]"),
+                            g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy()[order]
+        ts = g["ts"].to_numpy().astype("datetime64[us]")[order]
+        val = g["value"].to_numpy()[order]
+        gap_s = np.diff(ts).astype("timedelta64[us]").astype(np.int64) / 1e6
+        brk = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (gap_s > SESSION_GAP_S)))
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [u.size]))
+        # session_id: 0-based per user
+        user_first = np.concatenate(([True], u[starts][1:] != u[starts][:-1]))
+        sid = np.arange(starts.size) - np.maximum.accumulate(
+            np.where(user_first, np.arange(starts.size), 0))
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "session_id": sid.astype(np.int64),
+            "n_events": (ends - starts).astype(np.int64),
+            "start_ts": ts[starts],
+            "end_ts": ts[ends - 1],
+            "sum_value": np.add.reduceat(val, starts),
+        })
 
-    out = ds.groupby("user_id").map_groups(
-        sess, batch_format="pandas").to_pandas()
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(sess, batch_format="pandas")
+           .to_pandas())
+    if "bucket" in out.columns:
+        out = out.drop(columns=["bucket"])
     out["user_id"] = out["user_id"].astype(np.int64)
-    out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_value"] = out["sum_value"].round(6)
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
