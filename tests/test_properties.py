@@ -80,3 +80,13 @@ def test_chunker_lossless_any_text(text, size):
     assert all(len(c) <= size for c in chunks)
     fixed = split_fixed(text, size)
     assert "".join(fixed) == text
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_extract_total_on_arbitrary_bytes(data):
+    """The extractor must never raise on malformed input (lossy decode +
+    regex spec are total); output is always a str."""
+    from engine.extract import extract_text
+    out = extract_text(data)
+    assert isinstance(out, str)
