@@ -95,3 +95,14 @@ def test_oracle_self_consistency(index, frozen):
     """The engine's DAAT on a tiny corpus equals a fresh oracle run."""
     queries, expected = frozen
     assert len(expected) == len(queries)
+
+
+def test_dense_equals_daat(index, frozen):
+    """Explicit dense score-array method: rank-identical with DAAT."""
+    queries, _ = frozen
+    for q in queries:
+        a = index.search(q, k=10, method="daat")
+        b = index.search(q, k=10, method="dense")
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=1e-9)
