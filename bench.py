@@ -184,7 +184,8 @@ def run_child_build(num_cpus: int, n_rows: int) -> dict:
     the steady state a long-running cluster job sees, not process
     cold-start + disk writeback left by the previous leg.  Index output
     goes to tmpfs (/dev/shm) when available so disk writeback never
-    couples the two legs.
+    couples legs.  The parent interleaves legs and takes min wall per
+    CPU count (see run_scaling).
     """
     _init_ray(num_cpus)
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
@@ -192,21 +193,15 @@ def run_child_build(num_cpus: int, n_rows: int) -> dict:
                                 dir=scratch)
     _run_webtext_build(warm_dir, n_rows)
     shutil.rmtree(warm_dir, ignore_errors=True)
-    # best-of-2 timed builds: the sandbox host shows intermittent steal;
-    # min wall is the interference-free estimate
-    best = None
-    for _ in range(2):
-        idx_dir = tempfile.mkdtemp(prefix=f"bench_scale_{num_cpus}_",
-                                   dir=scratch)
-        b = _run_webtext_build(idx_dir, n_rows)
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        if best is None or b["wall_s"] < best["wall_s"]:
-            best = b
+    idx_dir = tempfile.mkdtemp(prefix=f"bench_scale_{num_cpus}_",
+                               dir=scratch)
+    b = _run_webtext_build(idx_dir, n_rows)
+    shutil.rmtree(idx_dir, ignore_errors=True)
     import ray
     ray.shutdown()
-    return {"num_cpus": num_cpus, "wall_s": round(best["wall_s"], 3),
-            "docs_per_sec": round(best["docs_per_sec"], 1),
-            "n_docs": best["n_docs"]}
+    return {"num_cpus": num_cpus, "wall_s": round(b["wall_s"], 3),
+            "docs_per_sec": round(b["docs_per_sec"], 1),
+            "n_docs": b["n_docs"]}
 
 
 def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
@@ -217,8 +212,11 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     import ray
     ray.shutdown()
 
-    legs = {}
-    for n in (cpus_lo, cpus_hi):
+    # interleave legs (lo, hi, lo, hi): the host shows bursty CPU steal
+    # over minutes, so both CPU counts sample the same noise windows;
+    # each child does one warmup + one timed build, min wall per count
+    legs: dict[int, dict] = {}
+    for n in (cpus_lo, cpus_hi, cpus_lo, cpus_hi):
         env = dict(os.environ)
         env.pop("RAY_ADDRESS", None)
         p = subprocess.run(
@@ -228,7 +226,9 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
             capture_output=True, text=True, env=env, cwd=REPO)
         if p.returncode != 0:
             raise RuntimeError(f"child num_cpus={n} failed:\n{p.stderr[-4000:]}")
-        legs[n] = json.loads(p.stdout.strip().splitlines()[-1])
+        leg = json.loads(p.stdout.strip().splitlines()[-1])
+        if n not in legs or leg["wall_s"] < legs[n]["wall_s"]:
+            legs[n] = leg
 
     t_lo, t_hi = legs[cpus_lo]["wall_s"], legs[cpus_hi]["wall_s"]
     eff = (t_lo / t_hi) / (cpus_hi / cpus_lo)
