@@ -106,10 +106,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*) AS cf FROM t
             GROUP BY term ORDER BY cf DESC, term LIMIT 100""",
 
+        # avgdl as integer micro-units from the exact integer sum/count —
+        # never a rounded float in the value hash (round-1 lesson)
         "corpus_stats": f"""
             WITH d AS (SELECT len({_TOK}) AS dl FROM documents)
             SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
-                   round(avg(dl), 6) AS avgdl FROM d""",
+                   CAST(round(CAST(sum(dl) AS DOUBLE) / count(*) * 1e6)
+                        AS BIGINT) AS avgdl_micro FROM d""",
 
         "bm25_topk": f"""
             WITH toks AS (
@@ -168,9 +171,9 @@ def oracle_sql() -> dict[str, str]:
                                          for i in range(1, len(toks) - 1)]) AS s
                    FROM t WHERE len(toks) >= 3)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.s, b.s))), 6)
-                       AS jaccard
+                   CAST(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))) * 1e6)
+                        AS BIGINT) AS jaccard_ppm
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
 
         "knn_cosine": """
@@ -239,13 +242,13 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
             SELECT doc_id,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
-                   round(CAST(len(list_filter(toks, x -> x IN {_EN}))
-                              AS DOUBLE) / greatest(len(toks), 1), 6)
-                       AS stopword_ratio,
-                   round(CAST(length(regexp_replace(
+                   CAST(round(CAST(len(list_filter(toks, x -> x IN {_EN}))
+                              AS DOUBLE) / greatest(len(toks), 1) * 1e6)
+                        AS BIGINT) AS stopword_ratio_ppm,
+                   CAST(round(CAST(length(regexp_replace(
                               text, '[^\\p{{L}}\\p{{N}}]', '', 'g'))
-                              AS DOUBLE) / greatest(length(text), 1), 6)
-                       AS alnum_ratio
+                              AS DOUBLE) / greatest(length(text), 1) * 1e6)
+                        AS BIGINT) AS alnum_ratio_ppm
             FROM t""",
 
         "token_counts": r"""
@@ -258,9 +261,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bpeish_tokens
             FROM documents""",
 
+        # per-element micro-unit scaling BEFORE the sum: integer group
+        # sums are exact and order-insensitive (DuckDB's float group-sum
+        # addition order is arbitrary — the round-1 sessions flake)
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
-                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro
             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
 
         "chunks_fixed": """
@@ -288,7 +295,7 @@ def oracle_sql() -> dict[str, str]:
               FROM o)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts,
-                   round(sum(value), 6) AS sum_value
+                   sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro
             FROM s GROUP BY user_id, session_id""",
         # minhash_candidates / simhash / fingerprints: deterministic
         # SipHash-based sketches, not expressible in ANSI SQL -> driver

@@ -62,7 +62,8 @@ from engine.schema import SHUFFLE
 
 def duplicate_losers(keys_ds: "ray.data.Dataset",
                      num_partitions: int = 32,
-                     driver_threshold: int = 2_000_000) -> dict[str, int]:
+                     driver_threshold: int = 2_000_000,
+                     n_keys: int | None = None) -> dict[str, int]:
     """Find urls with >1 row -> {url: winner warc_ts (us)}.
 
     Input: a Dataset of just (url, warc_ts) — tiny columns, so nothing
@@ -74,7 +75,9 @@ def duplicate_losers(keys_ds: "ray.data.Dataset",
     dict is broadcast either way, so the driver-memory class is the same.
     """
     import pyarrow.compute as pc
-    if keys_ds.count() <= driver_threshold:
+    if n_keys is None:
+        n_keys = keys_ds.count()
+    if n_keys <= driver_threshold:
         # Arrow-native: block refs fetched zero-copy, one multithreaded
         # C++ group_by — no pandas conversion on the driver.
         tab = pa.concat_tables(ray.get(keys_ds.to_arrow_refs()))
@@ -332,6 +335,14 @@ def build_index(
     mode="webtext": source columns (url, warc_ts, html) — dedup + extract.
     mode="docs":    source columns (doc_id, text) — pre-extracted corpus
                     (e.g. /root/testdata documents), skips dedup/extract.
+
+    Concurrency note: the hash-shuffle strategy + aggregator-pool sizing
+    are set on the PROCESS-GLOBAL DataContext for the duration of the
+    build (restored in ``finally``).  A concurrent Ray Data pipeline
+    launched from the same driver mid-build would inherit these
+    overrides; one build (or other pipeline) at a time per driver is the
+    supported mode.  (Ray Data has no public per-pipeline context yet —
+    when it does, scope the overrides there.)
     """
     t0 = time.perf_counter()
     done = index_io.committed_parts(index_dir) if resume else {}
@@ -384,9 +395,11 @@ def build_index(
                     keys = ray.data.read_parquet(
                         source, columns=["url", "warc_ts"])
                 strategy = cfg.dedup_strategy
+                n_keys = None
                 if strategy == "auto":
+                    n_keys = keys.count()
                     strategy = ("broadcast"
-                                if keys.count() <= 2_000_000 else "join")
+                                if n_keys <= 2_000_000 else "join")
                 if strategy == "join":
                     # fully distributed keep-earliest: no driver state
                     winners = keys.groupby(
@@ -396,7 +409,8 @@ def build_index(
                                  num_partitions=dedup_eff,
                                  on=("url", "warc_ts"))
                 else:
-                    losers = duplicate_losers(keys, dedup_eff)
+                    losers = duplicate_losers(keys, dedup_eff,
+                                              n_keys=n_keys)
                     ds = ds.map_batches(make_dedup_filter(losers),
                                         batch_format="pyarrow")
                 ds = ds.map_batches(extract_batch, batch_format="pyarrow",

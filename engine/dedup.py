@@ -36,7 +36,14 @@ def exact_dedup(
     text_col: str = "text",
 ) -> "ray.data.Dataset":
     """-> (doc_id, n_dups): the surviving (minimum) id per distinct text
-    and the group size.  Shuffles only (hash, id) pairs."""
+    and the group size.  Shuffles only (hash, id) pairs.
+
+    The reduce is a plain ``aggregate(Min, Count)`` — content_hash is a
+    near-unique key (millions of near-singleton groups at web scale), so
+    a per-group ``map_groups`` would pay Python group overhead once per
+    distinct document; the vectorized aggregate does not."""
+    from ray.data.aggregate import Count, Min
+
     def add_hash(batch: pa.Table) -> pa.Table:
         h = stable_hash64(np.asarray(batch.column(text_col).to_pylist(),
                                      dtype=object))
@@ -45,13 +52,10 @@ def exact_dedup(
             id_col: batch.column(id_col),
         })
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: [int(g[id_col].min())],
-                             "n_dups": [len(g)]})
-
     return (docs.map_batches(add_hash, batch_format="pyarrow")
             .groupby("content_hash")
-            .map_groups(keep_first, batch_format="pandas")
+            .aggregate(Min(id_col, alias_name=id_col),
+                       Count(alias_name="n_dups"))
             .select_columns([id_col, "n_dups"]))
 
 
@@ -239,13 +243,12 @@ def verify_jaccard(
     broadcast semi-join, not a shuffle."""
     if not len(pairs):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    wanted = set(pairs["id_a"].tolist()) | set(pairs["id_b"].tolist())
+    wanted = np.unique(np.concatenate((pairs["id_a"].to_numpy(),
+                                       pairs["id_b"].to_numpy()))).astype(np.int64)
 
     def shingles_of(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        keep = np.fromiter((int(i) in wanted for i in ids), dtype=bool,
-                           count=ids.size)
-        sub = batch.filter(pa.array(keep))
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        sub = batch.filter(pa.array(np.isin(ids, wanted)))
         toks = tokenize_batch(sub.column(text_col).to_pylist())
         return pa.table({
             id_col: sub.column(id_col),
@@ -257,15 +260,17 @@ def verify_jaccard(
 
     sh_tab = (docs.map_batches(shingles_of, batch_format="pyarrow")
               .to_pandas())
-    sets = {int(r[id_col]): set(r["shingles"])
-            for _, r in sh_tab.iterrows()}
+    sets = dict(zip(sh_tab[id_col].astype(int),
+                    (set(s) for s in sh_tab["shingles"])))
+    ia = pairs["id_a"].to_numpy()
+    ib = pairs["id_b"].to_numpy()
     out = []
-    for _, r in pairs.iterrows():
-        sa, sb = sets.get(int(r["id_a"]), set()), sets.get(int(r["id_b"]), set())
+    for a, b in zip(ia, ib):
+        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
         union = len(sa | sb)
         j = (len(sa & sb) / union) if union else 0.0
         if j >= threshold:
-            out.append((int(r["id_a"]), int(r["id_b"]), round(j, 6)))
+            out.append((int(a), int(b), round(j, 6)))
     return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
 
 
@@ -298,31 +303,62 @@ def ngram_jaccard_adjacent(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
+    bucket_width: int = 512,
+) -> "ray.data.Dataset":
     """n-gram Jaccard between each doc and the doc with the next id
-    (a linear, SQL-checkable slice of the all-pairs similarity)."""
+    (a linear, SQL-checkable slice of the all-pairs similarity).
+    -> Dataset(id_a, id_b, jaccard_ppm).
+
+    Scale shape: docs shuffle on a coarse ``doc_id // bucket_width``
+    bucket (a doc whose id is a bucket boundary is ALSO emitted into the
+    previous bucket as overlap), so every (i, i+1) pair co-locates in
+    exactly one group — no full-corpus driver materialization, no
+    per-pair groups.  Jaccard is emitted as integer ppm (micro_units)."""
+    from engine.textstats import micro_units
+    B = bucket_width
+
     def rows(batch: pa.Table) -> pa.Table:
         toks = tokenize_batch(batch.column(text_col).to_pylist())
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        sh = [sorted(set(
+                  " ".join(t[i:i + shingle_k])
+                  for i in range(max(len(t) - shingle_k + 1, 0))) or
+                  ([" ".join(t)] if t else []))
+              for t in toks]
+        bucket = ids // B
+        # overlap copy: bucket-boundary docs serve as right neighbor below
+        extra = np.flatnonzero((ids % B == 0) & (bucket > 0))
+        out_ids = np.concatenate((ids, ids[extra]))
+        out_bkt = np.concatenate((bucket, bucket[extra] - 1))
+        out_sh = sh + [sh[int(i)] for i in extra]
         return pa.table({
-            id_col: batch.column(id_col),
-            "shingles": pa.array(
-                [sorted(set(
-                    " ".join(t[i:i + shingle_k])
-                    for i in range(max(len(t) - shingle_k + 1, 0))) or
-                    ([" ".join(t)] if t else []))
-                 for t in toks],
-                pa.large_list(pa.large_string())),
+            id_col: pa.array(out_ids),
+            "bucket": pa.array(out_bkt.astype(np.int64)),
+            "shingles": pa.array(out_sh, pa.large_list(pa.large_string())),
         })
 
-    df = docs.map_batches(rows, batch_format="pyarrow").to_pandas()
-    df = df.sort_values(id_col).reset_index(drop=True)
-    ids = df[id_col].to_numpy()
-    sets = [set(s) for s in df["shingles"]]
-    out = []
-    for i in range(len(ids) - 1):
-        if ids[i + 1] != ids[i] + 1:
-            continue
-        union = len(sets[i] | sets[i + 1])
-        j = (len(sets[i] & sets[i + 1]) / union) if union else 0.0
-        out.append((int(ids[i]), int(ids[i + 1]), round(j, 6)))
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sets = [set(s) for s in g["shingles"]]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids) - 1):
+            # pair owned by the left doc's home bucket (overlap copies
+            # only ever sit on the right side)
+            if ids[i + 1] != ids[i] + 1 or ids[i] // B != b:
+                continue
+            union = len(sets[i] | sets[i + 1])
+            out_a.append(int(ids[i]))
+            out_b.append(int(ids[i + 1]))
+            out_j.append((len(sets[i] & sets[i + 1]) / union) if union else 0.0)
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype=np.int64),
+            "id_b": pd.Series(out_b, dtype=np.int64),
+            "jaccard_ppm": pd.Series(micro_units(np.asarray(out_j)),
+                                     dtype=np.int64),
+        })
+
+    return (docs.map_batches(rows, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pairs, batch_format="pandas")
+            .select_columns(["id_a", "id_b", "jaccard_ppm"]))

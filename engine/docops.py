@@ -82,28 +82,46 @@ def _exploded_tf(sf_dir: str) -> "ray.data.Dataset":
     return documents_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _topk_by(agg: "ray.data.Dataset", val_col: str, k: int = 100) -> pd.DataFrame:
+    """Global top-k of a groupby-aggregate output WITHOUT collecting the
+    full vocabulary: each output block holds a term exactly once (hash
+    shuffle on the key), so a per-block top-k prune is exact — only
+    k * n_blocks rows ever reach the driver."""
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values([val_col, "term"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = agg.map_batches(prune, batch_format="pyarrow").to_pandas()
+    out = out.sort_values([val_col, "term"], ascending=[False, True]).head(k)
+    out[val_col] = out[val_col].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def q_term_df_top100(sf_dir: str) -> pd.DataFrame:
-    agg = _exploded_tf(sf_dir).groupby("term").aggregate(
-        Count(alias_name="df")).to_pandas()
-    agg = agg.sort_values(["df", "term"], ascending=[False, True]).head(100)
-    agg["df"] = agg["df"].astype(np.int64)
-    return agg.reset_index(drop=True)
+    return _topk_by(_exploded_tf(sf_dir).groupby("term").aggregate(
+        Count(alias_name="df")), "df")
 
 
 def q_term_cf_top100(sf_dir: str) -> pd.DataFrame:
-    agg = _exploded_tf(sf_dir).groupby("term").aggregate(
-        Sum("tf", alias_name="cf")).to_pandas()
-    agg = agg.sort_values(["cf", "term"], ascending=[False, True]).head(100)
-    agg["cf"] = agg["cf"].astype(np.int64)
-    return agg.reset_index(drop=True)
+    return _topk_by(_exploded_tf(sf_dir).groupby("term").aggregate(
+        Sum("tf", alias_name="cf")), "cf")
 
 
 def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
-    dl = q_doclen(sf_dir).to_pandas()
+    """Distributed aggregate — nothing but three scalars reaches the
+    driver (avgdl as integer micro-units, derived from the exact integer
+    sum/count so it is order-insensitive)."""
+    from engine.textstats import micro_units
+    res = q_doclen(sf_dir).aggregate(Count(alias_name="n_docs"),
+                                     Sum("doclen", alias_name="total_tokens"))
+    n = int(res["n_docs"])
+    tot = int(res["total_tokens"])
     return pd.DataFrame([{
-        "n_docs": np.int64(len(dl)),
-        "total_tokens": np.int64(dl["doclen"].sum()),
-        "avgdl": round(float(dl["doclen"].mean()), 6),
+        "n_docs": np.int64(n),
+        "total_tokens": np.int64(tot),
+        "avgdl_micro": np.int64(micro_units(np.array([tot / max(n, 1)]))[0]),
     }])
 
 
@@ -173,7 +191,7 @@ def q_simhash(sf_dir: str):
     ).select_columns(["doc_id", "simhash"])
 
 
-def q_ngram_jaccard_adjacent(sf_dir: str) -> pd.DataFrame:
+def q_ngram_jaccard_adjacent(sf_dir: str):
     return dedup_ops.ngram_jaccard_adjacent(documents_ds(sf_dir))
 
 
@@ -226,7 +244,8 @@ def q_langid(sf_dir: str):
 def q_quality(sf_dir: str):
     return documents_ds(sf_dir).map_batches(
         textstats.quality_batch, batch_format="pyarrow"
-    ).select_columns(["doc_id", "n_tokens", "stopword_ratio", "alnum_ratio"])
+    ).select_columns(["doc_id", "n_tokens", "stopword_ratio_ppm",
+                      "alnum_ratio_ppm"])
 
 
 def q_token_counts(sf_dir: str):
@@ -351,11 +370,13 @@ def _assets_ds(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic synthetic asset table (payload bytes seeded from
     the sf_dir name so each tier differs), materialized once under /tmp.
     The real deployment reads an assets parquet next to documents."""
-    from engine.multimodal import synth_assets
+    from engine.multimodal import synth_assets, ASSET_FORMAT_VERSION
     import pyarrow.parquet as pq
     n = 200
     seed = int(hashlib.sha256(sf_dir.encode()).hexdigest()[:8], 16) % 10**6
-    path = os.path.join("/tmp", "engine_cache", f"assets-{seed}-{n}.parquet")
+    path = os.path.join(
+        "/tmp", "engine_cache",
+        f"assets-v{ASSET_FORMAT_VERSION}-{seed}-{n}.parquet")
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pq.write_table(synth_assets(n, seed), path)
@@ -405,20 +426,28 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "ts", "value"])
 
+    from engine.textstats import micro_units
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["hour"] = df["ts"].dt.floor("h")
+        # scale each value to integer micro-units BEFORE summing: the
+        # integer sum is exact and therefore insensitive to the
+        # nondeterministic addition order of a distributed (or DuckDB)
+        # group-sum — floats rounded after summing are not
+        df["value_micro"] = micro_units(df["value"].to_numpy())
         g = df.groupby(["event_type", "hour"], sort=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"))
+            n_events=("value_micro", "size"),
+            sum_value_micro=("value_micro", "sum"))
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["event_type", "hour"]).aggregate(
         Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
+        Sum("sum_value_micro", alias_name="sum_value_micro"),
     ).to_pandas()
     agg["n_events"] = agg["n_events"].astype(np.int64)
-    agg["sum_value"] = agg["sum_value"].round(6)
+    agg["sum_value_micro"] = agg["sum_value_micro"].astype(np.int64)
     return agg.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
@@ -445,13 +474,18 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
         return t.append_column(
             "bucket", pa.array((u % n_buckets).astype(np.int32)))
 
+    from engine.textstats import micro_units
+
     def sess(g: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((g["event_id"].to_numpy(),
                             g["ts"].to_numpy().astype("datetime64[us]"),
                             g["user_id"].to_numpy()))
         u = g["user_id"].to_numpy()[order]
         ts = g["ts"].to_numpy().astype("datetime64[us]")[order]
-        val = g["value"].to_numpy()[order]
+        # per-event integer micro-units, then exact integer reduceat:
+        # order-insensitive, unlike rounding a float sum (the round-1
+        # hash flake was DuckDB's arbitrary group-sum addition order)
+        val = micro_units(g["value"].to_numpy())[order]
         gap_s = np.diff(ts).astype("timedelta64[us]").astype(np.int64) / 1e6
         brk = np.concatenate(
             ([True], (u[1:] != u[:-1]) | (gap_s > SESSION_GAP_S)))
@@ -467,7 +501,7 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
             "n_events": (ends - starts).astype(np.int64),
             "start_ts": ts[starts],
             "end_ts": ts[ends - 1],
-            "sum_value": np.add.reduceat(val, starts),
+            "sum_value_micro": np.add.reduceat(val, starts),
         })
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -476,5 +510,5 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     if "bucket" in out.columns:
         out = out.drop(columns=["bucket"])
     out["user_id"] = out["user_id"].astype(np.int64)
-    out["sum_value"] = out["sum_value"].round(6)
+    out["sum_value_micro"] = out["sum_value_micro"].astype(np.int64)
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)

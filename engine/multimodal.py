@@ -22,6 +22,11 @@ import pyarrow as pa
 
 import ray.data
 
+# bump when synth_assets or the asset schema changes: the /tmp cache
+# filename folds this in so stale parquet is never reused across rounds
+# (same bug class INDEX_FORMAT_VERSION guards against)
+ASSET_FORMAT_VERSION = 1
+
 # typed schema for a multimodal asset table: opaque payload + metadata
 ASSETS = pa.schema([
     ("asset_id", pa.int64()),

@@ -47,6 +47,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_with_ties(sims: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top ``kk`` sims INCLUDING every exact tie with the
+    kk-th value, so the downstream (cos DESC, vec_id ASC) sort keeps the
+    same boundary rows the oracle would (duplicate vectors tie exactly)."""
+    if kk >= sims.size:
+        return np.arange(sims.size)
+    part = np.argpartition(-sims, kk - 1)[:kk]
+    return np.flatnonzero(sims >= sims[part].min())
+
+
 def knn_cosine(
     embeddings: "ray.data.Dataset",
     queries: np.ndarray,
@@ -73,7 +83,7 @@ def knn_cosine(
         out_q, out_id, out_cos = [], [], []
         kk = min(k + (1 if exclude_self else 0), ids.size)
         for qi in range(q.shape[0]):
-            part = np.argpartition(-sims[qi], kk - 1)[:kk]
+            part = _topk_with_ties(sims[qi], kk)
             out_q.extend([qids[qi]] * part.size)
             out_id.extend(ids[part].tolist())
             out_cos.extend(sims[qi][part].tolist())
@@ -133,7 +143,7 @@ def lsh_knn(
     for qc in qcodes:
         ham = np.array([bin(int(qc ^ c)).count("1") for c in allcodes])
         order = np.lexsort((allcodes, ham))
-        probe_sets.append(frozenset(int(c) for c in allcodes[order[:nprobe]]))
+        probe_sets.append(np.sort(allcodes[order[:nprobe]].astype(np.int64)))
     q_ref = ray.put((qm, planes, probe_sets))
     qids = list(query_ids)
 
@@ -141,17 +151,16 @@ def lsh_knn(
         q, pl, probes = ray.get(q_ref)
         vecs = _normalize(_as_matrix(batch.column(vec_col)))
         ids = batch.column(id_col).to_numpy()
-        codes = _codes(vecs, pl)
+        codes = _codes(vecs, pl).astype(np.int64)
         out_q, out_id, out_cos = [], [], []
         for qi in range(q.shape[0]):
-            mask = np.fromiter((int(c) in probes[qi] for c in codes),
-                               dtype=bool, count=codes.size)
+            mask = np.isin(codes, probes[qi])
             if not mask.any():
                 continue
             sims = vecs[mask] @ q[qi]
             sel_ids = ids[mask]
             kk = min(k + 1, sims.size)
-            part = np.argpartition(-sims, kk - 1)[:kk]
+            part = _topk_with_ties(sims, kk)
             out_q.extend([qids[qi]] * part.size)
             out_id.extend(sel_ids[part].tolist())
             out_cos.extend(sims[part].tolist())
@@ -215,9 +224,16 @@ def ivf_knn(
     read to train centroids, one scan to score — no shuffle at all
     (cell assignment happens inside the scoring task)."""
     qm = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-    # train on a deterministic prefix sample (seeded generator data is
-    # row-stable; at scale use ds.random_sample(frac, seed=...))
-    sample_tab = embeddings.limit(sample_size).to_pandas()
+    # train on a SEEDED RANDOM sample, not a row-order prefix (a prefix
+    # is biased by storage order at scale); parquet count() is
+    # metadata-only, so sizing the fraction costs no scan
+    n_rows = embeddings.count()
+    if n_rows <= sample_size:
+        sample_tab = embeddings.to_pandas()
+    else:
+        frac = min(1.0, (sample_size * 1.3) / n_rows)
+        sample_tab = (embeddings.random_sample(frac, seed=4242)
+                      .limit(sample_size).to_pandas())
     sample = np.stack(sample_tab[vec_col].to_numpy()).astype(np.float64)
     cents = _kmeans_centroids(sample, n_centroids)
     if nprobe is None:
@@ -227,7 +243,7 @@ def ivf_knn(
     probe_sets = []
     for qi in range(qm.shape[0]):
         order = np.lexsort((np.arange(cents.shape[0]), -sims_qc[qi]))
-        probe_sets.append(frozenset(int(c) for c in order[:nprobe]))
+        probe_sets.append(np.sort(order[:nprobe].astype(np.int64)))
     q_ref = ray.put((qm, cents, probe_sets))
     qids = list(query_ids)
 
@@ -238,14 +254,13 @@ def ivf_knn(
         cell = np.argmax(vecs @ ce.T, axis=1)
         out_q, out_id, out_cos = [], [], []
         for qi in range(q.shape[0]):
-            mask = np.fromiter((int(c) in probes[qi] for c in cell),
-                               dtype=bool, count=cell.size)
+            mask = np.isin(cell, probes[qi])
             if not mask.any():
                 continue
             sims = vecs[mask] @ q[qi]
             sel = ids[mask]
             kk = min(k + 1, sims.size)
-            part = np.argpartition(-sims, kk - 1)[:kk]
+            part = _topk_with_ties(sims, kk)
             out_q.extend([qids[qi]] * part.size)
             out_id.extend(sel[part].tolist())
             out_cos.extend(sims[part].tolist())

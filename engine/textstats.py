@@ -20,6 +20,21 @@ import pyarrow as pa
 
 from engine.tokenize import tokenize_batch, stable_hash64
 
+
+def micro_units(x: np.ndarray) -> np.ndarray:
+    """float -> int64 micro-units with HALF-AWAY-FROM-ZERO ties, matching
+    DuckDB ``CAST(round(x * 1e6) AS BIGINT)`` bit-for-bit.
+
+    Contract queries hash integer micro-units instead of rounded floats:
+    np.round is half-even while DuckDB rounds half-away, so exact ties
+    (e.g. 105/128 = 0.8203125 -> 820312.5) used to flip the 6th decimal
+    between engine and oracle.  Integers also survive nondeterministic
+    float-sum orders when the scaling happens per element BEFORE summing.
+    """
+    v = np.asarray(x, dtype=np.float64) * 1e6
+    return np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # language-ID: marker-token voting (n-gram-free heuristic; SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -36,28 +51,45 @@ LANG_MARKERS: dict[str, frozenset[str]] = {
 _LANG_ORDER = sorted(LANG_MARKERS) + ["ja"]
 
 
-def _is_cjk(tok: str) -> bool:
-    c = tok[0]
-    return ("぀" <= c <= "ヿ") or ("㐀" <= c <= "鿿")
+def _per_doc_isin_counts(tok_lists: list[list[str]],
+                         vocab: frozenset[str]) -> np.ndarray:
+    """Count tokens from ``vocab`` per doc — one np.isin over the
+    concatenated token array + reduceat, no per-token Python loop."""
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    out = np.zeros(len(tok_lists), dtype=np.int64)
+    if lens.sum() == 0:
+        return out
+    allt = np.concatenate([np.asarray(t, dtype=object)
+                           for t in tok_lists if t])
+    hits = np.isin(allt, np.asarray(sorted(vocab), dtype=object))
+    nz = lens > 0
+    offs = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+    out[nz] = np.add.reduceat(hits.astype(np.int64), offs)
+    return out
 
 
 def langid_batch(batch: pa.Table) -> pa.Table:
-    """-> adds pred_lang:string. Vectorized per batch over token lists."""
-    toks = tokenize_batch(batch.column("text").to_pylist())
-    preds = []
-    for ts in toks:
-        scores = {lang: 0 for lang in _LANG_ORDER}
-        for t in ts:
-            for lang, markers in LANG_MARKERS.items():
-                if t in markers:
-                    scores[lang] += 1
-            if _is_cjk(t):
-                scores["ja"] += 1
-        best = max(scores.values())
-        pred = "unknown" if best == 0 else min(
-            l for l, s in scores.items() if s == best)
-        preds.append(pred)
-    return batch.append_column("pred_lang", pa.array(preds, pa.string()))
+    """-> adds pred_lang:string.  Marker scoring is one np.isin per
+    language over the concatenated token array; the CJK vote is an RE2
+    char-class count (CJK chars tokenize to unigrams, so tokens whose
+    first char is CJK == CJK chars in the lowercased text)."""
+    import pyarrow.compute as pc
+    texts = batch.column("text").to_pylist()
+    toks = tokenize_batch(texts)
+    score_mat = np.stack(
+        [_per_doc_isin_counts(toks, LANG_MARKERS[l])
+         for l in sorted(LANG_MARKERS)], axis=1)
+    lower = pc.utf8_lower(pa.array(texts, pa.large_string()))
+    cjk = pc.count_substring_regex(
+        lower, "[぀-ヿ㐀-䶿一-鿿]").to_numpy(zero_copy_only=False)
+    score_mat = np.concatenate([score_mat, cjk[:, None]], axis=1)
+    best = score_mat.max(axis=1)
+    pred_idx = score_mat.argmax(axis=1)  # first max = alphabetical min
+    langs = np.asarray(_LANG_ORDER, dtype=object)
+    preds = np.where(best == 0, "unknown", langs[pred_idx])
+    return batch.append_column(
+        "pred_lang", pa.array(preds.tolist(), pa.string()))
 
 
 # ---------------------------------------------------------------------------
@@ -68,23 +100,29 @@ STOPSET = LANG_MARKERS["en"]
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
-    """-> (.. n_tokens, stopword_ratio, alnum_ratio) rounded to 6 dp so
-    the engine and the SQL oracle agree bit-for-bit after rounding."""
+    """-> (.. n_tokens, stopword_ratio_ppm, alnum_ratio_ppm).
+
+    Ratios are emitted as INTEGER parts-per-million (micro_units) so the
+    driver's value hash never compares rounded floats; the alnum count is
+    an RE2 ``[\\pL\\pN]`` match count (pyarrow C++ kernel) — the exact
+    regex family the DuckDB oracle uses."""
+    import pyarrow.compute as pc
     texts = batch.column("text").to_pylist()
     toks = tokenize_batch(texts)
-    n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
-    stop = np.array([sum(1 for x in t if x in STOPSET) for t in toks],
-                    dtype=np.float64)
-    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
-    alnum = np.array([sum(1 for ch in t if ch.isalnum()) for t in texts],
-                     dtype=np.float64)
+    n_tokens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+    stop = _per_doc_isin_counts(toks, STOPSET).astype(np.float64)
+    text_arr = pa.array(texts, pa.large_string())
+    n_chars = pc.utf8_length(text_arr).to_numpy(zero_copy_only=False)
+    alnum = pc.count_substring_regex(
+        text_arr, r"[\pL\pN]").to_numpy(zero_copy_only=False).astype(np.float64)
     denom_t = np.maximum(n_tokens, 1).astype(np.float64)
     denom_c = np.maximum(n_chars, 1).astype(np.float64)
     out = batch.append_column("n_tokens", pa.array(n_tokens))
-    out = out.append_column("stopword_ratio",
-                            pa.array(np.round(stop / denom_t, 6)))
-    out = out.append_column("alnum_ratio",
-                            pa.array(np.round(alnum / denom_c, 6)))
+    out = out.append_column("stopword_ratio_ppm",
+                            pa.array(micro_units(stop / denom_t)))
+    out = out.append_column("alnum_ratio_ppm",
+                            pa.array(micro_units(alnum / denom_c)))
     return out
 
 

@@ -136,6 +136,17 @@ def test_dedup_kept_earliest(built):
     assert len(urls) == len(set(urls)) == len(exp)
 
 
+def test_duplicate_losers_distributed_branch(unit_webtext):
+    """Force the distributed-groupby branch (driver_threshold=0) and
+    assert it returns the same loser map as the driver-side branch —
+    covers the datetime64[us] conversion path."""
+    from engine.build import duplicate_losers
+    keys = ray.data.read_parquet(unit_webtext, columns=["url", "warc_ts"])
+    drv = duplicate_losers(keys, num_partitions=4)
+    dist = duplicate_losers(keys, num_partitions=4, driver_threshold=0)
+    assert drv and dist == drv
+
+
 def test_join_dedup_equals_broadcast(e2e_webtext, tmp_path_factory):
     """The distributed left_semi-join dedup path produces a
     bit-identical index to the broadcast-filter path (same part

@@ -80,16 +80,26 @@ def test_simhash_identical_and_near(corpus):
 
 
 def test_ngram_jaccard_adjacent(corpus):
-    out = ngram_jaccard_adjacent(_ds(corpus))
+    out = (ngram_jaccard_adjacent(_ds(corpus)).to_pandas()
+           .sort_values("id_a").reset_index(drop=True))
     assert len(out) == len(corpus) - 1
-    j01 = out[(out["id_a"] == 0)]["jaccard"].iloc[0]
-    assert j01 == 1.0      # identical adjacent docs
+    j01 = out[(out["id_a"] == 0)]["jaccard_ppm"].iloc[0]
+    assert j01 == 1_000_000      # identical adjacent docs
     # spot-check one value against brute force
     t4 = set(shingle_hashes(tokenize(corpus["text"][4])).tolist())
     t5 = set(shingle_hashes(tokenize(corpus["text"][5])).tolist())
-    want = round(len(t4 & t5) / len(t4 | t5), 6)
-    got = out[(out["id_a"] == 4)]["jaccard"].iloc[0]
-    assert got == pytest.approx(want, abs=2e-6)
+    want = int(round(len(t4 & t5) / len(t4 | t5) * 1e6))
+    got = out[(out["id_a"] == 4)]["jaccard_ppm"].iloc[0]
+    assert abs(got - want) <= 1
+
+
+def test_ngram_jaccard_bucket_boundary(corpus):
+    """Pairs that straddle a bucket boundary survive via the overlap copy."""
+    a = (ngram_jaccard_adjacent(_ds(corpus)).to_pandas()
+         .sort_values("id_a").reset_index(drop=True))
+    b = (ngram_jaccard_adjacent(_ds(corpus), bucket_width=4).to_pandas()
+         .sort_values("id_a").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_determinism_across_parallelism(corpus):

@@ -43,10 +43,20 @@ def test_quality_ratios():
     out = quality_batch(_tbl(["the cat. THE dog!", ""])).to_pylist()
     r = out[0]
     assert r["n_tokens"] == 4
-    assert r["stopword_ratio"] == pytest.approx(0.5)
+    assert r["stopword_ratio_ppm"] == 500000
     alnum = sum(ch.isalnum() for ch in "the cat. THE dog!")
-    assert r["alnum_ratio"] == pytest.approx(round(alnum / 17, 6))
-    assert out[1]["n_tokens"] == 0 and out[1]["stopword_ratio"] == 0.0
+    assert r["alnum_ratio_ppm"] == int(round(alnum / 17 * 1e6))
+    assert out[1]["n_tokens"] == 0 and out[1]["stopword_ratio_ppm"] == 0
+
+
+def test_micro_units_half_away_ties():
+    from engine.textstats import micro_units
+    # 105/128 = 0.8203125 -> 820312.5: half-away gives ...313 (DuckDB),
+    # np.round's half-even gave ...312 (the round-1 hash flake)
+    assert micro_units(np.array([105 / 128]))[0] == 820313
+    assert micro_units(np.array([1 / 128]))[0] == 7813
+    assert micro_units(np.array([-105 / 128]))[0] == -820313
+    assert micro_units(np.array([0.0]))[0] == 0
 
 
 def test_token_counts():
