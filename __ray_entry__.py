@@ -59,8 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stats": d.q_index_stats,                   # rows-only
         # dedup family (D1/D3 extensions)
         "dedup_exact": d.q_dedup_exact,
-        "minhash_candidates": d.q_minhash_candidates,     # rows-only
-        "simhash": d.q_simhash,                           # rows-only
+        "minhash_candidates": d.q_minhash_candidates,     # md5-mode oracle
+        "simhash": d.q_simhash,                           # md5-mode oracle
         "ngram_jaccard_adjacent": d.q_ngram_jaccard_adjacent,
         # similarity search over embeddings
         "knn_cosine": d.q_knn_cosine,
@@ -71,15 +71,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": d.q_langid,
         "quality": d.q_quality,
         "token_counts": d.q_token_counts,
-        "fingerprints": d.q_fingerprints,                 # rows-only
+        "fingerprints": d.q_fingerprints,                 # md5-mode oracle
         # chunking (M2/M3 + A7 semantic)
         "chunks_fixed": d.q_chunks_fixed,
         "chunks_markdown": d.q_chunks_markdown,           # rows-only
         "chunks_semantic": d.q_chunks_semantic,           # rows-only
         # embedding actor pool + rerank + hybrid (A1-A5, RRF)
-        "embed_knn": d.q_embed_knn,                       # rows-only
-        "rerank_topk": d.q_rerank_topk,                   # rows-only
-        "hybrid_rrf": d.q_hybrid_rrf,                     # rows-only
+        "embed_knn": d.q_embed_knn,                       # md5-mode oracle
+        "rerank_topk": d.q_rerank_topk,                   # md5-mode oracle
+        "hybrid_rrf": d.q_hybrid_rrf,                     # md5-mode oracle
         # multimodal actor-pool stages (stubbed decode, real plumbing)
         "image_features": d.q_image_features,             # rows-only
         "frame_samples": d.q_frame_samples,               # rows-only
@@ -87,6 +87,238 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": d.q_events_hourly,
         "events_sessions": d.q_events_sessions,
     }
+
+
+# ---------------------------------------------------------------------------
+# SQL builders for the md5-mode sketch oracles.
+#
+# The engine's MinHash / SimHash / fingerprint / hashing-embedder contract
+# entries run in hash_fn="md5" mode: token/shingle hashes equal DuckDB's
+# md5_number_lower (little-endian uint64 of md5 bytes 8..16), so every
+# sketch is reproducible in SQL.  numpy's uint64 arithmetic wraps mod 2^64;
+# the SQL mirrors that wrap exactly in HUGEINT (split-multiply below).
+# ---------------------------------------------------------------------------
+
+_W64 = 1 << 64          # 18446744073709551616
+_M61 = (1 << 61) - 1    # minhash Mersenne modulus (engine/dedup.py)
+_EMPTY_SIG = (1 << 63) - 1  # engine signature for shingle-less docs
+
+
+def _mulmod64(x: str, c: str) -> str:
+    """SQL expr: (x * c) mod 2^64 without HUGEINT overflow, any x,c < 2^64.
+    x = hi*2^32 + lo  ->  (lo*c + ((hi*c) mod 2^32)*2^32) mod 2^64."""
+    X, C = f"CAST({x} AS HUGEINT)", f"CAST({c} AS HUGEINT)"
+    return (f"((({X}) % 4294967296) * ({C})"
+            f" + (((({X}) // 4294967296) * ({C})) % 4294967296)"
+            f" * 4294967296) % {_W64}")
+
+
+def _minhash_sql() -> str:
+    import numpy as np
+    rng = np.random.default_rng(77)  # _perm_params(64, seed=77)
+    a = rng.integers(1, _M61, size=64, dtype=np.uint64)
+    b = rng.integers(0, _M61, size=64, dtype=np.uint64)
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})"
+                          for i in range(64))
+    # engine: vals = (a * (h & M61) + b) wrapped mod 2^64, then % M61;
+    # a, h&M61 < 2^61 so a*h < 2^122 fits HUGEINT directly
+    val = (f"((CAST(pm.a AS HUGEINT) * hm.h) % {_W64} + pm.b)"
+           f" % {_W64} % {_M61}")
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        sh0 AS (SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN []
+                     WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                         for i in range(1, len(toks) - 1)])
+                END AS s
+                FROM t),
+        shg AS (SELECT doc_id, unnest(s) AS sh FROM sh0),
+        hm AS (SELECT doc_id, md5_number_lower(sh) & {_M61} AS h FROM shg),
+        pm(perm, a, b) AS (SELECT * FROM (VALUES {perm_rows})),
+        sigv AS (SELECT hm.doc_id, pm.perm, min({val}) AS sv
+                 FROM hm CROSS JOIN pm GROUP BY 1, 2),
+        scaffold AS (SELECT d.doc_id, pm.perm FROM
+                     (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN pm),
+        sigf AS (SELECT s.doc_id, s.perm,
+                        coalesce(g.sv, {_EMPTY_SIG}) AS sv
+                 FROM scaffold s LEFT JOIN sigv g
+                   ON g.doc_id = s.doc_id AND g.perm = s.perm),
+        bh AS (SELECT doc_id, perm // 4 AS band,
+                      md5_number_lower(string_agg(CAST(sv AS VARCHAR), '-'
+                                                  ORDER BY perm)) AS h
+               FROM sigf GROUP BY 1, 2)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bh a JOIN bh b
+          ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id"""
+
+
+def _simhash_sql() -> str:
+    # 63-bit code: bit i set iff sum over unique terms of ±tf > 0, sign
+    # from bit i of the term's md5 hash (engine/dedup.py simhash_batch)
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        hb AS (SELECT doc_id, md5_number_lower(term) AS h, tf FROM tf),
+        bits AS (SELECT doc_id, i,
+                        sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s
+                 FROM hb CROSS JOIN (SELECT unnest(range(63)) AS i)
+                 GROUP BY 1, 2),
+        code AS (SELECT doc_id,
+                        sum(CASE WHEN s > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                            ELSE 0 END) AS simhash
+                 FROM bits GROUP BY 1)
+        SELECT d.doc_id, CAST(coalesce(c.simhash, 0) AS BIGINT) AS simhash
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN code c USING (doc_id)"""
+
+
+def _fingerprint_sql() -> str:
+    # polynomial rolling hash over md5 token hashes, window w=min(n,8),
+    # powers of 1000003 wrapped mod 2^64 (engine/textstats.py)
+    powers = [pow(1000003, k, _W64) for k in range(8)]
+    pcase = ("CASE b.i - a.i " +
+             " ".join(f"WHEN {k} THEN {powers[k]}" for k in range(8)) +
+             " END")
+    term = _mulmod64("b.h", pcase)
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        tokh AS (SELECT doc_id, md5_number_lower(unnest(toks)) AS h,
+                        generate_subscripts(toks, 1) AS i,
+                        len(toks) AS n
+                 FROM t),
+        win AS (SELECT a.doc_id, a.i AS j,
+                       sum({term}) % {_W64} AS rh
+                FROM tokh a JOIN tokh b
+                  ON b.doc_id = a.doc_id
+                 AND b.i >= a.i AND b.i < a.i + least(a.n, 8)
+                WHERE a.i <= a.n - least(a.n, 8) + 1
+                GROUP BY 1, 2),
+        fpx AS (SELECT doc_id,
+                       CAST(min(rh) % 9223372036854775808 AS BIGINT)
+                           AS fingerprint
+                FROM win GROUP BY 1)
+        SELECT d.doc_id, coalesce(f.fingerprint, 0) AS fingerprint
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN fpx f USING (doc_id)"""
+
+
+def _embed_cte(doc_filter: str = "") -> str:
+    """CTE block computing the md5 hashing-trick document embeddings:
+    e(doc_id, b, ev) = single-L2-normalized 64-dim vectors, and
+    rn(doc_id, n2) = the re-normalization the knn path applies."""
+    return f"""
+        te AS (SELECT doc_id, {_TOK} AS toks FROM documents {doc_filter}),
+        toke AS (SELECT doc_id, unnest(toks) AS term FROM te),
+        tfe AS (SELECT doc_id, term, count(*) AS tf FROM toke GROUP BY 1, 2),
+        hbe AS (SELECT doc_id, md5_number_lower(term) AS h, tf FROM tfe),
+        vb AS (SELECT doc_id, CAST(h % 64 AS INT) AS b,
+                      sum(CASE WHEN (h >> 63) & 1 = 1
+                          THEN -tf ELSE tf END) AS v
+               FROM hbe GROUP BY 1, 2),
+        nrm AS (SELECT doc_id, sqrt(sum(CAST(v AS DOUBLE) ** 2)) AS n1
+                FROM vb GROUP BY 1),
+        e AS (SELECT vb.doc_id, b, CAST(v AS DOUBLE) / n1 AS ev
+              FROM vb JOIN nrm USING (doc_id)),
+        rn AS (SELECT doc_id, sqrt(sum(ev ** 2)) AS n2 FROM e GROUP BY 1)"""
+
+
+def _query_vec_values() -> tuple[str, str]:
+    """(single-normalized, re-normalized) query-vector VALUES rows for
+    BM25_QUERY under the md5 hashing embedder — only nonzero buckets."""
+    import numpy as np
+    from engine.embed import HashingEmbedder
+    q1 = HashingEmbedder(dim=64, hash_fn="md5").embed_texts(
+        ["hash join table"])[0]
+    qq = q1 / np.linalg.norm(q1)
+    # repr(float) = shortest round-trip decimal -> DuckDB parses back to
+    # the bit-identical double
+    rows1 = ", ".join(f"({i}, {float(q1[i])!r})"
+                      for i in range(64) if q1[i] != 0)
+    rows2 = ", ".join(f"({i}, {float(qq[i])!r})"
+                      for i in range(64) if qq[i] != 0)
+    return rows1, rows2
+
+
+def _embed_knn_sql() -> str:
+    _, rows2 = _query_vec_values()
+    return f"""
+        WITH {_embed_cte()},
+        q(b, qv) AS (SELECT * FROM (VALUES {rows2})),
+        dot AS (SELECT e.doc_id, sum(ev * qv) AS d
+                FROM e JOIN q ON e.b = q.b GROUP BY 1)
+        SELECT dot.doc_id,
+               CAST(round(d / n2 * 1e6) AS BIGINT) AS cos_ppm
+        FROM dot JOIN rn USING (doc_id)
+        ORDER BY d / n2 DESC, dot.doc_id LIMIT 10"""
+
+
+def _bm25_sc_cte(terms_sql: str, k1: float, b: float) -> str:
+    """CTE block ending in sc(doc_id, score) — exhaustive BM25."""
+    return f"""
+        toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN {terms_sql} GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({k1} + 1)
+                     / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))
+                 ) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+               CROSS JOIN st
+          GROUP BY tf.doc_id)"""
+
+
+def _rerank_sql(k1: float, b: float) -> str:
+    rows1, _ = _query_vec_values()
+    return f"""
+        WITH {_bm25_sc_cte("('hash','join','table')", k1, b)},
+        cand AS (SELECT doc_id FROM sc
+                 ORDER BY score DESC, doc_id LIMIT 20),
+        {_embed_cte("WHERE doc_id IN (SELECT doc_id FROM cand)")},
+        q1(b, qv) AS (SELECT * FROM (VALUES {rows1})),
+        raw AS (SELECT e.doc_id, sum(ev * qv) AS r
+                FROM e JOIN q1 ON e.b = q1.b GROUP BY 1),
+        sg AS (SELECT c.doc_id,
+                      coalesce(1.0 / (1.0 + exp(-raw.r)), 0.5) AS score
+               FROM cand c LEFT JOIN raw USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id,
+               CAST(round(score * 1e6) AS BIGINT) AS score_ppm
+        FROM sg"""
+
+
+def _hybrid_rrf_sql(k1: float, b: float) -> str:
+    _, rows2 = _query_vec_values()
+    return f"""
+        WITH {_bm25_sc_cte("('hash','join','table')", k1, b)},
+        bm10 AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS BIGINT) AS rnk
+                 FROM sc ORDER BY score DESC, doc_id LIMIT 10),
+        {_embed_cte()},
+        q(b, qv) AS (SELECT * FROM (VALUES {rows2})),
+        dot AS (SELECT e.doc_id, sum(ev * qv) AS d
+                FROM e JOIN q ON e.b = q.b GROUP BY 1),
+        kn10 AS (SELECT dot.doc_id,
+                        CAST(row_number() OVER (ORDER BY d / n2 DESC,
+                                                dot.doc_id)
+                             AS BIGINT) AS rnk
+                 FROM dot JOIN rn USING (doc_id)
+                 ORDER BY d / n2 DESC, dot.doc_id LIMIT 10),
+        u AS (SELECT doc_id, 1.0 / (60 + rnk) AS s FROM bm10
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rnk) FROM kn10),
+        f AS (SELECT doc_id, sum(s) AS rrf FROM u GROUP BY 1)
+        SELECT doc_id, CAST(round(rrf * 1e6) AS BIGINT) AS rrf_score_ppm
+        FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -297,7 +529,14 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro
             FROM s GROUP BY user_id, session_id""",
-        # minhash_candidates / simhash / fingerprints: deterministic
-        # SipHash-based sketches, not expressible in ANSI SQL -> driver
-        # rows-only check; pytest verifies them against brute force.
+
+        # md5-mode sketch oracles (engine runs these entries with
+        # hash_fn="md5" so the sketch arithmetic is SQL-reproducible;
+        # the SipHash default is the same code path, pytest-verified)
+        "minhash_candidates": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "fingerprints": _fingerprint_sql(),
+        "embed_knn": _embed_knn_sql(),
+        "rerank_topk": _rerank_sql(k1, b),
+        "hybrid_rrf": _hybrid_rrf_sql(k1, b),
     }

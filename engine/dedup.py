@@ -24,7 +24,7 @@ import pyarrow as pa
 
 import ray.data
 
-from engine.tokenize import stable_hash64, tokenize_batch
+from engine.tokenize import HASH_FNS, stable_hash64, tokenize_batch
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -73,7 +73,8 @@ def _perm_params(n_perm: int, seed: int = 77) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+def shingle_hashes(tokens: list[str], k: int = 3,
+                   hash_fn: str = "sip") -> np.ndarray:
     """k-token shingle strings -> unique 64-bit hashes."""
     if len(tokens) < k:
         shingles = [" ".join(tokens)] if tokens else []
@@ -81,7 +82,7 @@ def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
         shingles = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
     if not shingles:
         return np.array([], dtype=np.uint64)
-    return np.unique(stable_hash64(np.asarray(shingles, dtype=object)))
+    return np.unique(HASH_FNS[hash_fn](np.asarray(shingles, dtype=object)))
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -133,28 +134,45 @@ def minhash_bands(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "sip",
+    band_mode: str = "splitmix",
 ) -> "ray.data.Dataset":
     """-> exploded (band, band_hash, doc_id) rows — the LSH index table.
     groupby((band, band_hash)) downstream yields candidate groups.
     Fully vectorized per batch: one signature matrix, then a splitmix64
-    column mix per band (no per-doc Python loop)."""
+    column mix per band (no per-doc Python loop).
+
+    ``hash_fn="md5"`` + ``band_mode="md5str"`` is the oracle-parity
+    configuration: shingles hashed like DuckDB md5_number_lower and the
+    band combiner = md5 of the '-'-joined signature slice — both
+    reproducible in SQL, so the driver can check candidate pairs
+    exactly.  Same signature/banding code path either way."""
     assert n_perm % bands == 0
     r = n_perm // bands
     a, b = _perm_params(n_perm)
+    hasher = HASH_FNS[hash_fn]
 
     def to_bands(batch: pa.Table) -> pa.Table:
         toks = tokenize_batch(batch.column(text_col).to_pylist())
         ids = batch.column(id_col).to_numpy().astype(np.int64)
-        sig = batch_signatures([shingle_hashes(ts, shingle_k)
+        sig = batch_signatures([shingle_hashes(ts, shingle_k, hash_fn)
                                 for ts in toks], a, b)
         n_docs = ids.size
         bh = np.empty((bands, n_docs), dtype=np.uint64)
-        for bi in range(bands):
-            h = np.full(n_docs, np.uint64(0x2545F4914F6CDD1D),
-                        dtype=np.uint64) ^ np.uint64(bi)
-            for c in range(bi * r, (bi + 1) * r):
-                h = _splitmix64(h ^ sig[:, c])
-            bh[bi] = h
+        if band_mode == "md5str":
+            for bi in range(bands):
+                sl = sig[:, bi * r:(bi + 1) * r]
+                keys = np.asarray(
+                    ["-".join(str(int(v)) for v in row) for row in sl],
+                    dtype=object)
+                bh[bi] = hasher(keys)
+        else:
+            for bi in range(bands):
+                h = np.full(n_docs, np.uint64(0x2545F4914F6CDD1D),
+                            dtype=np.uint64) ^ np.uint64(bi)
+                for c in range(bi * r, (bi + 1) * r):
+                    h = _splitmix64(h ^ sig[:, c])
+                bh[bi] = h
         return pa.table({
             "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32),
                                        n_docs)),
@@ -174,6 +192,8 @@ def minhash_candidates(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "sip",
+    band_mode: str = "splitmix",
 ) -> pd.DataFrame:
     """LSH candidate pairs -> DataFrame(id_a, id_b) distinct, id_a<id_b.
 
@@ -183,7 +203,8 @@ def minhash_candidates(
     the band hash (fixed count), and equal-key runs inside each bucket
     are found vectorized after one lexsort — same result, 64 groups.
     """
-    band_rows = minhash_bands(docs, n_perm, bands, shingle_k, id_col, text_col)
+    band_rows = minhash_bands(docs, n_perm, bands, shingle_k, id_col,
+                              text_col, hash_fn, band_mode)
     n_buckets = 64
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -278,10 +299,13 @@ def verify_jaccard(
 # simhash
 # ---------------------------------------------------------------------------
 
-def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def simhash_batch(batch: pa.Table, text_col: str = "text",
+                  hash_fn: str = "sip") -> pa.Table:
     """-> adds simhash:int64 — 64-bit weighted sign sketch over token
-    hashes (tf-weighted).  Hamming-close simhashes = near-dup candidates."""
+    hashes (tf-weighted).  Hamming-close simhashes = near-dup candidates.
+    ``hash_fn="md5"`` = oracle-parity mode (md5_number_lower in SQL)."""
     toks = tokenize_batch(batch.column(text_col).to_pylist())
+    hasher = HASH_FNS[hash_fn]
     shifts = np.arange(64, dtype=np.uint64)
     out = []
     for ts in toks:
@@ -290,7 +314,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             continue
         uniq, counts = np.unique(np.asarray(ts, dtype=object),
                                  return_counts=True)
-        h = stable_hash64(uniq)
+        h = hasher(uniq)
         bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.float64)
         acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
         code = ((acc > 0).astype(np.uint64) << shifts).sum()

@@ -182,12 +182,18 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 
 def q_minhash_candidates(sf_dir: str) -> pd.DataFrame:
-    return dedup_ops.minhash_candidates(documents_ds(sf_dir))
+    """Oracle-parity configuration: md5 shingle hashes + md5-of-string
+    band combiner, both reproduced exactly in the DuckDB oracle SQL.
+    Same signature/banding code path as the (faster) SipHash default."""
+    return dedup_ops.minhash_candidates(documents_ds(sf_dir),
+                                        hash_fn="md5", band_mode="md5str")
 
 
 def q_simhash(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        return dedup_ops.simhash_batch(t, hash_fn="md5")
     return documents_ds(sf_dir).map_batches(
-        dedup_ops.simhash_batch, batch_format="pyarrow"
+        f, batch_format="pyarrow"
     ).select_columns(["doc_id", "simhash"])
 
 
@@ -255,8 +261,10 @@ def q_token_counts(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        return textstats.fingerprint_batch(t, hash_fn="md5")
     return documents_ds(sf_dir).map_batches(
-        textstats.fingerprint_batch, batch_format="pyarrow"
+        f, batch_format="pyarrow"
     ).select_columns(["doc_id", "fingerprint"])
 
 
@@ -310,21 +318,30 @@ EMBED_DIM = 64
 
 
 def _doc_embeddings(sf_dir: str):
+    """Contract embeddings: md5 hash mode + float64 storage — the
+    oracle-parity configuration (DuckDB reproduces md5_number_lower
+    hashing-trick vectors in doubles; f32 storage would add ~1e-6
+    quantization noise the 6-dp value hash cannot absorb)."""
     from engine.embed import embed_documents
     return embed_documents(documents_ds(sf_dir), dim=EMBED_DIM,
-                           concurrency=2, batch_size=256)
+                           concurrency=2, batch_size=256,
+                           hash_fn="md5", out_dtype="float64")
 
 
 def q_embed_knn(sf_dir: str) -> pd.DataFrame:
     """Text-query kNN over actor-pool hashing embeddings of documents
-    -> (doc_id, cos) top 10.  Deterministic; pytest-verified vs brute
-    force (not SQL-expressible -> rows-only driver check)."""
+    -> (doc_id, cos_ppm) top 10, oracle-checked via the md5 hash mode."""
     from engine.embed import HashingEmbedder
-    q = HashingEmbedder(dim=EMBED_DIM).embed_texts([BM25_QUERY])[0]
+    from engine.textstats import micro_units
+    q = HashingEmbedder(dim=EMBED_DIM,
+                        hash_fn="md5").embed_texts([BM25_QUERY])[0]
     out = sim_ops.knn_cosine(_doc_embeddings(sf_dir), q[None, :], [-1],
-                             k=10, id_col="doc_id", vec_col="embedding")
+                             k=10, id_col="doc_id", vec_col="embedding",
+                             round_dp=None)
     return pd.DataFrame({"doc_id": out["vec_id"].astype(np.int64),
-                         "cos": out["cos"]})
+                         "cos_ppm": pd.Series(
+                             micro_units(out["cos"].to_numpy()),
+                             dtype=np.int64)})
 
 
 def q_rerank_topk(sf_dir: str) -> pd.DataFrame:
@@ -340,13 +357,15 @@ def q_rerank_topk(sf_dir: str) -> pd.DataFrame:
                         columns=["doc_id", "text"])
     texts = dict(zip(tab.column("doc_id").to_pylist(),
                      tab.column("text").to_pylist()))
-    ranked = Reranker(dim=EMBED_DIM).rerank(
+    ranked = Reranker(dim=EMBED_DIM, hash_fn="md5").rerank(
         BM25_QUERY, [(d, texts[d]) for d in ids])
+    from engine.textstats import micro_units
     return pd.DataFrame({
         "rank": pd.Series([r for r, _, _ in ranked], dtype=np.int64),
         "doc_id": pd.Series([d for _, d, _ in ranked], dtype=np.int64),
-        "score": pd.Series([round(s, 6) for _, _, s in ranked],
-                           dtype=np.float64),
+        "score_ppm": pd.Series(
+            micro_units(np.array([s for _, _, s in ranked])),
+            dtype=np.int64),
     })
 
 
@@ -354,13 +373,15 @@ def q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
     """Hybrid retrieval: RRF fusion of BM25 top-k and embedding-kNN
     top-k (reference /root/reference/examples/hybridsearch.py:64-77)."""
     from engine.embed import rrf_fuse
+    from engine.textstats import micro_units
     bm25_ids = [d for d, _ in docs_index(sf_dir).search(BM25_QUERY, k=10)]
     knn_ids = q_embed_knn(sf_dir)["doc_id"].tolist()
     fused = rrf_fuse([bm25_ids, knn_ids], k=10)
     return pd.DataFrame({
         "doc_id": pd.Series([d for d, _ in fused], dtype=np.int64),
-        "rrf_score": pd.Series([round(s, 6) for _, s in fused],
-                               dtype=np.float64),
+        "rrf_score_ppm": pd.Series(
+            micro_units(np.array([s for _, s in fused])),
+            dtype=np.int64),
     })
 
 

@@ -35,9 +35,17 @@ class HashingEmbedder:
     """
 
     def __init__(self, dim: int = 64, id_col: str = "doc_id",
-                 text_col: str = "text", out_col: str = "embedding"):
+                 text_col: str = "text", out_col: str = "embedding",
+                 hash_fn: str = "sip", out_dtype: str = "float32"):
+        from engine.tokenize import HASH_FNS
         self.dim = np.uint64(dim)
         self.id_col, self.text_col, self.out_col = id_col, text_col, out_col
+        self.hasher = HASH_FNS[hash_fn]
+        # float32 is the storage default (vector-index convention);
+        # "float64" is the oracle-parity mode — DuckDB computes the
+        # check in doubles, and f32 quantization noise (~1e-6 on a
+        # 64-dim cosine) would swamp the 6-dp value hash
+        self.out_dtype = out_dtype
 
     def embed_texts(self, texts: list[str]) -> np.ndarray:
         """-> (n, dim) float64, L2-normalized rows."""
@@ -48,7 +56,7 @@ class HashingEmbedder:
                 continue
             uniq, counts = np.unique(np.asarray(ts, dtype=object),
                                      return_counts=True)
-            h = stable_hash64(uniq)
+            h = self.hasher(uniq)
             bucket = (h % self.dim).astype(np.int64)
             sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
             np.add.at(out[i], bucket, sign * counts)
@@ -58,20 +66,23 @@ class HashingEmbedder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = self.embed_texts(batch.column(self.text_col).to_pylist())
+        pa_type = pa.float64() if self.out_dtype == "float64" else pa.float32()
         col = pa.FixedSizeListArray.from_arrays(
-            pa.array(vecs.ravel(), pa.float32()), int(self.dim))
+            pa.array(vecs.ravel(), pa_type), int(self.dim))
         return batch.append_column(self.out_col, col)
 
 
 def embed_documents(docs, dim: int = 64, concurrency: int = 4,
                     batch_size: int = 256, id_col: str = "doc_id",
-                    text_col: str = "text"):
-    """Dataset -> Dataset with an ``embedding: fixed_size_list<float32>``
+                    text_col: str = "text", hash_fn: str = "sip",
+                    out_dtype: str = "float32"):
+    """Dataset -> Dataset with an ``embedding: fixed_size_list<float>``
     column, computed by an actor pool (stateful stage, SURVEY.md §2.3)."""
     return docs.map_batches(
         HashingEmbedder,
         fn_constructor_kwargs={"dim": dim, "id_col": id_col,
-                               "text_col": text_col},
+                               "text_col": text_col, "hash_fn": hash_fn,
+                               "out_dtype": out_dtype},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
@@ -89,8 +100,8 @@ class Reranker:
     actor slot); sigmoid and rank semantics mirror model.rs:239,253-268.
     """
 
-    def __init__(self, dim: int = 64):
-        self.embedder = HashingEmbedder(dim=dim)
+    def __init__(self, dim: int = 64, hash_fn: str = "sip"):
+        self.embedder = HashingEmbedder(dim=dim, hash_fn=hash_fn)
 
     def score_pairs(self, query: str, texts: list[str]) -> np.ndarray:
         qv = self.embedder.embed_texts([query])[0]

@@ -65,11 +65,14 @@ def knn_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    round_dp: int | None = 6,
 ) -> pd.DataFrame:
     """Brute-force cosine top-k -> DataFrame(query_id, vec_id, cos).
 
     Scale shape: O(corpus) matmuls fan out; only O(k) rows per (batch,
-    query) reach the final merge.  cos rounded to 6 dp (oracle parity).
+    query) reach the final merge.  cos rounded to ``round_dp`` dp
+    (oracle parity); ``round_dp=None`` keeps full precision (callers
+    that re-quantize, e.g. to integer ppm, need the raw value).
     """
     qm = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     q_ref = ray.put(qm)
@@ -100,7 +103,8 @@ def knn_cosine(
     cand = cand.sort_values(["query_id", "cos", "vec_id"],
                             ascending=[True, False, True])
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["cos"] = out["cos"].round(6)
+    if round_dp is not None:
+        out["cos"] = out["cos"].round(round_dp)
     return out
 
 

@@ -168,16 +168,20 @@ def _rolling_hashes(token_hashes: np.ndarray, w: int = _FP_WINDOW) -> np.ndarray
     return (token_hashes[idx] * powers[None, :]).sum(axis=1, dtype=np.uint64)
 
 
-def fingerprint_batch(batch: pa.Table) -> pa.Table:
+def fingerprint_batch(batch: pa.Table, hash_fn: str = "sip") -> pa.Table:
     """-> adds fingerprint:int64 — the minimum rolling-window hash
     (winnowing-style document sketch; equal fingerprints flag likely
-    shared passages)."""
+    shared passages).  ``hash_fn="md5"`` = oracle-parity mode: the
+    token hash and the mod-2^64 polynomial are reproduced in DuckDB
+    (md5_number_lower + HUGEINT split-multiply)."""
+    from engine.tokenize import HASH_FNS
+    hasher = HASH_FNS[hash_fn]
     toks = tokenize_batch(batch.column("text").to_pylist())
     fps = []
     for ts in toks:
         if not ts:
             fps.append(0)
             continue
-        h = stable_hash64(np.asarray(ts, dtype=object))
+        h = hasher(np.asarray(ts, dtype=object))
         fps.append(int(_rolling_hashes(h).min() & np.uint64(0x7FFFFFFFFFFFFFFF)))
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))

@@ -74,6 +74,27 @@ def stable_hash64(values: np.ndarray | list) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+def md5_hash64(values: np.ndarray | list) -> np.ndarray:
+    """64-bit string hash equal to DuckDB's ``md5_number_lower``:
+    little-endian uint64 of md5-digest bytes 8..16.
+
+    Slower than stable_hash64 (one hashlib call per string) but exactly
+    reproducible in ANSI-ish SQL — the hash mode the contract oracles
+    use so MinHash/SimHash/fingerprint/hashing-embedder entries get a
+    REAL DuckDB check instead of a rows-only one.  The engine default
+    stays SipHash (vectorized); both flow through identical downstream
+    code.
+    """
+    import hashlib
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(s).encode("utf-8")).digest()[8:],
+                        "little") for s in values),
+        dtype=np.uint64, count=len(values))
+
+
+HASH_FNS = {"sip": stable_hash64, "md5": md5_hash64}
+
+
 def doc_ids_from_urls(urls: np.ndarray | list) -> np.ndarray:
     """doc_id = hash64(url) masked to int64-positive (Arrow/DuckDB-safe).
 
