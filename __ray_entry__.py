@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn": d.q_embed_knn,                       # md5-mode oracle
         "rerank_topk": d.q_rerank_topk,                   # md5-mode oracle
         "hybrid_rrf": d.q_hybrid_rrf,                     # md5-mode oracle
+        # file-format dispatch: pdf/docx/txt extraction (S1/M4/M6)
+        "file_corpus": d.q_file_corpus,                   # rows-only
         # multimodal actor-pool stages (stubbed decode, real plumbing)
         "image_features": d.q_image_features,             # rows-only
         "frame_samples": d.q_frame_samples,               # rows-only

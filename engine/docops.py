@@ -385,6 +385,62 @@ def q_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
     })
 
 
+# --- file-format corpus (reference S1/M4/M6 dispatch path) ------------------
+
+FILES_FORMAT_VERSION = 1
+
+
+def q_file_corpus(sf_dir: str):
+    """Deterministic synthetic file corpus (pdf/docx/txt/html + one
+    corrupt pdf + one unsupported ext) -> read_text_corpus extraction
+    rows (file, n_chars, head, error).  Exercises the full dispatcher
+    incl. the pure-Python PDF/DOCX extractors; rows-only driver check
+    (extraction is pytest-golden-verified, engine/pdf.py engine/docx.py)."""
+    from engine.pdf import write_simple_pdf
+    from engine.docx import write_simple_docx
+    from engine.sources import read_text_corpus
+
+    seed = int(hashlib.sha256(sf_dir.encode()).hexdigest()[:8], 16) % 10**6
+    root = os.path.join("/tmp", "engine_cache",
+                        f"files-v{FILES_FORMAT_VERSION}-{seed}")
+    if not os.path.isdir(root):
+        rng = np.random.default_rng([seed, 17])
+        vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+        os.makedirs(root + ".tmp", exist_ok=True)
+        for i in range(8):
+            lines = [" ".join(rng.choice(vocab, 5)) for _ in range(20)]
+            with open(os.path.join(root + ".tmp", f"doc{i}.pdf"), "wb") as f:
+                f.write(write_simple_pdf([lines[:10], lines[10:]]))
+        for i in range(4):
+            paras = [(1, f"Doc {i}")] + [
+                " ".join(rng.choice(vocab, 8)) for _ in range(5)]
+            with open(os.path.join(root + ".tmp", f"doc{i}.docx"), "wb") as f:
+                f.write(write_simple_docx(paras))
+        for i in range(4):
+            with open(os.path.join(root + ".tmp", f"doc{i}.txt"), "w") as f:
+                f.write(" ".join(rng.choice(vocab, 40)))
+        with open(os.path.join(root + ".tmp", "broken.pdf"), "wb") as f:
+            f.write(b"not really a pdf")
+        os.rename(root + ".tmp", root)  # atomic: cache never half-built
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        files = pa.array([u.rsplit("/", 1)[-1]
+                          for u in batch.column("url").to_pylist()],
+                         pa.string())
+        return pa.table({
+            "file": files,
+            "n_chars": pc.utf8_length(
+                batch.column("text").cast(pa.large_string())),
+            "head": pc.utf8_slice_codeunits(
+                batch.column("text").cast(pa.large_string()), 0, 32),
+            "error": batch.column("error"),
+        })
+
+    return read_text_corpus(root).map_batches(project,
+                                              batch_format="pyarrow")
+
+
 # --- multimodal actor-pool stages (stubbed decode, real plumbing) -----------
 
 def _assets_ds(sf_dir: str) -> "ray.data.Dataset":

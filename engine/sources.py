@@ -29,12 +29,14 @@ import ray.data
 
 from engine.extract import extract_text
 
-TEXT_EXTENSIONS = ("html", "htm", "md", "txt")
+TEXT_EXTENSIONS = ("html", "htm", "md", "txt", "pdf", "docx")
 
 
 def _dispatch(path: str, data: bytes) -> tuple[str, str]:
     """-> (text, error).  Extension dispatch per the reference's
-    extract_document; unknown extensions mirror its UnsupportedFileType."""
+    extract_document (html M1 / md+txt M2-M3 / pdf M4 / docx M6,
+    /root/reference/rust/src/lib.rs:1199-1234); unknown extensions
+    mirror its UnsupportedFileType."""
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
     try:
         if ext in ("html", "htm"):
@@ -42,6 +44,12 @@ def _dispatch(path: str, data: bytes) -> tuple[str, str]:
         if ext in ("md", "txt"):
             # lossy UTF-8, reference processors/src/processor.rs:18
             return bytes(data).decode("utf-8", errors="replace"), ""
+        if ext == "pdf":
+            from engine.pdf import extract_pdf_text
+            return extract_pdf_text(bytes(data)), ""
+        if ext == "docx":
+            from engine.docx import extract_docx_text
+            return extract_docx_text(bytes(data)), ""
         return "", f"unsupported file type: .{ext}"
     except Exception as e:  # defensive: a bad file must not kill the task
         return "", f"{type(e).__name__}: {e}"
