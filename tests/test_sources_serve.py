@@ -23,7 +23,7 @@ def corpus_dir(tmp_path_factory):
         "<h1>Title here</h1>\n<p>Body <strong>text</strong>.</p></body></html>")
     (d / "b.txt").write_text("plain text body")
     (d / "c.md").write_text("# heading\n\nmd body")
-    (d / "d.pdf").write_bytes(b"%PDF-1.4 not supported")
+    (d / "d.dat").write_bytes(b"binary blob, no dispatcher")
     (d / "bad.txt").write_bytes(b"\xff\xfeinvalid \xff utf8")
     sub = d / "sub"
     sub.mkdir()
@@ -34,8 +34,8 @@ def corpus_dir(tmp_path_factory):
 def test_extension_dispatch(ray_session, corpus_dir):
     out = read_text_corpus(corpus_dir).to_pandas()
     by_name = {os.path.basename(r["url"]): r for _, r in out.iterrows()}
-    # .pdf excluded by the extension filter at the read (reference S1)
-    assert "d.pdf" not in by_name
+    # unknown ext excluded by the extension filter at the read (reference S1)
+    assert "d.dat" not in by_name
     assert by_name["a.html"]["text"] == "# Title here\n\nBody **text**."
     assert by_name["a.html"]["error"] == ""
     assert by_name["b.txt"]["text"] == "plain text body"
@@ -47,10 +47,10 @@ def test_extension_dispatch(ray_session, corpus_dir):
 
 
 def test_unsupported_extension_errors(ray_session, corpus_dir):
-    out = read_text_corpus(corpus_dir, extensions=("txt", "pdf")).to_pandas()
+    out = read_text_corpus(corpus_dir, extensions=("txt", "dat")).to_pandas()
     by_name = {os.path.basename(r["url"]): r for _, r in out.iterrows()}
-    assert by_name["d.pdf"]["text"] == ""
-    assert "unsupported" in by_name["d.pdf"]["error"]
+    assert by_name["d.dat"]["text"] == ""
+    assert "unsupported" in by_name["d.dat"]["error"]
 
 
 def test_incremental_anti_join(ray_session, corpus_dir):
