@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": d.q_minhash_candidates,     # md5-mode oracle
         "simhash": d.q_simhash,                           # md5-mode oracle
         "ngram_jaccard_adjacent": d.q_ngram_jaccard_adjacent,
+        "neardup_dedup": d.q_neardup_dedup,               # md5-mode oracle
         # similarity search over embeddings
         "knn_cosine": d.q_knn_cosine,
         "lsh_knn": d.q_lsh_knn,
@@ -115,7 +116,9 @@ def _mulmod64(x: str, c: str) -> str:
             f" * 4294967296) % {_W64}")
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """CTE block ending in bh(doc_id, band, h) — the md5-mode LSH band
+    table; shared by the minhash_candidates and neardup_dedup oracles."""
     import numpy as np
     rng = np.random.default_rng(77)  # _perm_params(64, seed=77)
     a = rng.integers(1, _M61, size=64, dtype=np.uint64)
@@ -127,7 +130,7 @@ def _minhash_sql() -> str:
     val = (f"((CAST(pm.a AS HUGEINT) * hm.h) % {_W64} + pm.b)"
            f" % {_W64} % {_M61}")
     return f"""
-        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
         sh0 AS (SELECT doc_id,
                 CASE WHEN len(toks) = 0 THEN []
                      WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -149,10 +152,45 @@ def _minhash_sql() -> str:
         bh AS (SELECT doc_id, perm // 4 AS band,
                       md5_number_lower(string_agg(CAST(sv AS VARCHAR), '-'
                                                   ORDER BY perm)) AS h
-               FROM sigf GROUP BY 1, 2)
+               FROM sigf GROUP BY 1, 2)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+        WITH {_minhash_ctes()}
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bh a JOIN bh b
           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id"""
+
+
+def _neardup_sql(threshold: float) -> str:
+    """candidates -> Jaccard verify (string-shingle sets == engine's
+    hash sets, md5 collision-free in practice) -> connected components
+    via recursive min-label propagation -> (doc_id, canonical_id)."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes()},
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bh a JOIN bh b
+                   ON a.band = b.band AND a.h = b.h
+                  AND a.doc_id < b.doc_id),
+        ver AS (SELECT c.id_a, c.id_b
+                FROM cand c
+                JOIN sh0 sa ON sa.doc_id = c.id_a
+                JOIN sh0 sb ON sb.doc_id = c.id_b
+                WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                      / nullif(len(list_distinct(
+                                   list_concat(sa.s, sb.s))), 0)
+                      >= {threshold}),
+        nodes AS (SELECT id_a AS id FROM ver
+                  UNION SELECT id_b FROM ver),
+        edges AS (SELECT id_a AS a, id_b AS b FROM ver
+                  UNION ALL SELECT id_b, id_a FROM ver),
+        cc(id, comp) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.b, cc.comp FROM cc JOIN edges e ON e.a = cc.id)
+        SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
+        FROM cc GROUP BY id"""
 
 
 def _simhash_sql() -> str:
@@ -536,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         # hash_fn="md5" so the sketch arithmetic is SQL-reproducible;
         # the SipHash default is the same code path, pytest-verified)
         "minhash_candidates": _minhash_sql(),
+        "neardup_dedup": _neardup_sql(0.5),
         "simhash": _simhash_sql(),
         "fingerprints": _fingerprint_sql(),
         "embed_knn": _embed_knn_sql(),

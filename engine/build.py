@@ -47,7 +47,6 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from engine import index_io
 from engine.config import EngineConfig, DEFAULT_CONFIG
 from engine.extract import extract_batch
 from engine.metrics import PartMetrics, Timer, sha256_of
@@ -199,13 +198,15 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
 # per-part merge + encode + atomic write (the reduce side of the shuffle)
 # --------------------------------------------------------------------------
 
-def make_part_writer(index_dir: str, cfg: EngineConfig,
+def make_part_writer(sink, cfg: EngineConfig,
                      lineage: dict | None = None,
                      fail_parts: frozenset[int] = frozenset()):
     """Group fn for groupby("part").map_groups: merge partial posting
-    lists into docID-sorted runs, encode, commit the segment atomically,
-    return one metrics row.  ``fail_parts`` is a test hook for the
-    resume test (FIXTURES.md §5 injected failure)."""
+    lists into docID-sorted runs, encode, commit the segment atomically
+    through the ``sink`` (engine.sink.IndexSink — the reference's
+    Adapter.upsert slot, called per partition), return one metrics row.
+    ``fail_parts`` is a test hook for the resume test (FIXTURES.md §5
+    injected failure)."""
     P = cfg.num_parts
 
     def write_part(g: pa.Table) -> pa.Table:
@@ -250,7 +251,7 @@ def make_part_writer(index_dir: str, cfg: EngineConfig,
                         sum_doclen=int(doclens.sum()),
                         checksum=sha256_of(doc_ids.tobytes(), doclens.tobytes()),
                         lineage=lineage or {})
-        index_io.write_docmeta_part(index_dir, dpart, table, m)
+        sink.write_docmeta_part(dpart, table, m)
         return m
 
     def _write_postings(g: pa.Table, part: int) -> PartMetrics:
@@ -310,8 +311,8 @@ def make_part_writer(index_dir: str, cfg: EngineConfig,
                         skip_bytes=len(skips_blob),
                         checksum=sha256_of(postings_blob, skips_blob),
                         lineage=lineage or {})
-        index_io.write_postings_part(index_dir, part, terms_table,
-                                     postings_blob, skips_blob, m)
+        sink.write_postings_part(part, terms_table,
+                                 postings_blob, skips_blob, m)
         return m
 
     return write_part
@@ -329,6 +330,7 @@ def build_index(
     mode: str = "webtext",
     resume: bool = True,
     fail_parts: Iterable[int] = (),
+    sink=None,
 ) -> dict:
     """Run the full build; returns the manifest dict.
 
@@ -345,7 +347,11 @@ def build_index(
     when it does, scope the overrides there.)
     """
     t0 = time.perf_counter()
-    done = index_io.committed_parts(index_dir) if resume else {}
+    if sink is None:
+        from engine.sink import LocalIndexSink
+        sink = LocalIndexSink(index_dir)
+    sink.create_index()
+    done = sink.committed_parts() if resume else {}
     done_postings = frozenset(p for (k, p) in done if k == "postings")
     done_docmeta = frozenset(p for (k, p) in done if k == "docmeta")
     all_done = (len(done_postings) >= cfg.num_parts
@@ -431,7 +437,7 @@ def build_index(
                                       with_url),
                 batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
             )
-            writer = make_part_writer(index_dir, cfg, lineage,
+            writer = make_part_writer(sink, cfg, lineage,
                                       frozenset(fail_parts))
             metrics_rows = (
                 shuffle_payload
@@ -448,4 +454,4 @@ def build_index(
              ctx.min_hash_shuffle_aggregator_wait_time_in_s) = prev
 
     lineage["wall_s"] = round(time.perf_counter() - t0, 3)
-    return index_io.finalize(index_dir, cfg, lineage)
+    return sink.finalize(cfg, lineage)

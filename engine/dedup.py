@@ -255,6 +255,7 @@ def verify_jaccard(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "sip",
 ) -> pd.DataFrame:
     """Exact shingle-Jaccard for candidate pairs -> (id_a, id_b, jaccard)
     filtered to >= threshold.
@@ -274,7 +275,8 @@ def verify_jaccard(
         return pa.table({
             id_col: sub.column(id_col),
             "shingles": pa.array(
-                [shingle_hashes(t, shingle_k).astype(np.int64).tolist()
+                [shingle_hashes(t, shingle_k, hash_fn)
+                 .astype(np.int64).tolist()
                  for t in toks],
                 pa.large_list(pa.int64())),
         })
@@ -386,3 +388,60 @@ def ngram_jaccard_adjacent(
     return (docs.map_batches(rows, batch_format="pyarrow")
             .groupby("bucket").map_groups(pairs, batch_format="pandas")
             .select_columns(["id_a", "id_b", "jaccard_ppm"]))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dup dedup: candidates -> verify -> components -> canonical
+# ---------------------------------------------------------------------------
+
+def neardup_dedup(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "sip",
+    band_mode: str = "splitmix",
+) -> pd.DataFrame:
+    """The operator a training-data user actually runs: MinHash-LSH
+    candidates -> exact Jaccard verify (>= threshold) -> connected
+    components -> (doc_id, canonical_id) for every clustered doc, where
+    canonical = the minimum doc id of the component.  Dropping rows with
+    ``doc_id != canonical_id`` deduplicates the corpus.
+
+    Scale shape: the distributed stages (banding shuffle, bucketed pair
+    extraction, broadcast-semi-join verify) touch the corpus; only the
+    VERIFIED pair list — bounded by the true near-dup rate — reaches the
+    driver, where union-find resolves components in O(pairs α).  For
+    pair sets beyond driver memory the same mapping falls out of
+    iterated min-label propagation (a handful of groupby("id").min()
+    rounds); documented, not built — verified pairs at 10^12 docs with
+    sane thresholds are ~10^9 rows, still driver-feasible sharded.
+    """
+    cand = minhash_candidates(docs, n_perm, bands, shingle_k, id_col,
+                              text_col, hash_fn, band_mode)
+    ver = verify_jaccard(docs, cand, threshold, shingle_k, id_col,
+                         text_col, hash_fn)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(ver["id_a"].astype(int), ver["id_b"].astype(int)):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the canonical deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame({
+        "doc_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "canonical_id": pd.Series([r[1] for r in rows], dtype=np.int64),
+    })

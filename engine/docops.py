@@ -201,6 +201,14 @@ def q_ngram_jaccard_adjacent(sf_dir: str):
     return dedup_ops.ngram_jaccard_adjacent(documents_ds(sf_dir))
 
 
+def q_neardup_dedup(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dup dedup (candidates -> verify -> components ->
+    canonical map) in md5 oracle mode; threshold 0.5 so the synthetic
+    tier actually clusters."""
+    return dedup_ops.neardup_dedup(documents_ds(sf_dir), threshold=0.5,
+                                   hash_fn="md5", band_mode="md5str")
+
+
 # --- similarity search ------------------------------------------------------
 
 def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:

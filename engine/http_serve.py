@@ -1,0 +1,137 @@
+"""HTTP serving surface (reference S9): OpenAI-compatible embeddings +
+health check, plus the engine's own BM25 search endpoint.
+
+Reference: the actix-web server exposes ``GET /health_check`` and
+``POST /v1/embeddings`` with the OpenAI response shape
+{object, data: [{object, index, embedding}], model, usage} and typed
+error bodies {error: {message, type, code}}
+(/root/reference/server/src/lib.rs:142-330).  This module mirrors that
+contract over stdlib ``http.server`` (no web framework in the sandbox):
+
+    GET  /health_check   -> 200 empty
+    POST /v1/embeddings  -> OpenAI embedding response (hashing embedder
+                            stands in for model weights, same slot)
+    POST /v1/search      -> {"hits": [{doc_id, score, url}]} over the
+                            built index (the capability the reference
+                            delegates to external vector DBs)
+
+Production path: the same handlers behind a real ASGI server or
+``ray serve``; this threaded server is the sandbox-complete tier and
+the test surface.  Mixed base64-image input handling (M11) is out of
+scope — text-only, like the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from engine.embed import HashingEmbedder
+from engine.tokenize import tokenize
+
+
+def _error(message: str, etype: str, code: str) -> dict:
+    # reference error shape, server/src/lib.rs ErrorResponse/ErrorDetail
+    return {"error": {"message": message, "type": etype, "code": code}}
+
+
+class EngineHttpServer:
+    """Threaded HTTP front over a warm embedder (+ optional index)."""
+
+    def __init__(self, index_dir: str | None = None, dim: int = 64,
+                 host: str = "127.0.0.1", port: int = 0):
+        self.embedder = HashingEmbedder(dim=dim)
+        self.model_name = f"hashing-{dim}"
+        self.index = None
+        if index_dir is not None:
+            from engine.query import InvertedIndex
+            self.index = InvertedIndex(index_dir)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, status: int, payload: dict | None):
+                body = b"" if payload is None else json.dumps(payload).encode()
+                self.send_response(status)
+                if body:
+                    self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if body:
+                    self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health_check":
+                    self._send(200, None)
+                else:
+                    self._send(404, _error("not found", "invalid_request_error",
+                                           "unknown_route"))
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self._send(400, _error("invalid JSON body",
+                                           "invalid_request_error",
+                                           "bad_json"))
+                    return
+                if self.path == "/v1/embeddings":
+                    self._send(*outer._embeddings(req))
+                elif self.path == "/v1/search":
+                    self._send(*outer._search(req))
+                else:
+                    self._send(404, _error("not found", "invalid_request_error",
+                                           "unknown_route"))
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_port
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+
+    # -- handlers (pure functions of the request dict; unit-testable) -----
+    def _embeddings(self, req: dict) -> tuple[int, dict]:
+        inputs = req.get("input")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        if not inputs:
+            # reference: empty input -> invalid_request_error/empty_input
+            return 400, _error("Input cannot be empty",
+                               "invalid_request_error", "empty_input")
+        if not all(isinstance(x, str) for x in inputs):
+            return 400, _error("Inputs must be strings",
+                               "invalid_request_error", "bad_input_type")
+        vecs = self.embedder.embed_texts(inputs)
+        n_tokens = sum(len(tokenize(t)) for t in inputs)
+        return 200, {
+            "object": "list",
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": [float(v) for v in vecs[i]]}
+                     for i in range(len(inputs))],
+            "model": req.get("model", self.model_name),
+            "usage": {"prompt_tokens": n_tokens, "total_tokens": n_tokens},
+        }
+
+    def _search(self, req: dict) -> tuple[int, dict]:
+        if self.index is None:
+            return 400, _error("no index mounted", "invalid_request_error",
+                               "no_index")
+        query = req.get("query", "")
+        k = int(req.get("k", 10))
+        hits = self.index.search(query, k=k)
+        urls = self.index.url_of([d for d, _ in hits]) if hits else []
+        return 200, {"hits": [
+            {"doc_id": int(d), "score": float(s), "url": u}
+            for (d, s), u in zip(hits, urls)]}
+
+    # -- lifecycle --------------------------------------------------------
+    def start(self) -> int:
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

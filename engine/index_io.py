@@ -146,10 +146,28 @@ def load_manifest(index_dir: str) -> dict:
         return json.load(f)
 
 
-def read_postings_part(index_dir: str, part: int):
-    """-> (terms table, postings bytes, skips bytes) for one segment."""
+def _mmap_readonly(path: str):
+    """Read-only mmap of a file; zero-length files map to b'' (mmap
+    rejects empty mappings).  Slicing a mmap copies only the slice —
+    a term lookup touches just its byte range, not the whole blob."""
+    import mmap
+    size = os.path.getsize(path)
+    if size == 0:
+        return b""
+    with open(path, "rb") as f:
+        return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+
+
+def read_postings_part(index_dir: str, part: int, use_mmap: bool = False):
+    """-> (terms table, postings bytes-like, skips bytes-like) for one
+    segment.  ``use_mmap=True`` maps the blobs instead of reading them:
+    the page cache backs lookups, resident memory tracks the term WORKING
+    SET rather than the segment size — the serving-tier mode."""
     d = part_dir(index_dir, "postings", part)
     terms = pq.read_table(os.path.join(d, "terms.parquet"))
+    if use_mmap:
+        return (terms, _mmap_readonly(os.path.join(d, "postings.bin")),
+                _mmap_readonly(os.path.join(d, "skips.bin")))
     with open(os.path.join(d, "postings.bin"), "rb") as f:
         postings = f.read()
     with open(os.path.join(d, "skips.bin"), "rb") as f:

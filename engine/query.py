@@ -43,15 +43,18 @@ from engine.tokenize import tokenize, stable_hash64
 
 
 class InvertedIndex:
-    """Loads the manifest + docmeta eagerly, term dictionaries lazily.
-
-    At 10^12-doc scale docmeta/postings are sharded across serving
-    actors (one part-range per actor) and postings are read via mmap;
-    this single-process loader holds the same structures in memory.
+    """Loads the manifest + docmeta eagerly, term dictionaries lazily;
+    posting/skip blobs are mmapped by default (a term lookup touches
+    only its byte range — resident memory tracks the query working set,
+    not the segment size).  At 10^12-doc scale the part-range sharding
+    lives in engine.serve.ShardedQueryService (scatter-gather over this
+    same loader); docmeta sharding per actor group is the remaining
+    documented step.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, use_mmap: bool = True):
         self.index_dir = index_dir
+        self.use_mmap = use_mmap  # serving default: page-cache-backed blobs
         self.manifest = index_io.load_manifest(index_dir)
         self.cfg = EngineConfig.from_dict(self.manifest["config"])
         st = self.manifest["stats"]
@@ -80,7 +83,7 @@ class InvertedIndex:
                 self._blob_cache[part] = (b"", b"")
             else:
                 terms, postings, skips = index_io.read_postings_part(
-                    self.index_dir, part)
+                    self.index_dir, part, use_mmap=self.use_mmap)
                 tdict = {}
                 cols = [terms.column(c).to_pylist()
                         for c in ("term", "df", "cf", "post_off", "post_len",

@@ -1,24 +1,41 @@
-"""Distributed query serving: Ray-actor replicas over the built index.
+"""Distributed query serving: Ray-actor replicas + part-range shards.
 
 Reference analog: the actix-web embedding server (S9,
 /root/reference/server/src/lib.rs:142-258) and the `Arc<Embedder>`
-shared-state pattern (/root/reference/rust/src/lib.rs:839).  Here each
-replica is a Ray actor holding a warm ``InvertedIndex`` (term dicts +
-docmeta loaded once in ``__init__``); a thin round-robin front fans
-query batches across replicas.  At 10^12-doc scale the natural sharding
-is part-range per actor group with a scatter-gather front; this module
-implements the replicated (index-fits-per-node) tier and documents the
-sharded tier as the scale path.
+shared-state pattern (/root/reference/rust/src/lib.rs:839).  Two tiers:
 
-The module creates actors only when ``QueryService`` is explicitly
+* ``QueryService`` — N full replicas (index fits per node), round-robin
+  front.  Throughput scales with replicas; memory does not shrink.
+* ``ShardedQueryService`` — the scale tier: the term-partitioned
+  segments are split part-range per shard actor; the front tokenizes,
+  routes each query term to its owning shard (part = hash64(term) %
+  num_parts; shard = part % n_shards), scatter-gathers per-term scored
+  posting arrays and accumulates exactly like the exhaustive DAAT path
+  — bit-identical results to a single-process index (pytest-asserted).
+  Per-shard resident memory = its part range's working set (mmap blobs).
+  Trade-off, stated honestly: term-sharding ships decoded postings of
+  the query terms over the network (bounded by query df, large for
+  stopwords); doc-sharded serving (per-shard top-k, merge k·S rows)
+  is the classic web-search layout and falls out of building S doc-range
+  indexes — the build already supports arbitrary input splits.  Term
+  sharding is the natural fit for THIS index's on-disk layout.
+  Each shard still loads full docmeta (doclens for scoring); sharding
+  docmeta by doc-range per actor group is documented, not built.
+
+The module creates actors only when a service is explicitly
 instantiated — never at import (the driver owns the Ray session).
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 import ray
 
+from engine import index_io
+from engine.config import EngineConfig
 from engine.query import InvertedIndex
+from engine.tokenize import stable_hash64, tokenize
 
 
 @ray.remote
@@ -72,3 +89,112 @@ class QueryService:
         for w in self.workers:
             ray.kill(w)
         self.workers = []
+
+
+# ---------------------------------------------------------------------------
+# sharded tier: part-range shards + scatter-gather front
+# ---------------------------------------------------------------------------
+
+@ray.remote
+class ShardWorker:
+    """Owns a part range of the term-partitioned index.  The wrapped
+    InvertedIndex loads parts lazily, so memory = the warmed range."""
+
+    def __init__(self, index_dir: str):
+        self.idx = InvertedIndex(index_dir)
+
+    def warm(self, parts: list[int]) -> bool:
+        for p in parts:
+            self.idx._load_part(p)
+        return True
+
+    def score_terms(self, terms: list[str]) -> dict:
+        """term -> (doc_ids int64, bm25 scores float64) or None.
+        Decoding + scoring happen shard-side; only scored arrays move."""
+        out = {}
+        for t in terms:
+            ent = self.idx.lookup(t)
+            if ent is None:
+                out[t] = None
+                continue
+            df, pbytes, skips = ent
+            ids, _tfs, s, _pos = self.idx._decode_term(t, df, pbytes, skips)
+            out[t] = (ids, s)
+        return out
+
+
+class ShardedQueryService:
+    """Scatter-gather front over part-range shards (optionally
+    replicated per shard).  Results are bit-identical to a local
+    ``InvertedIndex.search(..., method="daat")`` — the front reproduces
+    its exact accumulation order."""
+
+    def __init__(self, index_dir: str, n_shards: int = 2,
+                 replicas_per_shard: int = 1, num_cpus: float = 1.0):
+        self.manifest = index_io.load_manifest(index_dir)
+        self.cfg = EngineConfig.from_dict(self.manifest["config"])
+        self.n_shards = n_shards
+        self.shards = []
+        for si in range(n_shards):
+            parts = [p for p in range(self.cfg.num_parts)
+                     if p % n_shards == si]
+            replicas = [ShardWorker.options(num_cpus=num_cpus)
+                        .remote(index_dir)
+                        for _ in range(replicas_per_shard)]
+            ray.get([r.warm.remote(parts) for r in replicas])
+            self.shards.append(replicas)
+        self._rr = 0
+
+    def _terms_of(self, query: str) -> list[str]:
+        seen, out = set(), []
+        for t in tokenize(query, self.cfg.cjk_unigrams):
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    def _shard_of(self, term: str) -> int:
+        part = int(stable_hash64(np.array([term], dtype=object))[0]
+                   % np.uint64(self.cfg.num_parts))
+        return part % self.n_shards
+
+    def search(self, query: str, k: int = 10):
+        if k <= 0:
+            return []
+        terms = self._terms_of(query)
+        if not terms:
+            return []
+        by_shard: dict[int, list[str]] = {}
+        for t in terms:
+            by_shard.setdefault(self._shard_of(t), []).append(t)
+        self._rr += 1
+        futs = {si: self.shards[si][self._rr % len(self.shards[si])]
+                .score_terms.remote(ts) for si, ts in by_shard.items()}
+        gathered: dict[str, tuple] = {}
+        for si, fut in futs.items():
+            gathered.update(ray.get(fut))
+        # accumulate in original query-term order == _search_daat order,
+        # so float addition is bit-identical to the local engine
+        all_ids, all_scores = [], []
+        for t in terms:
+            ent = gathered.get(t)
+            if ent is not None:
+                all_ids.append(ent[0])
+                all_scores.append(ent[1])
+        if not all_ids:
+            return []
+        ids = np.concatenate(all_ids)
+        scores = np.concatenate(all_scores)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, scores)
+        return InvertedIndex._topk(uniq, acc, k)
+
+    def search_many(self, queries: list[str], k: int = 10):
+        return [self.search(q, k) for q in queries]
+
+    def shutdown(self):
+        for replicas in self.shards:
+            for w in replicas:
+                ray.kill(w)
+        self.shards = []

@@ -106,3 +106,28 @@ def test_determinism_across_parallelism(corpus):
     a = minhash_candidates(_ds(corpus))
     b = minhash_candidates(ray.data.from_pandas(corpus).repartition(7))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_neardup_dedup_end_to_end(corpus):
+    from engine.dedup import neardup_dedup
+    out = neardup_dedup(_ds(corpus), threshold=0.5)
+    m = dict(zip(out["doc_id"], out["canonical_id"]))
+    # identical docs 0/1 cluster to canonical 0; near-dup 2 likely joins
+    assert m.get(0) == 0 and m.get(1) == 0
+    # brute-force invariant: every mapped doc's canonical is the min of
+    # its connected component under verified-jaccard edges
+    assert all(c <= d for d, c in m.items())
+    assert set(m.values()) <= set(m.keys())
+
+
+def test_neardup_dedup_parallelism_invariant(corpus):
+    from engine.dedup import neardup_dedup
+    a = neardup_dedup(_ds(corpus), threshold=0.5)
+    b = neardup_dedup(ray.data.from_pandas(corpus).repartition(7),
+                      threshold=0.5)
+    pd.testing.assert_frame_equal(a, b)
+    c = neardup_dedup(_ds(corpus), threshold=0.5, hash_fn="md5",
+                      band_mode="md5str")
+    # md5 oracle mode finds the same identical-doc cluster
+    mc = dict(zip(c["doc_id"], c["canonical_id"]))
+    assert mc.get(0) == 0 and mc.get(1) == 0

@@ -83,3 +83,32 @@ def test_query_service(ray_session, e2e_webtext, tmp_path_factory):
         assert svc.search(queries[0], k=5) == local.search(queries[0], k=5)
     finally:
         svc.shutdown()
+
+
+def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
+    """2 shards x 2 replicas scatter-gather == single-process DAAT,
+    bit-identical scores (the front reproduces daat's accumulation)."""
+    import json
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.query import InvertedIndex
+    from engine.serve import ShardedQueryService
+
+    idx_dir = str(tmp_path_factory.mktemp("shidx") / "index")
+    build_index(e2e_webtext, idx_dir, EngineConfig(num_parts=8,
+                                                   docmeta_parts=3))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "queries.json")) as f:
+        queries = json.load(f)
+
+    svc = ShardedQueryService(idx_dir, n_shards=2, replicas_per_shard=2)
+    try:
+        local = InvertedIndex(idx_dir)
+        for q in queries:
+            want = local.search(q, k=10, method="daat")
+            assert svc.search(q, k=10) == want, q
+        assert svc.search("", 10) == []
+        assert svc.search("zzz_unseen_term", 10) == []
+        assert svc.search("hash", 0) == []
+    finally:
+        svc.shutdown()
