@@ -54,9 +54,9 @@ QUERIES_PATH = os.path.join(REPO, "tests", "queries.json")
 # operator family without re-running near-identical variants).
 CONTRACT_QUERIES = [
     "term_df_top100", "corpus_stats", "dedup_exact", "minhash_candidates",
-    "knn_cosine", "ivf_knn", "embed_neardup", "langid", "quality",
-    "token_counts", "chunks_fixed", "embed_knn", "events_hourly",
-    "events_sessions",
+    "neardup_dedup", "knn_cosine", "ivf_knn", "embed_neardup", "langid",
+    "quality", "token_counts", "chunks_fixed", "embed_knn",
+    "events_hourly", "events_sessions", "file_corpus",
 ]
 
 
@@ -133,6 +133,27 @@ def _query_qps(index_dir: str, replicas: int = 4,
         svc.shutdown()
 
 
+def _query_qps_sharded(index_dir: str, n_shards: int = 2,
+                       replicas_per_shard: int = 2,
+                       batches: int = 40) -> float:
+    """Sharded scatter-gather throughput (part-range shards)."""
+    from engine.serve import ShardedQueryService
+    with open(QUERIES_PATH) as f:
+        qset = json.load(f)
+    svc = ShardedQueryService(index_dir, n_shards=n_shards,
+                              replicas_per_shard=replicas_per_shard,
+                              n_fronts=4)
+    try:
+        svc.search_many(qset)  # warm decoded-term caches
+        t0 = time.perf_counter()
+        for _ in range(batches):
+            svc.search_many(qset)
+        wall = time.perf_counter() - t0
+        return batches * len(qset) / wall
+    finally:
+        svc.shutdown()
+
+
 def run_default(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     queries: dict[str, float] = {}
@@ -146,6 +167,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     queries["bm25_query_p50"] = round(lat["p50_s"], 6)
     queries["bm25_query_p95"] = round(lat["p95_s"], 6)
     qps = _query_qps(idx_dir)
+    qps_sharded = _query_qps_sharded(idx_dir)
 
     from engine import docops
     import __ray_entry__ as entrymod
@@ -169,6 +191,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "build_n_docs": build["n_docs"],
         "build_total_tokens": build["total_tokens"],
         "query_qps_4replicas": round(qps, 1),
+        "query_qps_2x2shards": round(qps_sharded, 1),
     }
     import ray
     ray.shutdown()

@@ -123,26 +123,14 @@ class ShardWorker:
         return out
 
 
-class ShardedQueryService:
-    """Scatter-gather front over part-range shards (optionally
-    replicated per shard).  Results are bit-identical to a local
-    ``InvertedIndex.search(..., method="daat")`` — the front reproduces
-    its exact accumulation order."""
+class _Front:
+    """Stateless routing + accumulation logic shared by the local front
+    and the FrontWorker actor pool."""
 
-    def __init__(self, index_dir: str, n_shards: int = 2,
-                 replicas_per_shard: int = 1, num_cpus: float = 1.0):
-        self.manifest = index_io.load_manifest(index_dir)
-        self.cfg = EngineConfig.from_dict(self.manifest["config"])
-        self.n_shards = n_shards
-        self.shards = []
-        for si in range(n_shards):
-            parts = [p for p in range(self.cfg.num_parts)
-                     if p % n_shards == si]
-            replicas = [ShardWorker.options(num_cpus=num_cpus)
-                        .remote(index_dir)
-                        for _ in range(replicas_per_shard)]
-            ray.get([r.warm.remote(parts) for r in replicas])
-            self.shards.append(replicas)
+    def __init__(self, cfg: EngineConfig, shards: list):
+        self.cfg = cfg
+        self.n_shards = len(shards)
+        self.shards = shards
         self._rr = 0
 
     def _terms_of(self, query: str) -> list[str]:
@@ -158,21 +146,27 @@ class ShardedQueryService:
                    % np.uint64(self.cfg.num_parts))
         return part % self.n_shards
 
-    def search(self, query: str, k: int = 10):
-        if k <= 0:
-            return []
+    def _scatter(self, query: str):
+        """Submit score_terms futures for one query (no blocking) ->
+        (terms, {shard: future}) or None for empty queries."""
         terms = self._terms_of(query)
         if not terms:
-            return []
+            return None
         by_shard: dict[int, list[str]] = {}
         for t in terms:
             by_shard.setdefault(self._shard_of(t), []).append(t)
         self._rr += 1
         futs = {si: self.shards[si][self._rr % len(self.shards[si])]
                 .score_terms.remote(ts) for si, ts in by_shard.items()}
+        return terms, futs
+
+    def _gather(self, plan, k: int):
+        if plan is None:
+            return []
+        terms, futs = plan
         gathered: dict[str, tuple] = {}
-        for si, fut in futs.items():
-            gathered.update(ray.get(fut))
+        for res in ray.get(list(futs.values())):
+            gathered.update(res)
         # accumulate in original query-term order == _search_daat order,
         # so float addition is bit-identical to the local engine
         all_ids, all_scores = [], []
@@ -190,11 +184,91 @@ class ShardedQueryService:
         np.add.at(acc, inv, scores)
         return InvertedIndex._topk(uniq, acc, k)
 
+    def search(self, query: str, k: int = 10):
+        if k <= 0:
+            return []
+        return self._gather(self._scatter(query), k)
+
     def search_many(self, queries: list[str], k: int = 10):
-        return [self.search(q, k) for q in queries]
+        """Pipelined scatter-gather: every query's shard futures are in
+        flight before the first gather, so shard work for query i+1
+        overlaps the front's accumulate for query i."""
+        if k <= 0:
+            return [[] for _ in queries]
+        plans = [self._scatter(q) for q in queries]
+        return [self._gather(p, k) for p in plans]
+
+
+@ray.remote
+class FrontWorker:
+    """A front as an actor: tokenize + route + accumulate off the
+    driver.  Fronts are stateless routers (only shard HANDLES are
+    state), so throughput scales by adding fronts — the serial
+    accumulate is otherwise the sharded tier's bottleneck."""
+
+    def __init__(self, cfg_dict: dict, shards: list):
+        self.front = _Front(EngineConfig.from_dict(cfg_dict), shards)
+
+    def search_many(self, queries: list[str], k: int = 10):
+        return self.front.search_many(queries, k)
+
+
+class ShardedQueryService:
+    """Scatter-gather over part-range shards (optionally replicated per
+    shard, optionally with an actor pool of fronts).  Results are
+    bit-identical to a local ``InvertedIndex.search(..., method="daat")``
+    — every front reproduces its exact accumulation order."""
+
+    def __init__(self, index_dir: str, n_shards: int = 2,
+                 replicas_per_shard: int = 1, n_fronts: int = 0,
+                 num_cpus: float = 0.5):
+        # num_cpus=0.5 per actor: shard/front actors alternate decode
+        # and network waits, and a full-CPU reservation per actor can
+        # STARVE small sessions (shards x replicas + fronts actors must
+        # all be placed before warm() returns — a 1.0 reservation each
+        # deadlocks a 4-cpu pytest session; round-1 aggregator-pool
+        # lesson applied to serving)
+        self.manifest = index_io.load_manifest(index_dir)
+        self.cfg = EngineConfig.from_dict(self.manifest["config"])
+        self.shards = []
+        for si in range(n_shards):
+            parts = [p for p in range(self.cfg.num_parts)
+                     if p % n_shards == si]
+            replicas = [ShardWorker.options(num_cpus=num_cpus)
+                        .remote(index_dir)
+                        for _ in range(replicas_per_shard)]
+            ray.get([r.warm.remote(parts) for r in replicas])
+            self.shards.append(replicas)
+        self._local = _Front(self.cfg, self.shards)
+        self.fronts = [
+            FrontWorker.options(num_cpus=num_cpus)
+            .remote(self.cfg.to_dict(), self.shards)
+            for _ in range(n_fronts)
+        ]
+
+    def search(self, query: str, k: int = 10):
+        return self._local.search(query, k)
+
+    def search_many(self, queries: list[str], k: int = 10):
+        """With fronts: interleave the batch across the front pool
+        (results in input order); without: local pipelined front."""
+        if not self.fronts:
+            return self._local.search_many(queries, k)
+        n = len(self.fronts)
+        batches = [queries[i::n] for i in range(n)]
+        parts = ray.get([f.search_many.remote(b, k)
+                         for f, b in zip(self.fronts, batches) if b])
+        out = [None] * len(queries)
+        for fi, res in enumerate(parts):
+            for j, r in enumerate(res):
+                out[fi + j * n] = r
+        return out
 
     def shutdown(self):
         for replicas in self.shards:
             for w in replicas:
                 ray.kill(w)
+        for f in self.fronts:
+            ray.kill(f)
         self.shards = []
+        self.fronts = []

@@ -101,12 +101,15 @@ def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
     with open(os.path.join(here, "queries.json")) as f:
         queries = json.load(f)
 
-    svc = ShardedQueryService(idx_dir, n_shards=2, replicas_per_shard=2)
+    svc = ShardedQueryService(idx_dir, n_shards=2, replicas_per_shard=2,
+                              n_fronts=2)
     try:
         local = InvertedIndex(idx_dir)
-        for q in queries:
-            want = local.search(q, k=10, method="daat")
-            assert svc.search(q, k=10) == want, q
+        want = [local.search(q, k=10, method="daat") for q in queries]
+        for q, w in zip(queries, want):
+            assert svc.search(q, k=10) == w, q
+        # front-pool batch path preserves input order + exact results
+        assert svc.search_many(queries, k=10) == want
         assert svc.search("", 10) == []
         assert svc.search("zzz_unseen_term", 10) == []
         assert svc.search("hash", 0) == []
