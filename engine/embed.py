@@ -75,9 +75,19 @@ class HashingEmbedder:
 def embed_documents(docs, dim: int = 64, concurrency: int = 4,
                     batch_size: int = 256, id_col: str = "doc_id",
                     text_col: str = "text", hash_fn: str = "sip",
-                    out_dtype: str = "float32"):
+                    out_dtype: str = "float32",
+                    weights_path: str | None = None):
     """Dataset -> Dataset with an ``embedding: fixed_size_list<float>``
-    column, computed by an actor pool (stateful stage, SURVEY.md §2.3)."""
+    column, computed by an actor pool (stateful stage, SURVEY.md §2.3).
+    ``weights_path`` switches the pool to the loadable-weights adapter
+    (each actor loads the matrix once in __init__)."""
+    if weights_path is not None:
+        return docs.map_batches(
+            WeightsEmbedder,
+            fn_constructor_kwargs={"weights_path": weights_path,
+                                   "id_col": id_col, "text_col": text_col},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency)
     return docs.map_batches(
         HashingEmbedder,
         fn_constructor_kwargs={"dim": dim, "id_col": id_col,
@@ -85,6 +95,66 @@ def embed_documents(docs, dim: int = 64, concurrency: int = 4,
                                "out_dtype": out_dtype},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+class WeightsEmbedder:
+    """Loadable-weights embedder adapter — the reference's
+    ``from_pretrained`` slot (/root/reference/rust/src/embeddings/embed/
+    embedder.rs:52-124 loads architecture + weights from disk/hub) made
+    concrete without shipping model binaries: ``__init__`` loads an
+    ``.npz`` weight matrix ONCE PER ACTOR (the heavy "model load" the
+    actor-pool shape exists for); ``__call__`` embeds batches.
+
+    Encoding: token -> hashed vocab bucket -> weight row; document
+    vector = L2-normalized tf-weighted mean of token rows (a real
+    word-embedding model when the matrix is trained — word2vec/GloVe
+    mean-pooling — and a drop-in slot for any learned matrix).  A
+    transformer replaces ``_encode``; the Ray plumbing (weights path in
+    ``fn_constructor_kwargs``, per-actor load, batched __call__) is
+    identical.
+    """
+
+    def __init__(self, weights_path: str, id_col: str = "doc_id",
+                 text_col: str = "text", out_col: str = "embedding"):
+        wz = np.load(weights_path)
+        self.matrix = np.ascontiguousarray(wz["embedding"],
+                                           dtype=np.float64)
+        self.n_buckets = np.uint64(self.matrix.shape[0])
+        self.dim = int(self.matrix.shape[1])
+        self.id_col, self.text_col, self.out_col = id_col, text_col, out_col
+
+    def _encode(self, tok_lists: list[list[str]]) -> np.ndarray:
+        out = np.zeros((len(tok_lists), self.dim), dtype=np.float64)
+        for i, ts in enumerate(tok_lists):
+            if not ts:
+                continue
+            uniq, counts = np.unique(np.asarray(ts, dtype=object),
+                                     return_counts=True)
+            rows = (stable_hash64(uniq) % self.n_buckets).astype(np.int64)
+            w = counts.astype(np.float64)
+            out[i] = (self.matrix[rows] * w[:, None]).sum(axis=0) / w.sum()
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return out / norms
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        return self._encode(tokenize_batch(texts))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = self.embed_texts(batch.column(self.text_col).to_pylist())
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), pa.float32()), self.dim)
+        return batch.append_column(self.out_col, col)
+
+
+def save_random_weights(path: str, n_buckets: int = 4096, dim: int = 64,
+                        seed: int = 7) -> str:
+    """Test-double weight file (seeded normal matrix) in the format
+    WeightsEmbedder loads — stands in for a trained checkpoint."""
+    rng = np.random.default_rng(seed)
+    np.savez(path, embedding=rng.standard_normal(
+        (n_buckets, dim)).astype(np.float32))
+    return path
 
 
 # ---------------------------------------------------------------------------

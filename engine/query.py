@@ -69,6 +69,32 @@ class InvertedIndex:
         self._term_cache: dict[int, dict] = {}
         self._blob_cache: dict[int, tuple[bytes, bytes]] = {}
         self._postings_cache: dict[tuple, tuple] = {}  # hot decoded terms
+        # distributed-serving hooks: a doc-range shard scores with GLOBAL
+        # statistics so per-shard top-k merges are exact (classic
+        # distributed-IDF exchange).  df overrides are per-term corpus
+        # dfs; n_docs/avgdl are overridden via set_global_stats.
+        self._df_overrides: dict[str, int] = {}
+
+    def set_global_stats(self, n_docs: int, avgdl: float,
+                         dfs: dict[str, int] | None = None) -> None:
+        """Override corpus statistics (doc-sharded serving: every shard
+        must score with the GLOBAL N/avgdl/df for exact merged top-k).
+        Clears the decoded-term cache — cached scores embed the old idf."""
+        self.n_docs = int(n_docs)
+        self.avgdl = float(avgdl) or 1.0
+        if dfs:
+            self._df_overrides.update(dfs)
+        self._postings_cache.clear()
+
+    def add_df_overrides(self, dfs: dict[str, int]) -> None:
+        """Merge per-term global dfs (stable per term, so previously
+        cached scores for OTHER terms stay valid; a term present here
+        before its first decode is scored with the global idf)."""
+        for t, df in dfs.items():
+            old = self._df_overrides.get(t)
+            if old != df:
+                self._df_overrides[t] = df
+                self._postings_cache.pop(t, None)
 
     # -- segment access -----------------------------------------------------
     def _part_of(self, term: str) -> int:
@@ -103,6 +129,13 @@ class InvertedIndex:
         df, cf, po, pl, so, sl = ent
         return df, postings[po:po + pl], decode_skips(skips[so:so + sl])
 
+    def df_of(self, term: str) -> int:
+        """Local document frequency (0 if absent) — the term-dictionary
+        probe of the distributed-stats exchange; no posting decode."""
+        tdict, _, _ = self._load_part(self._part_of(term))
+        ent = tdict.get(term)
+        return 0 if ent is None else int(ent[0])
+
     # -- scoring ------------------------------------------------------------
     def idf(self, df: int) -> float:
         return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
@@ -128,8 +161,16 @@ class InvertedIndex:
         if k <= 0:
             return []
         terms = self.query_terms(query)
-        entries = [(t, self.lookup(t)) for t in terms]
-        entries = [(t, e) for t, e in entries if e is not None]
+        entries = []
+        for t in terms:
+            e = self.lookup(t)
+            if e is None:
+                continue
+            df, pbytes, skips = e
+            # idf from the GLOBAL df when serving a doc-range shard;
+            # df itself stays local (it is the posting count to decode)
+            idf = self.idf(self._df_overrides.get(t, df))
+            entries.append((t, df, idf, pbytes, skips))
         if not entries:
             return []
         if method == "daat":
@@ -147,8 +188,9 @@ class InvertedIndex:
         than an auto route (p50 is the headline metric); the dense array
         is per-shard n_docs once serving shards doc ranges."""
         acc = np.zeros(self._doc_ids.size, dtype=np.float64)
-        for term, (df, pbytes, skips) in entries:
-            _ids, _tfs, s, pos = self._decode_term(term, df, pbytes, skips)
+        for term, df, idf, pbytes, skips in entries:
+            _ids, _tfs, s, pos = self._decode_term(term, df, pbytes, skips,
+                                                   idf)
             acc[pos] += s  # pos unique within a term: safe fancy add
         nz = np.flatnonzero(acc)
         return self._topk(self._doc_ids[nz], acc[nz], k)
@@ -171,8 +213,9 @@ class InvertedIndex:
         """Exhaustive: decode every posting of every query term, then one
         vectorized accumulate.  O(total postings) but all in numpy."""
         all_ids, all_scores = [], []
-        for term, (df, pbytes, skips) in entries:
-            ids, _tfs, s, _pos = self._decode_term(term, df, pbytes, skips)
+        for term, df, idf, pbytes, skips in entries:
+            ids, _tfs, s, _pos = self._decode_term(term, df, pbytes, skips,
+                                                   idf)
             all_ids.append(ids)
             all_scores.append(s)
         ids = np.concatenate(all_ids)
@@ -224,8 +267,7 @@ class InvertedIndex:
         """
         k1, b = self.cfg.k1, self.cfg.b
         terms = []
-        for term, (df, pbytes, skips) in entries:
-            idf = self.idf(df)
+        for term, df, idf, pbytes, skips in entries:
             max_tf = skips[:, 2].astype(np.float64)
             min_dl = skips[:, 3].astype(np.float64)
             block_ub = idf * max_tf * (k1 + 1.0) / (

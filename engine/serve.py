@@ -272,3 +272,110 @@ class ShardedQueryService:
             ray.kill(f)
         self.shards = []
         self.fronts = []
+
+
+# ---------------------------------------------------------------------------
+# doc-sharded tier: per-doc-range sub-indexes + distributed-IDF exchange
+# ---------------------------------------------------------------------------
+
+@ray.remote
+class DocShardWorker:
+    """One doc-range sub-index (its own postings + docmeta)."""
+
+    def __init__(self, index_dir: str):
+        self.idx = InvertedIndex(index_dir)
+
+    def local_stats(self) -> tuple[int, int]:
+        st = self.idx.manifest["stats"]
+        return int(st["n_docs"]), int(st["total_tokens"])
+
+    def set_global_stats(self, n_docs: int, avgdl: float) -> bool:
+        self.idx.set_global_stats(n_docs, avgdl)
+        return True
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: self.idx.df_of(t) for t in terms}
+
+    def search_topk(self, query: str, k: int, dfs: dict[str, int],
+                    method: str = "bmw"):
+        self.idx.add_df_overrides(dfs)
+        return self.idx.search(query, k=k, method=method)
+
+
+class DocShardedQueryService:
+    """The QPS-optimal distributed layout (classic web-search design):
+    each shard holds a COMPLETE index over a disjoint doc range, answers
+    top-k locally, and the front merges S small top-k lists — network
+    per query is O(S * k), independent of posting lengths (vs the
+    term-sharded tier's O(sum df)).
+
+    Exactness: naive per-shard BM25 would use local df/N/avgdl and
+    drift from a single global index.  This front runs the classic
+    distributed-statistics exchange instead: phase 1 sums each shard's
+    df for the query terms and pushes global N/avgdl once at startup;
+    phase 2 shards score with those GLOBAL stats, so the merged top-k
+    is exact.  With ``method="daat"`` scores are BIT-identical to a
+    single global index (same per-doc float addition order,
+    pytest-asserted); with ``method="bmw"`` they agree to the last ulp
+    only (block-max processes terms in upper-bound order — the same
+    ulp-level difference local bmw-vs-daat shows), ranks identical up
+    to genuinely tied floats.
+
+    Requirement: the doc partitioner must be doc-consistent (e.g.
+    hash64(url) % S) so a url's duplicates dedup within one shard.
+    """
+
+    def __init__(self, index_dirs: list[str], num_cpus: float = 0.5,
+                 method: str = "bmw"):
+        self.method = method
+        self.workers = [DocShardWorker.options(num_cpus=num_cpus)
+                        .remote(d) for d in index_dirs]
+        stats = ray.get([w.local_stats.remote() for w in self.workers])
+        self.n_docs = sum(n for n, _ in stats)
+        tot = sum(t for _, t in stats)
+        # same float op as index_io.finalize -> bitwise-equal avgdl
+        self.avgdl = (tot / self.n_docs) if self.n_docs else 0.0
+        ray.get([w.set_global_stats.remote(self.n_docs, self.avgdl)
+                 for w in self.workers])
+        self.cfg = EngineConfig.from_dict(
+            index_io.load_manifest(index_dirs[0])["config"])
+        self._df_cache: dict[str, int] = {}
+
+    def _terms_of(self, query: str) -> list[str]:
+        seen, out = set(), []
+        for t in tokenize(query, self.cfg.cjk_unigrams):
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    def _global_dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            per_shard = ray.get([w.term_dfs.remote(missing)
+                                 for w in self.workers])
+            for t in missing:
+                self._df_cache[t] = sum(d[t] for d in per_shard)
+        return {t: self._df_cache[t] for t in terms}
+
+    def search(self, query: str, k: int = 10):
+        if k <= 0:
+            return []
+        terms = self._terms_of(query)
+        if not terms:
+            return []
+        dfs = self._global_dfs(terms)
+        parts = ray.get([w.search_topk.remote(query, k, dfs, self.method)
+                         for w in self.workers])
+        merged = [hit for p in parts for hit in p]
+        # (score desc, doc_id asc) — same order the local engine uses
+        merged.sort(key=lambda h: (-h[1], h[0]))
+        return merged[:k]
+
+    def search_many(self, queries: list[str], k: int = 10):
+        return [self.search(q, k) for q in queries]
+
+    def shutdown(self):
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

@@ -71,3 +71,36 @@ def test_rrf_fuse():
     # 2 and 3 tie exactly? 1/62+1/62 vs 1/63+1/61 -> not equal; order by score
     assert [d for d, _ in fused] == sorted(
         scores, key=lambda d: (-scores[d], d))
+
+
+def test_weights_embedder_loads_and_embeds(tmp_path):
+    """Loadable-weights adapter: per-actor weight load, deterministic
+    embeddings, parallelism-invariant through the actor pool."""
+    import pandas as pd
+    import ray.data
+    from engine.embed import WeightsEmbedder, save_random_weights
+
+    path = save_random_weights(str(tmp_path / "w.npz"), n_buckets=512,
+                               dim=16)
+    e = WeightsEmbedder(path)
+    v = e.embed_texts(["alpha beta beta", "alpha beta beta", "", "unrelated"])
+    assert v.shape == (4, 16)
+    assert np.array_equal(v[0], v[1])                 # deterministic
+    assert np.linalg.norm(v[0]) == pytest.approx(1.0)  # L2-normalized
+    assert np.linalg.norm(v[2]) == 0.0                 # empty -> zero
+    assert abs(float(v[0] @ v[3])) < 0.9               # distinct docs differ
+
+    docs = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                         "text": [f"w{i} w{i+1} common" for i in range(20)]})
+    a = (embed_documents(ray.data.from_pandas(docs), weights_path=path,
+                         concurrency=2, batch_size=4)
+         .to_pandas().sort_values("doc_id"))
+    b = (embed_documents(ray.data.from_pandas(docs).repartition(5),
+                         weights_path=path, concurrency=2, batch_size=4)
+         .to_pandas().sort_values("doc_id"))
+    va = np.stack(a["embedding"].to_numpy())
+    vb = np.stack(b["embedding"].to_numpy())
+    assert np.array_equal(va, vb)
+    # matches the single-process adapter bit-for-bit (f32 storage)
+    want = e.embed_texts(docs["text"].tolist()).astype(np.float32)
+    assert np.array_equal(va, want)

@@ -115,3 +115,71 @@ def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
         assert svc.search("hash", 0) == []
     finally:
         svc.shutdown()
+
+
+def test_doc_sharded_query_service(ray_session, e2e_webtext,
+                                   tmp_path_factory):
+    """3 doc-range sub-indexes + distributed-IDF exchange == one global
+    index, bit-identical scores and ranks (exactness of the classic
+    doc-sharded scatter-gather with global statistics)."""
+    import json
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.query import InvertedIndex
+    from engine.serve import DocShardedQueryService
+    from engine.tokenize import stable_hash64
+
+    cfg = EngineConfig(num_parts=8, docmeta_parts=3)
+    base = tmp_path_factory.mktemp("docsh")
+    global_dir = str(base / "global")
+    build_index(e2e_webtext, global_dir, cfg)
+
+    n_shards = 3
+    shard_dirs = []
+    for si in range(n_shards):
+        def keep(batch: pa.Table, _si=si) -> pa.Table:
+            urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+            mask = (stable_hash64(urls) % np.uint64(n_shards)
+                    ) == np.uint64(_si)
+            return batch.filter(pa.array(mask))
+
+        # doc-consistent partitioner: url-hash, so per-shard dedup
+        # equals global dedup
+        ds = (ray.data.read_parquet(e2e_webtext,
+                                    columns=["url", "warc_ts", "html"])
+              .map_batches(keep, batch_format="pyarrow"))
+        d = str(base / f"shard{si}")
+        build_index(ds, d, cfg)
+        shard_dirs.append(d)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "queries.json")) as f:
+        queries = json.load(f)
+
+    svc = DocShardedQueryService(shard_dirs, method="daat")
+    try:
+        local = InvertedIndex(global_dir)
+        for q in queries:
+            want = local.search(q, k=10, method="daat")
+            # bit-identical: global-stats exchange + same accumulation
+            assert svc.search(q, k=10) == want, q
+        assert svc.search("", 10) == []
+        assert svc.search("zzz_unseen_term", 10) == []
+    finally:
+        svc.shutdown()
+
+    svc_bmw = DocShardedQueryService(shard_dirs, method="bmw")
+    try:
+        local = InvertedIndex(global_dir)
+        for q in queries:
+            want = local.search(q, k=10, method="daat")
+            got = svc_bmw.search(q, k=10)
+            # block-max path: rank-identical, scores to ~ulp
+            assert [d for d, _ in got] == [d for d, _ in want], q
+            assert all(abs(a - b) < 1e-9
+                       for (_, a), (_, b) in zip(got, want)), q
+    finally:
+        svc_bmw.shutdown()
