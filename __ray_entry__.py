@@ -56,7 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": d.q_bm25_topk,
         "bm25_topk_stop": d.q_bm25_topk_stop,
         "term_top_docs": d.q_term_top_docs,
-        "index_stats": d.q_index_stats,                   # rows-only
+        "index_stats": d.q_index_stats,                   # rows-only (SipHash part split)
+        "index_totals": d.q_index_totals,                 # SQL oracle
         # dedup family (D1/D3 extensions)
         "dedup_exact": d.q_dedup_exact,
         "minhash_candidates": d.q_minhash_candidates,     # md5-mode oracle
@@ -430,6 +431,15 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
             SELECT doc_id, count(*) AS tf FROM t WHERE term = 'hash'
             GROUP BY doc_id ORDER BY tf DESC, doc_id LIMIT 20""",
+
+        # value-checks the BUILT INDEX's manifest rollup end to end
+        "index_totals": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(*) FROM t) AS total_tokens,
+                   (SELECT count(DISTINCT term) FROM t) AS n_terms,
+                   (SELECT count(*) FROM
+                        (SELECT DISTINCT doc_id, term FROM t)) AS n_postings""",
 
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

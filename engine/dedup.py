@@ -305,22 +305,40 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
                   hash_fn: str = "sip") -> pa.Table:
     """-> adds simhash:int64 — 64-bit weighted sign sketch over token
     hashes (tf-weighted).  Hamming-close simhashes = near-dup candidates.
-    ``hash_fn="md5"`` = oracle-parity mode (md5_number_lower in SQL)."""
+    ``hash_fn="md5"`` = oracle-parity mode (md5_number_lower in SQL).
+
+    One vectorized pass for the whole batch: factorize tokens (each
+    DISTINCT term hashed once per batch — matters for the per-string
+    md5 mode), per-(doc, term) tf via integer-key unique, signed bit
+    contributions reduced per doc with one reduceat.  Bit-for-bit equal
+    to the per-doc formulation: the summed contributions are integers,
+    exact in float64 regardless of addition order."""
     toks = tokenize_batch(batch.column(text_col).to_pylist())
     hasher = HASH_FNS[hash_fn]
     shifts = np.arange(64, dtype=np.uint64)
-    out = []
-    for ts in toks:
-        if not ts:
-            out.append(0)
-            continue
-        uniq, counts = np.unique(np.asarray(ts, dtype=object),
-                                 return_counts=True)
-        h = hasher(uniq)
-        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.float64)
-        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        code = ((acc > 0).astype(np.uint64) << shifts).sum()
-        out.append(int(code & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+    n_docs = len(toks)
+    out = np.zeros(n_docs, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
+    if lens.sum():
+        allt = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if t])
+        codes, uniq = pd.factorize(allt, sort=False)
+        doc_pos = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        key = doc_pos * np.int64(uniq.size) + codes
+        uk, counts = np.unique(key, return_counts=True)
+        d_idx = uk // np.int64(uniq.size)
+        t_code = uk % np.int64(uniq.size)
+        h = hasher(np.asarray(uniq, dtype=object))[t_code]
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)
+                ).astype(np.float64) * 2.0 - 1.0
+        contrib = bits * counts[:, None].astype(np.float64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], d_idx[1:] != d_idx[:-1])))
+        acc = np.add.reduceat(contrib, starts, axis=0)
+        code = (((acc > 0).astype(np.uint64) << shifts[None, :])
+                .sum(axis=1) & mask63)
+        out[d_idx[starts]] = code.astype(np.int64)
     return batch.append_column("simhash", pa.array(out, pa.int64()))
 
 

@@ -311,6 +311,21 @@ def q_index_stats(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_index_totals(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level totals FROM THE BUILT INDEX MANIFEST (n_docs,
+    total_tokens, n_terms, n_postings) — oracle-checked against DuckDB
+    recomputing the same totals from raw text.  This value-checks the
+    whole build path (dedup -> tokenize -> shuffle -> segment commit ->
+    manifest rollup) end to end, not just individual operators."""
+    st = docs_index(sf_dir).manifest["stats"]
+    return pd.DataFrame([{
+        "n_docs": np.int64(st["n_docs"]),
+        "total_tokens": np.int64(st["total_tokens"]),
+        "n_terms": np.int64(st["n_terms"]),
+        "n_postings": np.int64(st["n_postings"]),
+    }])
+
+
 def q_chunks_semantic(sf_dir: str):
     """Actor-pool semantic chunker (reference A7 statistical shape over
     the deterministic hashing encoder); rows-only driver check,

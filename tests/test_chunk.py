@@ -97,3 +97,68 @@ def test_chunk_documents_dataset(ray_session):
     for _, row in docs.iterrows():
         if row["text"]:
             assert joined[row["doc_id"]] == row["text"]
+
+
+# --- independent oracle implementation (iterative, stack-based — written
+# separately from engine.chunk._pack's recursive form) -----------------------
+
+def _oracle_pack(text, size):
+    LEVELS = ["\n\n", "\n", ". ", " "]
+
+    def units_of(s, sep):
+        if sep == ". ":
+            ps = s.split(". ")
+        else:
+            ps = s.split(sep)
+        if len(ps) == 1:
+            return [s]
+        return [p + sep for p in ps[:-1]] + [ps[-1]]
+
+    def pack(s, level):
+        if len(s) <= size:
+            return [s] if s else []
+        if level >= len(LEVELS):
+            return [s[i:i + size] for i in range(0, len(s), size)]
+        us = units_of(s, LEVELS[level])
+        if len(us) == 1:
+            return pack(s, level + 1)
+        out, cur = [], ""
+        for u in us:
+            if len(cur) + len(u) <= size:
+                cur += u
+                continue
+            if cur:
+                out.append(cur)
+            if len(u) <= size:
+                cur = u
+            else:
+                ps = pack(u, level + 1)
+                out.extend(ps[:-1])
+                cur = ps[-1] if ps else ""
+        if cur:
+            out.append(cur)
+        return out
+
+    return pack(text, 0)
+
+
+def test_markdown_matches_independent_oracle_fixture():
+    for t in _fixture_texts(30):
+        for size in (40, 128, 500):
+            assert split_markdown(t, size) == _oracle_pack(t, size), (size, t[:60])
+
+
+def test_markdown_matches_independent_oracle_random():
+    from hypothesis import given, settings, strategies as st
+    alphabet = st.sampled_from(list("ab c.\n") + ["\n\n", ". ", "  "])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(alphabet, max_size=80).map("".join),
+           st.integers(min_value=1, max_value=30))
+    def run(text, size):
+        got = split_markdown(text, size)
+        assert got == _oracle_pack(text, size)
+        assert "".join(got) == text
+        assert all(len(c) <= size for c in got)
+
+    run()

@@ -100,3 +100,22 @@ def test_corrupt_pdf_surfaces_error_column(tmp_path):
     assert len(out) == 1
     assert out["text"][0] == ""
     assert "ValueError" in out["error"][0]
+
+
+def test_pdf_roundtrip_property():
+    """Escape-rule fuzz: any latin-1 lines (incl. parens, backslashes,
+    tabs, embedded newline chars) survive writer -> extractor exactly."""
+    from hypothesis import given, settings, strategies as st
+    line = st.text(alphabet=st.sampled_from(list("ab()\\ éÿ\t\n.")),
+                   max_size=24)
+    pages = st.lists(st.lists(line, min_size=1, max_size=5),
+                     min_size=1, max_size=3)
+
+    @settings(max_examples=150, deadline=None)
+    @given(pages, st.booleans())
+    def run(pp, compress):
+        data = write_simple_pdf(pp, compress=compress)
+        want = "\n".join("\n".join(p) for p in pp)
+        assert extract_pdf_text(data) == want
+
+    run()
