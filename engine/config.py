@@ -51,9 +51,13 @@ class EngineConfig:
     # (DataContext.target_max_block_size) caps bytes.
     extract_batch_size: int = 256
     # Larger tokenize batches shrink the shuffle payload (one partial
-    # row per distinct term per batch — vocab saturates) at ~4 MB text
-    # per batch; wide-record outliers stay bounded by Ray block sizing.
-    tokenize_batch_size: int = 1024
+    # row per distinct term per batch — vocab saturates); measured on
+    # the 200k bench fixture: 2048 beats 1024 by ~11% build wall
+    # (interleaved best-of-3) and 4096 regresses (worse pipelining).
+    # ~8 MB text per batch; wide-record outliers stay bounded by Ray
+    # block sizing.  Batching never changes segment BYTES (the merge
+    # collapses partials; merge-equivalence is test-asserted).
+    tokenize_batch_size: int = 2048
     # Dedup policy for duplicate urls: keep the row with the earliest
     # warc_ts (FIXTURES.md §1, explicit stable rule).
     dedup_keep: str = "earliest"

@@ -125,6 +125,94 @@ def encode_postings(
     return out.tobytes(), skips.tobytes()
 
 
+def encode_postings_many(
+    d_s: np.ndarray,
+    t_s: np.ndarray,
+    l_s: np.ndarray,
+    tstarts: np.ndarray,
+    tends: np.ndarray,
+    block_size: int = 128,
+) -> tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode EVERY term of a part in one vectorized pass.
+
+    Inputs are the part's (term, doc)-lexsorted flat arrays plus the
+    per-term slice boundaries; output is byte-identical to looping
+    ``encode_postings`` per term and concatenating (the merge-equivalence
+    and checksum tests pin this), but runs one varbyte pass over the
+    whole part instead of ~vocab/parts Python iterations — the reduce
+    side's hot path at scale.
+
+    -> (postings_blob, skips_blob, post_off, post_len, skip_off, skip_len)
+    """
+    B = block_size
+    d_s = np.asarray(d_s, dtype=np.uint64)
+    t_s = np.asarray(t_s, dtype=np.uint64)
+    l_s = np.asarray(l_s, dtype=np.uint64)
+    tstarts = np.asarray(tstarts, dtype=np.int64)
+    tends = np.asarray(tends, dtype=np.int64)
+    N = d_s.size
+    T = tstarts.size
+    if N == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return b"", b"", z, z, z, z
+    n_per_term = tends - tstarts
+    if not (n_per_term > 0).all():
+        raise ValueError("encode_postings_many: empty term slice")
+
+    # per-posting coordinates
+    term_of = np.repeat(np.arange(T, dtype=np.int64), n_per_term)
+    j = np.arange(N, dtype=np.int64)
+    in_term = j - tstarts[term_of]
+    b = in_term // B
+    p = in_term - b * B
+    cnt_b = np.minimum(B, n_per_term[term_of] - b * B)
+
+    # docID-sorted invariant per term (strictly increasing)
+    deltas = d_s.copy()
+    if N > 1:
+        deltas[1:] = d_s[1:] - d_s[:-1]
+    deltas[tstarts] = d_s[tstarts]
+    inner = np.ones(N, dtype=bool)
+    inner[tstarts] = False
+    if inner.any() and not (deltas[inner].astype(np.int64) > 0).all():
+        raise ValueError("encode_postings_many: doc_ids must be strictly "
+                         "increasing within a term")
+
+    # interleaved value stream: per block [deltas, tfs]; value index of
+    # a term's block b starts at 2*B*b relative to the term (all prior
+    # blocks full), terms concatenated
+    val_start = np.concatenate(([0], np.cumsum(2 * n_per_term)[:-1]))
+    base = val_start[term_of] + 2 * B * b
+    vals = np.empty(2 * N, dtype=np.uint64)
+    vals[base + p] = deltas
+    vals[base + cnt_b + p] = t_s
+    out, nb = _varbyte_encode_with_sizes(vals)
+    csum = np.concatenate(([np.int64(0)], np.cumsum(nb)))
+
+    post_off = csum[val_start]
+    post_len = csum[np.concatenate((val_start[1:], [np.int64(2 * N)]))] - post_off
+
+    # per-block skip rows, in (term, block) order
+    nblocks_per_term = (n_per_term + B - 1) // B
+    total_blocks = int(nblocks_per_term.sum())
+    blk_term = np.repeat(np.arange(T, dtype=np.int64), nblocks_per_term)
+    blk_first = np.concatenate(([0], np.cumsum(nblocks_per_term)[:-1]))
+    blk_idx = np.arange(total_blocks, dtype=np.int64) - blk_first[blk_term]
+    gstart = tstarts[blk_term] + blk_idx * B          # global posting start
+    gend = np.minimum(gstart + B, tends[blk_term])    # global posting end
+    skips = np.empty((total_blocks, SKIP_WIDTH), dtype=np.int64)
+    skips[:, 0] = d_s[gend - 1].astype(np.int64)
+    skips[:, 1] = (csum[val_start[blk_term] + 2 * B * blk_idx]
+                   - post_off[blk_term])
+    skips[:, 2] = np.maximum.reduceat(t_s, gstart).astype(np.int64)
+    skips[:, 3] = np.minimum.reduceat(l_s, gstart).astype(np.int64)
+
+    skip_len = nblocks_per_term * (SKIP_WIDTH * 8)
+    skip_off = np.concatenate(([0], np.cumsum(skip_len)[:-1]))
+    return (out.tobytes(), skips.tobytes(), post_off, post_len,
+            skip_off, skip_len)
+
+
 def decode_skips(skip_bytes: bytes | memoryview) -> np.ndarray:
     """skip bytes -> (n_blocks, 4) int64 array (last_doc, offset, max_tf, min_dl)."""
     arr = np.frombuffer(skip_bytes, dtype=np.int64)

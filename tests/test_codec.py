@@ -87,3 +87,35 @@ def test_empty_postings():
     assert pb == b"" and sb == b""
     ids, tfs = decode_postings(pb, sb, 0)
     assert ids.size == 0 and tfs.size == 0
+
+
+def test_bulk_encoder_matches_per_term():
+    """encode_postings_many == looped encode_postings, byte for byte
+    (blobs, offsets, skip ranges) on random multi-term parts."""
+    from engine.postings import encode_postings_many
+    rng = np.random.default_rng(3)
+    for trial in range(15):
+        T = int(rng.integers(1, 30))
+        sizes = rng.integers(1, 300, T)
+        tstarts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        tends = np.cumsum(sizes)
+        d, t, l = [], [], []
+        for s in sizes:
+            d.append(np.cumsum(rng.integers(1, 1000, s).astype(np.uint64)))
+            t.append(rng.integers(1, 50, s).astype(np.uint64))
+            l.append(rng.integers(1, 5000, s).astype(np.uint64))
+        d_s, t_s, l_s = map(np.concatenate, (d, t, l))
+        B = int(rng.choice([4, 17, 128]))
+        pb2, sb2, po, pl, so, sl = encode_postings_many(
+            d_s, t_s, l_s, tstarts, tends, B)
+        off = soff = 0
+        pparts, sparts = [], []
+        for i, (lo, hi) in enumerate(zip(tstarts, tends)):
+            pb, sb = encode_postings(d_s[lo:hi], t_s[lo:hi], l_s[lo:hi], B)
+            assert (po[i], pl[i], so[i], sl[i]) == (off, len(pb),
+                                                    soff, len(sb))
+            off += len(pb)
+            soff += len(sb)
+            pparts.append(pb)
+            sparts.append(sb)
+        assert pb2 == b"".join(pparts) and sb2 == b"".join(sparts)
