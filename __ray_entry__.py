@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed aggregate + sessionization over the events table
         "events_hourly": d.q_events_hourly,
         "events_sessions": d.q_events_sessions,
+        # relational wide-step patterns (pre-agg combiner, broadcast join)
+        "lineitem_pricing": d.q_lineitem_pricing,
+        "orders_by_nation": d.q_orders_by_nation,
     }
 
 
@@ -549,7 +552,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events,
-                   sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                       AS sum_value_micro
             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
 
         "chunks_fixed": """
@@ -577,8 +581,31 @@ def oracle_sql() -> dict[str, str]:
               FROM o)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts,
-                   sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_value_micro
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                       AS sum_value_micro
             FROM s GROUP BY user_id, session_id""",
+
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS count_order,
+                   CAST(sum(CAST(round(l_quantity * 1e6) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_micro,
+                   CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT)
+                       AS sum_base_micro,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                            AS BIGINT)) AS BIGINT) AS sum_disc_micro
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-06-01'
+            GROUP BY l_returnflag, l_linestatus""",
+
+        "orders_by_nation": """
+            SELECT n.n_name, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 1e6) AS BIGINT)) AS BIGINT)
+                       AS sum_totalprice_micro
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name""",
 
         # md5-mode sketch oracles (engine runs these entries with
         # hash_fn="md5" so the sketch arithmetic is SQL-reproducible;

@@ -515,6 +515,104 @@ def q_frame_samples(sf_dir: str):
         concurrency=2)
 
 
+# --- relational wide-step patterns over the TPC-H-ish tables ----------------
+
+PRICING_CUTOFF = np.datetime64("1997-06-01")
+
+
+def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filter at the read (column prune
+    + predicate), PARTIAL aggregation inside map_batches (one row per
+    (returnflag, linestatus) per batch — the combiner that keeps the
+    final groupby at group-cardinality scale, never row scale), exact
+    integer micro-unit sums (order-insensitive)."""
+    import pyarrow.compute as pc
+    from engine.textstats import micro_units
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pa.scalar(
+            PRICING_CUTOFF.astype("datetime64[us]"))))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["qty_micro"] = micro_units(df["l_quantity"].to_numpy())
+        df["base_micro"] = micro_units(df["l_extendedprice"].to_numpy())
+        df["disc_micro"] = micro_units(
+            (df["l_extendedprice"] * (1.0 - df["l_discount"])).to_numpy())
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            count_order=("qty_micro", "size"),
+            sum_qty_micro=("qty_micro", "sum"),
+            sum_base_micro=("base_micro", "sum"),
+            sum_disc_micro=("disc_micro", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+               Sum("count_order", alias_name="count_order"),
+               Sum("sum_qty_micro", alias_name="sum_qty_micro"),
+               Sum("sum_base_micro", alias_name="sum_base_micro"),
+               Sum("sum_disc_micro", alias_name="sum_disc_micro"))
+           .to_pandas())
+    for c in ("count_order", "sum_qty_micro", "sum_base_micro",
+              "sum_disc_micro"):
+        agg[c] = agg[c].astype(np.int64)
+    return (agg.sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer ⋈ nation rollup as a BROADCAST join: the small
+    side (customer key -> nation key, nation names) is ray.put once and
+    read inside every task — no shuffle join for a fact⋈dim pattern.
+    Per-batch partial counts/sums, then a tiny final groupby."""
+    import pyarrow.parquet as pq
+    from engine.textstats import micro_units
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    max_ck = int(pc_max(cust.column("c_custkey")))
+    c2n = np.full(max_ck + 1, -1, dtype=np.int32)
+    c2n[cust.column("c_custkey").to_numpy()] = \
+        cust.column("c_nationkey").to_numpy()
+    lookup_ref = ray.put(c2n)
+    names = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        nk = lut[batch.column("o_custkey").to_numpy()]
+        micro = micro_units(batch.column("o_totalprice").to_numpy())
+        df = pd.DataFrame({"nationkey": nk, "micro": micro})
+        g = df.groupby("nationkey", sort=False).agg(
+            n_orders=("micro", "size"), sum_totalprice_micro=("micro", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("nationkey").aggregate(
+               Sum("n_orders", alias_name="n_orders"),
+               Sum("sum_totalprice_micro",
+                   alias_name="sum_totalprice_micro"))
+           .to_pandas())
+    agg["n_name"] = agg["nationkey"].map(names)
+    agg["n_orders"] = agg["n_orders"].astype(np.int64)
+    agg["sum_totalprice_micro"] = agg["sum_totalprice_micro"].astype(np.int64)
+    return (agg[["n_name", "n_orders", "sum_totalprice_micro"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+def pc_max(arr) -> int:
+    import pyarrow.compute as pc
+    return pc.max(arr).as_py()
+
+
 # --- windowed aggregate over the events stream table ------------------------
 
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
