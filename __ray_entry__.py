@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_samples": d.q_frame_samples,               # rows-only
         # windowed aggregate + sessionization over the events table
         "events_hourly": d.q_events_hourly,
+        "events_sliding": d.q_events_sliding,
         "events_sessions": d.q_events_sessions,
         # relational wide-step patterns (pre-agg combiner, broadcast join)
         "lineitem_pricing": d.q_lineitem_pricing,
@@ -565,6 +566,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(substr(text, CAST(i * 200 + 1 AS INT), 200))
                         AS BIGINT) AS n_chars
             FROM n, unnest(range(k)) AS t(i)""",
+
+        # sliding 1h windows every 15 min: 4-way explode, then group
+        "events_sliding": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                              CAST(round(value * 1e6) AS BIGINT) AS vm
+                       FROM events),
+            x AS (SELECT event_type,
+                         (tsec // 900) * 900 - i * 900 AS win_start, vm
+                  FROM e, unnest(range(4)) AS t(i))
+            SELECT event_type, CAST(win_start AS BIGINT) AS win_start,
+                   count(*) AS n_events,
+                   CAST(sum(vm) AS BIGINT) AS sum_value_micro
+            FROM x GROUP BY 1, 2""",
 
         "events_sessions": f"""
             WITH o AS (

@@ -649,6 +649,50 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+SLIDE_WINDOW_S = 3600
+SLIDE_STEP_S = 900
+
+
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding 1h windows every 15 min per event_type: each event
+    belongs to window_s/step_s = 4 windows, EXPLODED inside map_batches
+    (the partial), then summed in a small groupby — the same pre-agg +
+    final-agg shape as the tumbling variant, with the explosion factor
+    (4x) paid before the shuffle on already-reduced rows."""
+    from engine.textstats import micro_units
+    k = SLIDE_WINDOW_S // SLIDE_STEP_S
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts_s = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        # last window starting at or before the event, then k-1 earlier
+        last_start = (ts_s // SLIDE_STEP_S) * SLIDE_STEP_S
+        starts = (last_start[:, None]
+                  - np.arange(k, dtype=np.int64)[None, :] * SLIDE_STEP_S)
+        rep = pd.DataFrame({
+            "event_type": np.repeat(df["event_type"].to_numpy(), k),
+            "win_start": starts.reshape(-1),
+            "value_micro": np.repeat(micro_units(df["value"].to_numpy()), k),
+        })
+        g = rep.groupby(["event_type", "win_start"], sort=False).agg(
+            n_events=("value_micro", "size"),
+            sum_value_micro=("value_micro", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "win_start"]).aggregate(
+               Sum("n_events", alias_name="n_events"),
+               Sum("sum_value_micro", alias_name="sum_value_micro"))
+           .to_pandas())
+    agg["win_start"] = agg["win_start"].astype(np.int64)
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["sum_value_micro"] = agg["sum_value_micro"].astype(np.int64)
+    return (agg.sort_values(["event_type", "win_start"])
+            .reset_index(drop=True))
+
+
 SESSION_GAP_S = 1800
 
 
