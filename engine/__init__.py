@@ -22,10 +22,20 @@ Module map (SURVEY.md §7.1):
               embed_directory_stream, re-expressed as Dataset stages)
   query       BM25 top-k: exhaustive DAAT + block-max WAND
   metrics     per-partition lineage + counters
-  dedup       exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
-  similarity  brute-force + LSH-bucketed cosine top-k over embeddings
+  dedup       exact / MinHash-LSH / SimHash / n-gram Jaccard / end-to-end
+              near-dup (verify + components + canonical map)
+  similarity  brute-force + LSH-bucketed + IVF cosine top-k over embeddings
+  embed       hashing + loadable-weights embedder actors, reranker, RRF
   textstats   language-ID, quality scoring, token counts, fingerprints
   multimodal  binary-column decode/feature plumbing (libs stubbed)
+  pdf, docx   pure-Python format extractors (pinned subsets) + writers
+  sources     file-corpus walk + extension dispatch (pdf/docx/html/txt)
+  urlfetch    HTTP GET ingest stage (reference's pinned header set)
+  sink        IndexSink adapter protocol (per-partition commit sink)
+  serve       query serving: replicas, term shards + front pool,
+              doc shards with distributed-IDF exchange
+  http_serve  /health_check + OpenAI-compatible /v1/embeddings + /v1/search
+  merge       N indexes -> 1, bit-identical to a union build
 
 No module in this package calls ``ray.init`` / ``ray.shutdown``; sessions
 are owned by the caller (driver, bench.py, or the pytest fixture).

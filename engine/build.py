@@ -242,8 +242,21 @@ def make_part_writer(sink, cfg: EngineConfig,
         urls = np.asarray(g.column("url").to_pylist(), dtype=object)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, doclens, urls = doc_ids[order], doclens[order], urls[order]
-        # a doc appears exactly once (dedup upstream); tolerate re-runs
+        # a doc appears exactly once (dedup upstream); tolerate re-runs —
+        # but a repeated doc_id carrying a DIFFERENT url is a hash64(url)
+        # COLLISION (63-bit id space, SURVEY.md §7.5): dropping it would
+        # silently corrupt postings, so fail loudly instead.  The scale
+        # path beyond ~10^11 docs is a 128-bit split id (documented).
         uniq = np.concatenate(([True], np.diff(doc_ids) != 0))
+        if not uniq.all():
+            dup_pos = np.flatnonzero(~uniq)
+            clash = urls[dup_pos] != urls[dup_pos - 1]
+            if clash.any():
+                i = int(dup_pos[np.flatnonzero(clash)[0]])
+                raise ValueError(
+                    f"doc_id collision: urls {urls[i - 1]!r} and "
+                    f"{urls[i]!r} both hash to doc_id {int(doc_ids[i])}; "
+                    "widen the id space before indexing this corpus")
         doc_ids, doclens, urls = doc_ids[uniq], doclens[uniq], urls[uniq]
         table = pa.table({"doc_id": doc_ids, "url": urls.tolist(),
                           "doclen": doclens})

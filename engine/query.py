@@ -52,9 +52,17 @@ class InvertedIndex:
     documented step.
     """
 
-    def __init__(self, index_dir: str, use_mmap: bool = True):
+    def __init__(self, index_dir: str, use_mmap: bool = True,
+                 cache_budget_bytes: int = 1 << 30):
         self.index_dir = index_dir
         self.use_mmap = use_mmap  # serving default: page-cache-backed blobs
+        # decoded-term cache budget in BYTES, not term count: one
+        # stopword list at 10^6+ df decodes to tens of MB, so a count
+        # cap either thrashes (every query re-decodes its stopwords —
+        # measured 1.02 s p95 at 1.6M docs with a 64-term cap) or
+        # overruns memory.  LRU by bytes holds the query working set.
+        self.cache_budget_bytes = cache_budget_bytes
+        self._cache_bytes = 0
         self.manifest = index_io.load_manifest(index_dir)
         self.cfg = EngineConfig.from_dict(self.manifest["config"])
         st = self.manifest["stats"]
@@ -85,6 +93,7 @@ class InvertedIndex:
         if dfs:
             self._df_overrides.update(dfs)
         self._postings_cache.clear()
+        self._cache_bytes = 0
 
     def add_df_overrides(self, dfs: dict[str, int]) -> None:
         """Merge per-term global dfs (stable per term, so previously
@@ -94,7 +103,9 @@ class InvertedIndex:
             old = self._df_overrides.get(t)
             if old != df:
                 self._df_overrides[t] = df
-                self._postings_cache.pop(t, None)
+                stale = self._postings_cache.pop(t, None)
+                if stale is not None:
+                    self._cache_bytes -= sum(a.nbytes for a in stale)
 
     # -- segment access -----------------------------------------------------
     def _part_of(self, term: str) -> int:
@@ -232,6 +243,9 @@ class InvertedIndex:
         are a pure function of (tf, doclen, df) so they cache too)."""
         hit = self._postings_cache.get(term)
         if hit is not None:
+            # LRU touch: dicts iterate in insertion order, so re-insert
+            self._postings_cache.pop(term)
+            self._postings_cache[term] = hit
             return hit
         ids, tfs = decode_postings(pbytes, skips.tobytes(), df,
                                    self.cfg.block_size)
@@ -240,8 +254,15 @@ class InvertedIndex:
         scores = self._term_score(tfs, self._doclens[pos],
                                   self.idf(df) if idf is None else idf)
         out = (ids, tfs, scores, pos)
-        if len(self._postings_cache) < 64:
+        size = ids.nbytes + tfs.nbytes + scores.nbytes + pos.nbytes
+        if size <= self.cache_budget_bytes:
+            while (self._cache_bytes + size > self.cache_budget_bytes
+                   and self._postings_cache):
+                oldest = next(iter(self._postings_cache))
+                evicted = self._postings_cache.pop(oldest)
+                self._cache_bytes -= sum(a.nbytes for a in evicted)
             self._postings_cache[term] = out
+            self._cache_bytes += size
         return out
 
     def _search_bmw(self, entries, k: int):

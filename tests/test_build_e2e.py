@@ -164,3 +164,52 @@ def test_join_dedup_equals_broadcast(e2e_webtext, tmp_path_factory):
     cks_b = {k: v["checksum"] for k, v in m_b["parts"].items()}
     cks_j = {k: v["checksum"] for k, v in m_j["parts"].items()}
     assert cks_b == cks_j
+
+
+def test_doc_id_collision_fails_loudly(tmp_path_factory, monkeypatch):
+    """Two distinct urls forced onto one doc_id must abort the docmeta
+    part, not silently drop a document (63-bit id space guard)."""
+    import pyarrow as pa
+    from engine import build as B
+
+    def colliding_ids(urls):
+        return np.full(len(urls), 42, dtype=np.int64)
+
+    monkeypatch.setattr(B, "doc_ids_from_urls", colliding_ids)
+    t = pa.table({
+        "url": pa.array(["http://a/1", "http://a/2"]),
+        "warc_ts": pa.array(np.zeros(2, dtype="datetime64[us]")),
+        "html": pa.array([b"<html><body><p>x y</p></body></html>"] * 2,
+                         pa.binary()),
+    })
+    import ray.data
+    idx = str(tmp_path_factory.mktemp("clash") / "idx")
+    with pytest.raises(Exception, match="doc_id collision"):
+        build_index(ray.data.from_arrow(t), idx,
+                    EngineConfig(num_parts=2, docmeta_parts=1))
+
+
+def test_extreme_stopword_skew_build(tmp_path_factory):
+    """Every doc shares one hot term (df == corpus size): the salted
+    partial aggregation + part shuffle must still produce a correct
+    index (the north rule's stopword-skew requirement, stressed)."""
+    import pandas as pd
+    import ray.data
+    from engine.query import InvertedIndex
+
+    n = 4000
+    rng = np.random.default_rng(11)
+    texts = [f"hotterm filler{rng.integers(0, 500)} x{i % 97}"
+             for i in range(n)]
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+    idx_dir = str(tmp_path_factory.mktemp("skew") / "idx")
+    m = build_index(ray.data.from_pandas(docs).repartition(8), idx_dir,
+                    EngineConfig(num_parts=4, docmeta_parts=2),
+                    mode="docs")
+    assert m["stats"]["n_docs"] == n
+    idx = InvertedIndex(idx_dir)
+    ent = idx.lookup("hotterm")
+    assert ent is not None and ent[0] == n  # df == every doc
+    hits = idx.search("hotterm", k=5)
+    assert len(hits) == 5
