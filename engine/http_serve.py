@@ -44,6 +44,11 @@ class EngineHttpServer:
         self.embedder = HashingEmbedder(dim=dim)
         self.model_name = f"hashing-{dim}"
         self.index = None
+        # ThreadingHTTPServer handles requests concurrently and the
+        # InvertedIndex decoded-term LRU is not thread-safe (pop +
+        # reinsert + byte accounting), so searches serialize on a lock;
+        # for parallel query serving use engine.serve's actor tiers
+        self._search_lock = threading.Lock()
         if index_dir is not None:
             from engine.query import InvertedIndex
             self.index = InvertedIndex(index_dir)
@@ -121,8 +126,9 @@ class EngineHttpServer:
                                "no_index")
         query = req.get("query", "")
         k = int(req.get("k", 10))
-        hits = self.index.search(query, k=k)
-        urls = self.index.url_of([d for d, _ in hits]) if hits else []
+        with self._search_lock:
+            hits = self.index.search(query, k=k)
+            urls = self.index.url_of([d for d, _ in hits]) if hits else []
         return 200, {"hits": [
             {"doc_id": int(d), "score": float(s), "url": u}
             for (d, s), u in zip(hits, urls)]}
