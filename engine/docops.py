@@ -575,7 +575,8 @@ def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
                          columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                         columns=["n_nationkey", "n_name"])
-    max_ck = int(pc_max(cust.column("c_custkey")))
+    import pyarrow.compute as pc
+    max_ck = int(pc.max(cust.column("c_custkey")).as_py())
     c2n = np.full(max_ck + 1, -1, dtype=np.int32)
     c2n[cust.column("c_custkey").to_numpy()] = \
         cust.column("c_nationkey").to_numpy()
@@ -606,11 +607,6 @@ def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
     agg["sum_totalprice_micro"] = agg["sum_totalprice_micro"].astype(np.int64)
     return (agg[["n_name", "n_orders", "sum_totalprice_micro"]]
             .sort_values("n_name").reset_index(drop=True))
-
-
-def pc_max(arr) -> int:
-    import pyarrow.compute as pc
-    return pc.max(arr).as_py()
 
 
 # --- windowed aggregate over the events stream table ------------------------
