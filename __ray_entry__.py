@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal actor-pool stages (stubbed decode, real plumbing)
         "image_features": d.q_image_features,             # rows-only
         "frame_samples": d.q_frame_samples,               # rows-only
+        "audio_segments": d.q_audio_segments,             # rows-only
         # windowed aggregate + sessionization over the events table
         "events_hourly": d.q_events_hourly,
         "events_sliding": d.q_events_sliding,

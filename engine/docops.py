@@ -515,6 +515,16 @@ def q_frame_samples(sf_dir: str):
         concurrency=2)
 
 
+def q_audio_segments(sf_dir: str):
+    """Audio segment transcription explosion (start/end/text layout,
+    /root/reference/rust/src/embeddings/mod.rs:40-52; stubbed ASR,
+    real actor plumbing)."""
+    from engine.multimodal import AudioSegmentActor
+    return _assets_ds(sf_dir).map_batches(
+        AudioSegmentActor, batch_format="pyarrow", batch_size=64,
+        concurrency=2)
+
+
 # --- relational wide-step patterns over the TPC-H-ish tables ----------------
 
 PRICING_CUTOFF = np.datetime64("1997-06-01")

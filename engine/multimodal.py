@@ -130,3 +130,61 @@ class FrameSampleActor:
             "frame_index": pa.array(frames, pa.int32()),
             "ts_ms": pa.array(ts, pa.int32()),
         })
+
+
+class AudioSegmentActor:
+    """Actor-pool stage: explode audio payloads into transcribed SEGMENT
+    rows with the reference's audio metadata layout — start/end seconds
+    + per-segment text (/root/reference/rust/src/embeddings/mod.rs:40-52
+    attaches start/end/file_name/text; the Whisper decoder loads per
+    process, /root/reference/rust/src/lib.rs:587-607).
+
+    Whisper weights don't exist in this container, so the TRANSCRIBE
+    step is a clearly-marked deterministic stub (payload-derived token
+    text per fixed-length window); everything Ray-side is real: heavy
+    init slot in __init__, per-batch __call__, one output row per
+    segment, decode_ok error column.  A real ASR model replaces
+    ``_transcribe_stub`` only.
+    """
+
+    SEGMENT_MS = 400
+
+    def __init__(self, seed: int = 13):
+        # the "decoder weights" slot: a seeded token table stands in
+        rng = np.random.default_rng(seed)
+        self._tokens = [f"tok{int(x)}" for x in rng.integers(0, 999, 256)]
+
+    def _transcribe_stub(self, payload: bytes, start_ms: int) -> str:
+        if not payload:
+            raise NotImplementedError("empty payload — real ASR "
+                                      "unavailable in this environment")
+        i = (payload[start_ms % len(payload)]
+             + payload[(start_ms // 7) % len(payload)]) % len(self._tokens)
+        return f"{self._tokens[i]} {self._tokens[(i * 31) % len(self._tokens)]}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, segs, starts, ends, texts, ok = [], [], [], [], [], []
+        for aid, kind, dur, payload in zip(
+                batch.column("asset_id").to_pylist(),
+                batch.column("kind").to_pylist(),
+                batch.column("duration_ms").to_pylist(),
+                batch.column("payload").to_pylist()):
+            if kind != "audio" or dur <= 0:
+                continue
+            for i, t in enumerate(range(0, dur, self.SEGMENT_MS)):
+                end = min(t + self.SEGMENT_MS, dur)
+                try:
+                    txt, good = self._transcribe_stub(payload, t), True
+                except NotImplementedError:
+                    txt, good = "", False
+                ids.append(aid); segs.append(i)
+                starts.append(t / 1000.0); ends.append(end / 1000.0)
+                texts.append(txt); ok.append(good)
+        return pa.table({
+            "asset_id": pa.array(ids, pa.int64()),
+            "segment": pa.array(segs, pa.int32()),
+            "start": pa.array(starts, pa.float64()),   # seconds, ref layout
+            "end": pa.array(ends, pa.float64()),
+            "text": pa.array(texts, pa.large_string()),
+            "decode_ok": pa.array(ok, pa.bool_()),
+        })

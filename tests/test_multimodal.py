@@ -54,3 +54,40 @@ def test_frame_explosion():
     g = out.groupby("asset_id")["frame_index"].agg(["min", "max", "count"])
     assert (g["min"] == 0).all()
     assert (g["count"] == g["max"] + 1).all()
+
+
+def test_audio_segment_actor(ray_session):
+    """Segment explosion with the reference's start/end layout: audio
+    assets only, contiguous 400ms windows, deterministic stub text."""
+    import pyarrow as pa
+    import ray.data
+    from engine.multimodal import AudioSegmentActor, synth_assets
+
+    assets = synth_assets(60, seed=5)
+    out = (ray.data.from_arrow(assets)
+           .map_batches(AudioSegmentActor, batch_format="pyarrow",
+                        batch_size=16, concurrency=2)
+           .to_pandas().sort_values(["asset_id", "segment"])
+           .reset_index(drop=True))
+    kinds = dict(zip(assets.column("asset_id").to_pylist(),
+                     assets.column("kind").to_pylist()))
+    durs = dict(zip(assets.column("asset_id").to_pylist(),
+                    assets.column("duration_ms").to_pylist()))
+    assert len(out) > 0
+    assert all(kinds[a] == "audio" for a in out["asset_id"])
+    for aid, g in out.groupby("asset_id"):
+        # contiguous coverage [0, dur]
+        assert list(g["segment"]) == list(range(len(g)))
+        assert g["start"].iloc[0] == 0.0
+        assert abs(g["end"].iloc[-1] - durs[aid] / 1000.0) < 1e-9
+        assert (g["end"].to_numpy()[:-1] == g["start"].to_numpy()[1:]).all()
+    assert out["decode_ok"].all()
+    assert (out["text"].str.len() > 0).all()
+    # determinism across parallelism
+    out2 = (ray.data.from_arrow(assets).repartition(5)
+            .map_batches(AudioSegmentActor, batch_format="pyarrow",
+                         batch_size=16, concurrency=2)
+            .to_pandas().sort_values(["asset_id", "segment"])
+            .reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(out, out2)
