@@ -115,24 +115,39 @@ class WeightsEmbedder:
     """
 
     def __init__(self, weights_path: str, id_col: str = "doc_id",
-                 text_col: str = "text", out_col: str = "embedding"):
+                 text_col: str = "text", out_col: str = "embedding",
+                 pooling: str = "mean"):
         wz = np.load(weights_path)
         self.matrix = np.ascontiguousarray(wz["embedding"],
                                            dtype=np.float64)
         self.n_buckets = np.uint64(self.matrix.shape[0])
         self.dim = int(self.matrix.shape[1])
         self.id_col, self.text_col, self.out_col = id_col, text_col, out_col
+        # pooling over the token axis (reference G4 dispatch,
+        # /root/reference/rust/src/embeddings/local/pooling.rs:51-74):
+        # mean = tf-weighted mean of token rows; max = elementwise max;
+        # last = the final token's row (the reference's last-token mode)
+        if pooling not in ("mean", "max", "last"):
+            raise ValueError(f"unknown pooling {pooling!r}")
+        self.pooling = pooling
 
     def _encode(self, tok_lists: list[list[str]]) -> np.ndarray:
         out = np.zeros((len(tok_lists), self.dim), dtype=np.float64)
         for i, ts in enumerate(tok_lists):
             if not ts:
                 continue
+            if self.pooling == "last":
+                row = int(stable_hash64([ts[-1]])[0] % self.n_buckets)
+                out[i] = self.matrix[row]
+                continue
             uniq, counts = np.unique(np.asarray(ts, dtype=object),
                                      return_counts=True)
             rows = (stable_hash64(uniq) % self.n_buckets).astype(np.int64)
-            w = counts.astype(np.float64)
-            out[i] = (self.matrix[rows] * w[:, None]).sum(axis=0) / w.sum()
+            if self.pooling == "max":
+                out[i] = self.matrix[rows].max(axis=0)
+            else:
+                w = counts.astype(np.float64)
+                out[i] = (self.matrix[rows] * w[:, None]).sum(axis=0) / w.sum()
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return out / norms

@@ -36,6 +36,31 @@ def _error(message: str, etype: str, code: str) -> dict:
     return {"error": {"message": message, "type": etype, "code": code}}
 
 
+# known magic prefixes for the classifier's decode-and-sniff step
+_IMAGE_MAGICS = (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"GIF8",
+                 b"BM", b"RIFF")
+
+
+def is_base64_image(s: str) -> bool:
+    """Input classifier (reference M11, server/src/lib.rs:624-656):
+    data:image/ URLs are images; otherwise a >=100-char pure-base64
+    string that decodes (F9) to bytes with a known image magic."""
+    if s.startswith("data:image/"):
+        return True
+    data = s.strip()
+    if len(data) < 100:
+        return False
+    if not all(c.isalnum() or c in "+/=" for c in data):
+        return False
+    import base64 as b64
+    import binascii
+    try:
+        raw = b64.b64decode(data, validate=True)
+    except (binascii.Error, ValueError):
+        return False
+    return raw.startswith(_IMAGE_MAGICS)
+
+
 class EngineHttpServer:
     """Threaded HTTP front over a warm embedder (+ optional index)."""
 
@@ -109,6 +134,20 @@ class EngineHttpServer:
         if not all(isinstance(x, str) for x in inputs):
             return 400, _error("Inputs must be strings",
                                "invalid_request_error", "bad_input_type")
+        # input-type routing (reference server/src/lib.rs:161-173):
+        # mixed text/image -> error; all-image -> unsupported here (the
+        # hashing embedder is text-only, like a non-vision model)
+        img = [is_base64_image(x) for x in inputs]
+        if any(img) and not all(img):
+            return 400, _error(
+                "Mixed input types detected. Please provide either all "
+                "text inputs or all base64 image inputs.",
+                "invalid_request_error", "mixed_input_types")
+        if all(img):
+            return 400, _error(
+                f"Model '{req.get('model', self.model_name)}' does not "
+                "support image embeddings. Please use a vision model.",
+                "invalid_request_error", "unsupported_model")
         vecs = self.embedder.embed_texts(inputs)
         n_tokens = sum(len(tokenize(t)) for t in inputs)
         return 200, {

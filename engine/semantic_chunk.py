@@ -47,29 +47,50 @@ class StatisticalChunker:
     """Actor-pool semantic chunker: boundary where the sentence's cosine
     to the rolling context falls below ``threshold``."""
 
-    def __init__(self, dim: int = 64, threshold: float = 0.25,
+    def __init__(self, dim: int = 64, threshold: float | str = 0.25,
                  window: int = 3, min_sentences: int = 1,
                  max_sentences: int = 12,
                  id_col: str = "doc_id", text_col: str = "text"):
         self.embedder = HashingEmbedder(dim=dim)   # once per actor
+        # threshold="adaptive" derives the boundary per document from
+        # the similarity distribution itself: median - 0.5 * std of the
+        # rolling-context cosines (the reference's statistical shape —
+        # it tunes the threshold from score statistics via binary
+        # search, statistical.rs:264-332; median/std helpers :14-41 are
+        # SURVEY F7).  A fixed float stays the deterministic default.
         self.threshold = threshold
         self.window = window
         self.min_sentences = min_sentences
         self.max_sentences = max_sentences
         self.id_col, self.text_col = id_col, text_col
 
+    def _sims(self, sents: list[str], emb: np.ndarray) -> np.ndarray:
+        """Rolling-context cosine of each sentence vs the previous
+        ``window`` sentences (the boundary signal)."""
+        sims = np.empty(len(sents) - 1, dtype=np.float64)
+        for i in range(1, len(sents)):
+            ctx = emb[max(0, i - self.window):i].mean(axis=0)
+            n = np.linalg.norm(ctx)
+            sims[i - 1] = float(emb[i] @ ctx / n) if n > 0 else 0.0
+        return sims
+
     def chunk_text(self, text: str) -> list[str]:
         sents = split_sentences(text)
         if len(sents) <= 1:
             return [text] if text.strip() else []
         emb = self.embedder.embed_texts(sents)
+        if self.threshold == "adaptive":
+            sims = self._sims(sents, emb)
+            thr = float(np.median(sims) - 0.5 * np.std(sims))
+        else:
+            thr = float(self.threshold)
         chunks: list[list[str]] = [[sents[0]]]
         ctx_vecs = [emb[0]]
         for s, v in zip(sents[1:], emb[1:]):
             ctx = np.mean(ctx_vecs[-self.window:], axis=0)
             n = np.linalg.norm(ctx)
             sim = float(v @ ctx / n) if n > 0 else 0.0
-            if (sim < self.threshold and
+            if (sim < thr and
                     len(chunks[-1]) >= self.min_sentences) or \
                     len(chunks[-1]) >= self.max_sentences:
                 chunks.append([s])

@@ -31,6 +31,11 @@ from engine.extract import extract_text
 
 TEXT_EXTENSIONS = ("html", "htm", "md", "txt", "pdf", "docx")
 
+# reference FileParser extension sets (rust/src/file_loader.rs:55-116)
+IMAGE_EXTENSIONS = ("jpg", "jpeg", "png", "gif", "bmp", "webp")
+AUDIO_EXTENSIONS = ("wav",)
+VIDEO_EXTENSIONS = ("mp4", "avi", "mov", "mkv", "webm")
+
 
 def _dispatch(path: str, data: bytes) -> tuple[str, str]:
     """-> (text, error).  Extension dispatch per the reference's
@@ -95,3 +100,32 @@ def read_text_corpus(
 
         ds = ds.map_batches(drop_indexed, batch_format="numpy")
     return ds.map_batches(corpus_to_docs, batch_format="numpy")
+
+
+def list_media_files(root: str, kind: str = "image") -> "ray.data.Dataset":
+    """Recursive media-path discovery (reference S2/S3:
+    ``FileParser::get_image_paths`` / ``get_audio_files`` /
+    ``get_video_paths``, /root/reference/rust/src/file_loader.rs:55-116
+    — the reference returns PATHS only; bytes load later in the
+    processing stages).  -> Dataset(path, kind, size_bytes).
+
+    Implemented as a parallel listing via ``read_binary_files`` metadata
+    rather than a driver-side os.walk — at 10^9 files the listing itself
+    is the distributed step.  Payload bytes are dropped immediately
+    after sizing, so only path rows flow on."""
+    exts = {"image": IMAGE_EXTENSIONS, "audio": AUDIO_EXTENSIONS,
+            "video": VIDEO_EXTENSIONS}[kind]
+    ds = ray.data.read_binary_files(root, include_paths=True,
+                                    file_extensions=list(exts))
+
+    def to_paths(batch: dict) -> pa.Table:
+        sizes = np.fromiter((len(b) for b in batch["bytes"]),
+                            dtype=np.int64, count=len(batch["bytes"]))
+        return pa.table({
+            "path": pa.array([str(p) for p in batch["path"]],
+                             pa.large_string()),
+            "kind": pa.array([kind] * len(sizes)),
+            "size_bytes": pa.array(sizes),
+        })
+
+    return ds.map_batches(to_paths, batch_format="numpy")

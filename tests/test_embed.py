@@ -104,3 +104,23 @@ def test_weights_embedder_loads_and_embeds(tmp_path):
     # matches the single-process adapter bit-for-bit (f32 storage)
     want = e.embed_texts(docs["text"].tolist()).astype(np.float32)
     assert np.array_equal(va, want)
+
+
+def test_weights_embedder_pooling_modes(tmp_path):
+    """G4 pooling dispatch: mean/max/last over the token axis."""
+    from engine.embed import WeightsEmbedder, save_random_weights
+    path = save_random_weights(str(tmp_path / "w2.npz"), n_buckets=64,
+                               dim=8)
+    texts = ["alpha beta", "beta alpha", "gamma alpha"]
+    mean = WeightsEmbedder(path, pooling="mean").embed_texts(texts)
+    mx = WeightsEmbedder(path, pooling="max").embed_texts(texts)
+    last = WeightsEmbedder(path, pooling="last").embed_texts(texts)
+    # mean and max are order-insensitive; last is not
+    assert np.array_equal(mean[0], mean[1])
+    assert np.array_equal(mx[0], mx[1])
+    assert not np.array_equal(last[0], last[1])
+    # last == the final token's normalized row
+    single_beta = WeightsEmbedder(path, pooling="last").embed_texts(["beta"])
+    assert np.array_equal(last[0], single_beta[0])
+    with pytest.raises(ValueError):
+        WeightsEmbedder(path, pooling="cls")

@@ -65,3 +65,37 @@ def test_actor_pool_dataset(ray_session):
     assert out.groupby("doc_id")["chunk_id"].min().eq(0).all()
     # every sampled doc produced at least one chunk
     assert out["doc_id"].nunique() == 50
+
+
+def test_adaptive_threshold_variant(ray_session):
+    """F7 median/std adaptive threshold: lossless coverage, determinism,
+    and boundaries derived from the doc's own similarity distribution."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from engine.semantic_chunk import StatisticalChunker, semantic_chunk_documents
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["alpha beta gamma. alpha beta delta. cars trucks roads. "
+                 "cars roads fuel. alpha beta term. music songs piano."] * 3 +
+                ["one two. one two. one two."] * 3,
+    })
+    c = StatisticalChunker(threshold="adaptive")
+    for t in docs["text"]:
+        chunks = c.chunk_text(t)
+        assert chunks
+        joined = " ".join(chunks)
+        # sentence coverage: every sentence survives, in order
+        from engine.semantic_chunk import split_sentences
+        assert [s for ch in chunks for s in split_sentences(ch)] == \
+            split_sentences(t)
+    a = (semantic_chunk_documents(ray.data.from_pandas(docs),
+                                  threshold="adaptive", concurrency=2)
+         .to_pandas().sort_values(["doc_id", "chunk_id"])
+         .reset_index(drop=True))
+    b = (semantic_chunk_documents(ray.data.from_pandas(docs).repartition(4),
+                                  threshold="adaptive", concurrency=2)
+         .to_pandas().sort_values(["doc_id", "chunk_id"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -137,3 +137,23 @@ def test_search_endpoint_matches_local(http_engine):
     assert [d for d, _ in got] == [d for d, _ in want]
     assert np.allclose([s for _, s in got], [s for _, s in want])
     assert all(h["url"] for h in resp["hits"])
+
+
+def test_base64_image_routing(http_engine):
+    """M11 classifier + F9 decode: all-image -> unsupported_model,
+    mixed -> mixed_input_types (reference server routing semantics)."""
+    import base64
+    from engine.http_serve import is_base64_image
+    _, base = http_engine
+    fake_png = base64.b64encode(
+        b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 2).decode()
+    assert is_base64_image(fake_png)
+    assert is_base64_image("data:image/png;base64,AAAA")
+    assert not is_base64_image("plain text body")
+    assert not is_base64_image(base64.b64encode(b"x" * 200).decode())
+
+    status, resp = _post(f"{base}/v1/embeddings", {"input": [fake_png]})
+    assert status == 400 and resp["error"]["code"] == "unsupported_model"
+    status, resp = _post(f"{base}/v1/embeddings",
+                         {"input": [fake_png, "some text"]})
+    assert status == 400 and resp["error"]["code"] == "mixed_input_types"

@@ -183,3 +183,25 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
                        for (_, a), (_, b) in zip(got, want)), q
     finally:
         svc_bmw.shutdown()
+
+
+def test_list_media_files(ray_session, tmp_path):
+    """S2/S3 media-path discovery: recursive, per-kind extension sets."""
+    from engine.sources import list_media_files
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (tmp_path / "b.png").write_bytes(b"\x89PNGfake")
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    (sub / "c.wav").write_bytes(b"RIFFfake")
+    (sub / "d.mp4").write_bytes(b"ftypfake")
+    (tmp_path / "e.txt").write_text("not media")
+
+    imgs = list_media_files(str(tmp_path), "image").to_pandas()
+    assert sorted(p.rsplit("/", 1)[-1] for p in imgs["path"]) == \
+        ["a.jpg", "b.png"]
+    assert (imgs["kind"] == "image").all()
+    assert set(imgs["size_bytes"]) == {10, 8}
+    auds = list_media_files(str(tmp_path), "audio").to_pandas()
+    assert [p.rsplit("/", 1)[-1] for p in auds["path"]] == ["c.wav"]
+    vids = list_media_files(str(tmp_path), "video").to_pandas()
+    assert [p.rsplit("/", 1)[-1] for p in vids["path"]] == ["d.mp4"]
