@@ -623,6 +623,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY n.n_name""",
 
+        # chunks_markdown stays rows-only BY EVIDENCE, not neglect: the
+        # natural SQL formulation ("longest fitting prefix at the
+        # coarsest level with a fitting boundary") was implemented and
+        # hypothesis-fuzzed against the real recursive packer — it
+        # diverges (e.g. 'cac.\n\nb\na  ' @ C=5: empty split units keep
+        # their separators and create extra boundaries), so a faithful
+        # SQL oracle would be a full interpreter.  The entry is instead
+        # checked in pytest against an independently written stack-based
+        # implementation + hypothesis (tests/test_chunk.py).
+
         # md5-mode sketch oracles (engine runs these entries with
         # hash_fn="md5" so the sketch arithmetic is SQL-reproducible;
         # the SipHash default is the same code path, pytest-verified)
