@@ -108,3 +108,32 @@ def test_ivf_all_probe_equals_exact(ray_session):
     # modest; the property under test is "partial probe finds a
     # non-trivial subset of the true top-k"
     assert recall >= 0.1
+
+
+def test_ann_partial_probe_recall(ray_session):
+    """Production setting sanity: with nprobe << all, LSH/IVF recall@10
+    vs brute force stays useful, and candidates are a strict subset of
+    the corpus scan (i.e. pruning actually prunes)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from engine.similarity import knn_cosine, lsh_knn, ivf_knn
+
+    rng = np.random.default_rng(21)
+    n, d = 2000, 32
+    # clustered corpus so cells/buckets carry structure
+    centers = rng.standard_normal((8, d)) * 3
+    vecs = (centers[rng.integers(0, 8, n)]
+            + rng.standard_normal((n, d))).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = ray.data.from_pandas(df)
+    q = vecs[7] + 0.01
+
+    exact = set(knn_cosine(ds, q[None, :], [-1], k=10)["vec_id"])
+    lsh = set(lsh_knn(ds, q[None, :], [-1], k=10, n_bits=4,
+                      nprobe=4)["vec_id"])
+    ivf = set(ivf_knn(ds, q[None, :], [-1], k=10, n_centroids=8,
+                      nprobe=2)["vec_id"])
+    assert len(lsh & exact) >= 5, f"LSH recall too low: {len(lsh & exact)}/10"
+    assert len(ivf & exact) >= 5, f"IVF recall too low: {len(ivf & exact)}/10"
