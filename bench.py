@@ -154,6 +154,47 @@ def _query_qps_sharded(index_dir: str, n_shards: int = 2,
         svc.shutdown()
 
 
+def _query_qps_docsharded(n_shards: int = 2, batches: int = 40) -> float:
+    """Doc-sharded scatter-gather QPS: sub-indexes over url-hash doc
+    ranges, distributed-IDF exchange, O(shards x k) network per query."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from engine.build import build_index
+    from engine.serve import DocShardedQueryService
+    from engine.tokenize import stable_hash64
+
+    shard_dirs = []
+    for si in range(n_shards):
+        def keep(batch: pa.Table, _si=si) -> pa.Table:
+            urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+            mask = (stable_hash64(urls) % np.uint64(n_shards)
+                    ) == np.uint64(_si)
+            return batch.filter(pa.array(mask))
+
+        ds = (ray.data.read_parquet(WEBTEXT_DIR,
+                                    columns=["url", "warc_ts", "html"])
+              .map_batches(keep, batch_format="pyarrow"))
+        d = tempfile.mkdtemp(prefix=f"bench_dsh{si}_", dir="/tmp")
+        build_index(ds, d, _bench_cfg())
+        shard_dirs.append(d)
+
+    with open(QUERIES_PATH) as f:
+        qset = json.load(f)
+    svc = DocShardedQueryService(shard_dirs)
+    try:
+        svc.search_many(qset)  # warm
+        t0 = time.perf_counter()
+        for _ in range(batches):
+            svc.search_many(qset)
+        wall = time.perf_counter() - t0
+        return batches * len(qset) / wall
+    finally:
+        svc.shutdown()
+        for d in shard_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def run_default(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     queries: dict[str, float] = {}
@@ -168,6 +209,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     queries["bm25_query_p95"] = round(lat["p95_s"], 6)
     qps = _query_qps(idx_dir)
     qps_sharded = _query_qps_sharded(idx_dir)
+    qps_docsharded = _query_qps_docsharded()
 
     from engine import docops
     import __ray_entry__ as entrymod
@@ -192,6 +234,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "build_total_tokens": build["total_tokens"],
         "query_qps_4replicas": round(qps, 1),
         "query_qps_2x2shards": round(qps_sharded, 1),
+        "query_qps_2docshards": round(qps_docsharded, 1),
     }
     import ray
     ray.shutdown()

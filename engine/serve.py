@@ -358,22 +358,35 @@ class DocShardedQueryService:
                 self._df_cache[t] = sum(d[t] for d in per_shard)
         return {t: self._df_cache[t] for t in terms}
 
-    def search(self, query: str, k: int = 10):
-        if k <= 0:
-            return []
+    def _scatter(self, query: str, k: int):
         terms = self._terms_of(query)
         if not terms:
-            return []
+            return None
         dfs = self._global_dfs(terms)
-        parts = ray.get([w.search_topk.remote(query, k, dfs, self.method)
-                         for w in self.workers])
+        return [w.search_topk.remote(query, k, dfs, self.method)
+                for w in self.workers]
+
+    @staticmethod
+    def _merge(parts, k: int):
         merged = [hit for p in parts for hit in p]
         # (score desc, doc_id asc) — same order the local engine uses
         merged.sort(key=lambda h: (-h[1], h[0]))
         return merged[:k]
 
+    def search(self, query: str, k: int = 10):
+        if k <= 0:
+            return []
+        futs = self._scatter(query, k)
+        return [] if futs is None else self._merge(ray.get(futs), k)
+
     def search_many(self, queries: list[str], k: int = 10):
-        return [self.search(q, k) for q in queries]
+        """Pipelined: all queries' per-shard top-k futures are in flight
+        before the first merge (merges touch only shards x k rows)."""
+        if k <= 0:
+            return [[] for _ in queries]
+        plans = [self._scatter(q, k) for q in queries]
+        return [[] if p is None else self._merge(ray.get(p), k)
+                for p in plans]
 
     def shutdown(self):
         for w in self.workers:
