@@ -596,7 +596,8 @@ def oracle_sql() -> dict[str, str]:
                         AS session_id
               FROM o)
             SELECT user_id, session_id, count(*) AS n_events,
-                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
                    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
                        AS sum_value_micro
             FROM s GROUP BY user_id, session_id""",

@@ -743,12 +743,17 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
         user_first = np.concatenate(([True], u[starts][1:] != u[starts][:-1]))
         sid = np.arange(starts.size) - np.maximum.accumulate(
             np.where(user_first, np.arange(starts.size), 0))
+        # start/end as epoch-microsecond BIGINTs, not timestamps: the
+        # driver's value-hash canonicalizes timestamp columns outside
+        # our control (round-2 hash_match flake on an output that was
+        # bitwise-equal to DuckDB locally) — an all-integer frame has
+        # exactly one representation on both sides.
         return pd.DataFrame({
             "user_id": u[starts],
             "session_id": sid.astype(np.int64),
             "n_events": (ends - starts).astype(np.int64),
-            "start_ts": ts[starts],
-            "end_ts": ts[ends - 1],
+            "start_us": ts[starts].astype(np.int64),
+            "end_us": ts[ends - 1].astype(np.int64),
             "sum_value_micro": np.add.reduceat(val, starts),
         })
 
