@@ -86,8 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_corpus": d.q_file_corpus,                   # rows-only
         # multimodal actor-pool stages (stubbed decode, real plumbing)
         "image_features": d.q_image_features,             # rows-only
-        "frame_samples": d.q_frame_samples,               # rows-only
-        "audio_segments": d.q_audio_segments,             # rows-only
+        "frame_samples": d.q_frame_samples,
+        "audio_segments": d.q_audio_segments,
         # windowed aggregate + sessionization over the events table
         "events_hourly": d.q_events_hourly,
         "events_sliding": d.q_events_sliding,
@@ -633,6 +633,34 @@ def oracle_sql() -> dict[str, str]:
         # SQL oracle would be a full interpreter.  The entry is instead
         # checked in pytest against an independently written stack-based
         # implementation + hypothesis (tests/test_chunk.py).
+
+        # multimodal explosions: asset kind/duration are pure functions
+        # of documents.doc_id (engine/multimodal.py — kind = doc_id % 3,
+        # dur = 200 + (doc_id*7919) % 1800), so the frame/segment
+        # layouts are plain SQL over the registered table.  The audio
+        # entry's start/end come from a REAL stdlib-wave decode of a
+        # synthesized WAV whose decoded duration equals the derived one;
+        # the md5 token stub matches md5_number_lower.
+        "frame_samples": """
+            WITH v AS (SELECT doc_id, 200 + (doc_id * 7919) % 1800 AS dur
+                       FROM documents WHERE doc_id % 3 = 2)
+            SELECT doc_id AS asset_id,
+                   CAST(i AS INT) AS frame_index,
+                   CAST(i * 250 AS INT) AS ts_ms
+            FROM v, unnest(range((dur + 249) // 250)) AS t(i)""",
+
+        "audio_segments": """
+            WITH a AS (SELECT doc_id, 200 + (doc_id * 7919) % 1800 AS dur
+                       FROM documents WHERE doc_id % 3 = 1)
+            SELECT doc_id AS asset_id,
+                   CAST(i AS INT) AS segment,
+                   CAST(i * 400 AS INT) AS start_ms,
+                   CAST(LEAST(i * 400 + 400, dur) AS INT) AS end_ms,
+                   'tok' || CAST(md5_number_lower(CAST(doc_id AS VARCHAR)
+                        || ':' || CAST(i AS VARCHAR)) % 997 AS VARCHAR)
+                       AS text,
+                   TRUE AS decode_ok
+            FROM a, unnest(range((dur + 399) // 400)) AS t(i)""",
 
         # md5-mode sketch oracles (engine runs these entries with
         # hash_fn="md5" so the sketch arithmetic is SQL-reproducible;

@@ -467,20 +467,17 @@ def q_file_corpus(sf_dir: str):
 # --- multimodal actor-pool stages (stubbed decode, real plumbing) -----------
 
 def _assets_ds(sf_dir: str) -> "ray.data.Dataset":
-    """Deterministic synthetic asset table (payload bytes seeded from
-    the sf_dir name so each tier differs), materialized once under /tmp.
-    The real deployment reads an assets parquet next to documents."""
-    from engine.multimodal import synth_assets, ASSET_FORMAT_VERSION
-    import pyarrow.parquet as pq
-    n = 200
-    seed = int(hashlib.sha256(sf_dir.encode()).hexdigest()[:8], 16) % 10**6
-    path = os.path.join(
-        "/tmp", "engine_cache",
-        f"assets-v{ASSET_FORMAT_VERSION}-{seed}-{n}.parquet")
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(synth_assets(n, seed), path)
-    return ray.data.read_parquet(path)
+    """Asset table derived deterministically from the registered
+    ``documents`` table (kind/duration are pure functions of doc_id,
+    audio payloads are real WAVs) — synthesized as a STREAMING
+    map_batches stage, never materialized on the driver, so the DuckDB
+    oracle can reproduce the frame/segment explosions from `documents`
+    alone.  The real deployment reads an assets parquet instead."""
+    from engine.multimodal import make_assets_batch
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]).map_batches(
+            make_assets_batch, batch_format="pyarrow", batch_size=256)
 
 
 def q_image_features(sf_dir: str):
@@ -501,14 +498,17 @@ def q_image_features(sf_dir: str):
             "feat_0": pa.array(np.round(feats[:, 0], 6)),
         })
 
-    return _assets_ds(sf_dir).map_batches(
+    return _assets_ds(sf_dir).filter(
+        expr='kind == "image"').map_batches(
         ImageFeatureActor, batch_format="pyarrow", batch_size=64,
         concurrency=2).map_batches(project, batch_format="pyarrow")
 
 
 def q_frame_samples(sf_dir: str):
     """Video frame-sampling explosion (frame_index layout,
-    /root/reference/rust/src/lib.rs:546-550)."""
+    /root/reference/rust/src/lib.rs:546-550).  DuckDB-oracle-checked:
+    kind/duration are pure functions of doc_id, so the explosion is
+    `unnest(range((dur+249)//250))` over `documents`."""
     from engine.multimodal import FrameSampleActor
     return _assets_ds(sf_dir).map_batches(
         FrameSampleActor, batch_format="pyarrow", batch_size=64,
@@ -516,13 +516,19 @@ def q_frame_samples(sf_dir: str):
 
 
 def q_audio_segments(sf_dir: str):
-    """Audio segment transcription explosion (start/end/text layout,
-    /root/reference/rust/src/embeddings/mod.rs:40-52; stubbed ASR,
-    real actor plumbing)."""
+    """Audio segment explosion over REAL WAV decode (start/end/text
+    layout, /root/reference/rust/src/embeddings/mod.rs:40-52; stdlib
+    `wave` header+PCM parse; ASR text is an md5-derived stub).  The
+    contract projects the SQL-reproducible columns — decoded duration
+    equals the doc_id-derived duration, so segment layout is
+    oracle-checked; per-segment RMS (`rms_milli`, computed from decoded
+    samples) is pytest-verified instead."""
     from engine.multimodal import AudioSegmentActor
     return _assets_ds(sf_dir).map_batches(
         AudioSegmentActor, batch_format="pyarrow", batch_size=64,
-        concurrency=2)
+        concurrency=2).select_columns(
+            ["asset_id", "segment", "start_ms", "end_ms", "text",
+             "decode_ok"])
 
 
 # --- relational wide-step patterns over the TPC-H-ish tables ----------------

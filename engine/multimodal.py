@@ -4,28 +4,40 @@ The reference ships real decoders (CLIP/SigLIP image embedding,
 /root/reference/rust/src/embeddings/local/clip.rs; Whisper audio,
 /root/reference/rust/src/lib.rs:587-607; video frame sampling,
 /root/reference/rust/src/lib.rs:546-550 emits video_path/frame_index
-metadata).  The decode libraries are not available in this container, so
-the DECODE step is stubbed (deterministic fake, clearly marked), while
-all the Ray-side plumbing is real and tested: typed schemas, actor-pool
+metadata).  PIL/torch/onnxruntime are not available in this container,
+so the IMAGE/VIDEO decode step is stubbed (deterministic fake, clearly
+marked) — but the AUDIO decode is REAL: payloads are genuine RIFF/WAV
+files and ``AudioSegmentActor`` parses them with stdlib ``wave``
+(header + PCM frames), computing true duration and per-segment RMS
+energy from decoded samples.  Only the transcription text remains a
+deterministic stub (no Whisper weights here).
+
+Asset metadata (kind, duration) is a pure function of ``doc_id`` so a
+SQL oracle over the registered ``documents`` table can reproduce the
+frame/segment explosions exactly:
+
+    kind        = [image, audio, video][doc_id % 3]
+    duration_ms = 200 + (doc_id * 7919) % 1800   (audio/video; image -1)
+
+All the Ray-side plumbing is real and tested: typed schemas, actor-pool
 map_batches signature (heavy model state in __init__, per-batch work in
 __call__), binary-payload-aware batch sizing, and exploded frame output
 layout.
-
-Swap `_decode_image_stub` for a real PIL/torchvision call and the
-pipeline is production-shaped.
 """
 
 from __future__ import annotations
+
+import io
+import wave
 
 import numpy as np
 import pyarrow as pa
 
 import ray.data
 
-# bump when synth_assets or the asset schema changes: the /tmp cache
-# filename folds this in so stale parquet is never reused across rounds
-# (same bug class INDEX_FORMAT_VERSION guards against)
-ASSET_FORMAT_VERSION = 1
+# bump when asset synthesis or the asset schema changes: cache keys and
+# derived contract outputs fold this in so stale state is never reused
+ASSET_FORMAT_VERSION = 2
 
 # typed schema for a multimodal asset table: opaque payload + metadata
 ASSETS = pa.schema([
@@ -38,22 +50,77 @@ ASSETS = pa.schema([
     ("duration_ms", pa.int32()),
 ])
 
+KINDS = ("image", "audio", "video")
+AUDIO_RATE = 8000                    # Hz; 8 frames per ms exactly
+FRAME_EVERY_MS = 250
+SEGMENT_MS = 400
 
-def synth_assets(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake asset table for tests (payload = seeded bytes)."""
-    rng = np.random.default_rng([seed, 31337])
-    kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512)),
-                             dtype=np.uint8).tobytes() for _ in range(n)]
+
+def asset_duration_ms(doc_ids: np.ndarray) -> np.ndarray:
+    """duration_ms as a pure function of doc_id — the SQL oracle
+    recomputes `200 + (doc_id * 7919) % 1800` over `documents`."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    dur = (200 + (d * 7919) % 1800).astype(np.int32)
+    return np.where(d % 3 == 0, np.int32(-1), dur)   # images: n/a
+
+
+def synth_wav_bytes(doc_id: int, duration_ms: int,
+                    rate: int = AUDIO_RATE) -> bytes:
+    """A real mono 16-bit PCM WAV of exactly `duration_ms` (frames =
+    duration_ms * rate / 1000), samples seeded from doc_id.  Amplitude
+    varies per doc so per-segment RMS is a meaningful decoded value."""
+    n = duration_ms * rate // 1000
+    rng = np.random.default_rng([int(doc_id), 0xA1D10])
+    amp = 1000 + int(doc_id) % 9000
+    samples = rng.integers(-amp, amp + 1, n).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def assets_for_doc_ids(doc_ids: np.ndarray, seed: int = 42) -> pa.Table:
+    """Asset rows derived deterministically from doc ids.  Audio
+    payloads are real WAVs; image/video payloads are seeded opaque
+    bytes standing in for the formats this container can't decode."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    kinds = np.array(KINDS)[d % 3]
+    durs = asset_duration_ms(d)
+    payloads, mimes = [], []
+    for did, kind, dur in zip(d.tolist(), kinds.tolist(), durs.tolist()):
+        if kind == "audio":
+            payloads.append(synth_wav_bytes(did, dur))
+            mimes.append("audio/wav")
+        else:
+            rng = np.random.default_rng([did, seed])
+            payloads.append(rng.integers(
+                0, 256, size=int(rng.integers(64, 512)),
+                dtype=np.uint8).tobytes())
+            mimes.append("application/octet-stream")
     return pa.table({
-        "asset_id": pa.array(np.arange(n, dtype=np.int64)),
+        "asset_id": pa.array(d),
         "kind": pa.array(kinds.tolist(), pa.string()),
         "payload": pa.array(payloads, pa.binary()),
-        "mime": pa.array(["application/octet-stream"] * n),
+        "mime": pa.array(mimes, pa.string()),
         "width": pa.array(np.where(kinds == "image", 64, -1).astype(np.int32)),
         "height": pa.array(np.where(kinds == "image", 64, -1).astype(np.int32)),
-        "duration_ms": pa.array(np.where(kinds != "image", 1000, -1).astype(np.int32)),
+        "duration_ms": pa.array(durs.astype(np.int32)),
     })
+
+
+def synth_assets(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic asset table over ids 0..n-1 (test fixture)."""
+    return assets_for_doc_ids(np.arange(n, dtype=np.int64), seed)
+
+
+def make_assets_batch(batch: pa.Table) -> pa.Table:
+    """map_batches fn: documents batch (doc_id column) -> asset rows.
+    Streaming synthesis — no driver-side materialization, scales with
+    the documents table."""
+    return assets_for_doc_ids(batch.column("doc_id").to_numpy())
 
 
 def _decode_image_stub(payload: bytes, out_size: int) -> np.ndarray:
@@ -109,19 +176,22 @@ class ImageFeatureActor:
 
 
 class FrameSampleActor:
-    """Actor-pool stage: explode video payloads into sampled frame rows
+    """Actor-pool stage: explode VIDEO payloads into sampled frame rows
     (the reference's frame_index metadata layout,
     /root/reference/rust/src/lib.rs:546-550).  Decode is stubbed; the
-    row-explosion layout (one output row per sampled frame) is real."""
+    row-explosion layout (one output row per sampled frame, every
+    `every_ms`) is real and SQL-oracle-checked via
+    `unnest(range((dur + every-1) // every))` over documents."""
 
-    def __init__(self, every_ms: int = 250):
+    def __init__(self, every_ms: int = FRAME_EVERY_MS):
         self.every_ms = every_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, ts = [], [], []
-        for aid, dur in zip(batch.column("asset_id").to_pylist(),
-                            batch.column("duration_ms").to_pylist()):
-            if dur <= 0:
+        for aid, kind, dur in zip(batch.column("asset_id").to_pylist(),
+                                  batch.column("kind").to_pylist(),
+                                  batch.column("duration_ms").to_pylist()):
+            if kind != "video" or dur <= 0:
                 continue
             for i, t in enumerate(range(0, dur, self.every_ms)):
                 ids.append(aid); frames.append(i); ts.append(t)
@@ -133,58 +203,72 @@ class FrameSampleActor:
 
 
 class AudioSegmentActor:
-    """Actor-pool stage: explode audio payloads into transcribed SEGMENT
-    rows with the reference's audio metadata layout — start/end seconds
-    + per-segment text (/root/reference/rust/src/embeddings/mod.rs:40-52
-    attaches start/end/file_name/text; the Whisper decoder loads per
-    process, /root/reference/rust/src/lib.rs:587-607).
+    """Actor-pool stage: REAL WAV decode + segment explosion with the
+    reference's audio metadata layout — start/end + per-segment text
+    (/root/reference/rust/src/embeddings/mod.rs:40-52 attaches
+    start/end/file_name/text; the Whisper decoder loads per process,
+    /root/reference/rust/src/lib.rs:587-607; segment layout per
+    /root/reference/rust/src/file_processor/audio/audio_processor.rs).
 
-    Whisper weights don't exist in this container, so the TRANSCRIBE
-    step is a clearly-marked deterministic stub (payload-derived token
-    text per fixed-length window); everything Ray-side is real: heavy
-    init slot in __init__, per-batch __call__, one output row per
-    segment, decode_ok error column.  A real ASR model replaces
-    ``_transcribe_stub`` only.
+    The decode is genuine: stdlib ``wave`` parses the RIFF header and
+    PCM frames, duration comes from nframes/framerate, and each
+    segment's RMS energy is computed from the decoded int16 samples
+    (``rms_milli``).  Only TRANSCRIPTION is a deterministic stub
+    (md5-derived token per (asset_id, segment) — no Whisper weights in
+    this container); a real ASR model replaces ``_transcribe_stub``
+    only.  Corrupt/undecodable payloads produce one decode_ok=False
+    row (error column, not a silent drop).
     """
 
-    SEGMENT_MS = 400
+    def __init__(self, segment_ms: int = SEGMENT_MS):
+        self.segment_ms = segment_ms
+        # the "decoder weights" slot: heavy model state would load here
+        from engine.tokenize import md5_hash64
+        self._md5 = md5_hash64
 
-    def __init__(self, seed: int = 13):
-        # the "decoder weights" slot: a seeded token table stands in
-        rng = np.random.default_rng(seed)
-        self._tokens = [f"tok{int(x)}" for x in rng.integers(0, 999, 256)]
-
-    def _transcribe_stub(self, payload: bytes, start_ms: int) -> str:
-        if not payload:
-            raise NotImplementedError("empty payload — real ASR "
-                                      "unavailable in this environment")
-        i = (payload[start_ms % len(payload)]
-             + payload[(start_ms // 7) % len(payload)]) % len(self._tokens)
-        return f"{self._tokens[i]} {self._tokens[(i * 31) % len(self._tokens)]}"
+    def _transcribe_stub(self, asset_id: int, segment: int) -> str:
+        # int() BEFORE the mod: np.uint64 % python-int promotes to
+        # float64 and silently corrupts the low bits
+        idx = int(self._md5([f"{asset_id}:{segment}"])[0]) % 997
+        return f"tok{idx}"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, segs, starts, ends, texts, ok = [], [], [], [], [], []
-        for aid, kind, dur, payload in zip(
+        ids, segs, starts, ends, texts, rms, ok = [], [], [], [], [], [], []
+        for aid, kind, payload in zip(
                 batch.column("asset_id").to_pylist(),
                 batch.column("kind").to_pylist(),
-                batch.column("duration_ms").to_pylist(),
                 batch.column("payload").to_pylist()):
-            if kind != "audio" or dur <= 0:
+            if kind != "audio":
                 continue
-            for i, t in enumerate(range(0, dur, self.SEGMENT_MS)):
-                end = min(t + self.SEGMENT_MS, dur)
-                try:
-                    txt, good = self._transcribe_stub(payload, t), True
-                except NotImplementedError:
-                    txt, good = "", False
+            try:
+                with wave.open(io.BytesIO(payload)) as w:
+                    rate, nframes = w.getframerate(), w.getnframes()
+                    sampwidth, nch = w.getsampwidth(), w.getnchannels()
+                    raw = w.readframes(nframes)
+                if sampwidth != 2 or nch != 1:
+                    raise wave.Error("unsupported layout")
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                dur = nframes * 1000 // rate
+            except (wave.Error, EOFError, ValueError):
+                ids.append(aid); segs.append(-1)
+                starts.append(0); ends.append(0)
+                texts.append(""); rms.append(0); ok.append(False)
+                continue
+            for i, t in enumerate(range(0, dur, self.segment_ms)):
+                end = min(t + self.segment_ms, dur)
+                lo, hi = t * rate // 1000, end * rate // 1000
+                seg = samples[lo:hi]
+                r = float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0
                 ids.append(aid); segs.append(i)
-                starts.append(t / 1000.0); ends.append(end / 1000.0)
-                texts.append(txt); ok.append(good)
+                starts.append(t); ends.append(end)
+                texts.append(self._transcribe_stub(aid, i))
+                rms.append(int(round(r * 1000))); ok.append(True)
         return pa.table({
             "asset_id": pa.array(ids, pa.int64()),
             "segment": pa.array(segs, pa.int32()),
-            "start": pa.array(starts, pa.float64()),   # seconds, ref layout
-            "end": pa.array(ends, pa.float64()),
+            "start_ms": pa.array(starts, pa.int32()),
+            "end_ms": pa.array(ends, pa.int32()),
             "text": pa.array(texts, pa.large_string()),
+            "rms_milli": pa.array(rms, pa.int64()),
             "decode_ok": pa.array(ok, pa.bool_()),
         })

@@ -1,15 +1,22 @@
 """Multimodal plumbing: schemas, actor-pool stages, frame explosion.
 
-Decode is stubbed (no image/audio libs in this container); the Ray-side
-contract — actor init-once, per-batch Arrow in/out, row explosion — is
-real and tested here."""
+Image/video decode is stubbed (no image libs in this container); the
+AUDIO decode is REAL (stdlib wave over synthesized PCM WAV payloads).
+The Ray-side contract — actor init-once, per-batch Arrow in/out, row
+explosion, error columns — is tested here."""
+
+import io
+import wave
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from engine.multimodal import (ASSETS, synth_assets, ImageFeatureActor,
-                               FrameSampleActor)
+from engine.multimodal import (ASSETS, AUDIO_RATE, synth_assets,
+                               asset_duration_ms, synth_wav_bytes,
+                               ImageFeatureActor, FrameSampleActor,
+                               AudioSegmentActor)
 
 
 def test_synth_schema():
@@ -19,11 +26,28 @@ def test_synth_schema():
     assert synth_assets(50).equals(t)  # deterministic
 
 
+def test_audio_payloads_are_real_wavs():
+    t = synth_assets(9)
+    for row in t.to_pylist():
+        if row["kind"] != "audio":
+            continue
+        with wave.open(io.BytesIO(row["payload"])) as w:
+            assert w.getframerate() == AUDIO_RATE
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            # decoded duration equals the doc_id-derived duration the
+            # SQL oracle recomputes — the invariant the contract rides on
+            assert w.getnframes() * 1000 // w.getframerate() == \
+                row["duration_ms"]
+
+
 def test_image_actor_pool():
-    ds = ray.data.from_arrow(synth_assets(60))
+    t = synth_assets(60)
+    imgs = t.filter(pa.compute.equal(t.column("kind"), "image"))
+    ds = ray.data.from_arrow(imgs)
     out = ds.map_batches(ImageFeatureActor, batch_format="pyarrow",
                          batch_size=16, concurrency=2).to_pandas()
-    assert len(out) == 60
+    assert len(out) == imgs.num_rows
     assert out["decode_ok"].all()
     assert all(len(f) == ImageFeatureActor.FEAT_DIM for f in out["feature"])
     # determinism: same payload -> same feature regardless of actor
@@ -48,46 +72,80 @@ def test_frame_explosion():
     out = ds.map_batches(FrameSampleActor, batch_format="pyarrow",
                          batch_size=8, concurrency=2).to_pandas()
     src = synth_assets(30).to_pandas()
-    vids = src[src["duration_ms"] > 0]
+    vids = src[src["kind"] == "video"]
     expected = int(sum(np.ceil(vids["duration_ms"] / 250)))
     assert len(out) == expected
+    assert set(out["asset_id"]) <= set(vids["asset_id"])
     g = out.groupby("asset_id")["frame_index"].agg(["min", "max", "count"])
     assert (g["min"] == 0).all()
     assert (g["count"] == g["max"] + 1).all()
 
 
 def test_audio_segment_actor(ray_session):
-    """Segment explosion with the reference's start/end layout: audio
-    assets only, contiguous 400ms windows, deterministic stub text."""
-    import pyarrow as pa
-    import ray.data
-    from engine.multimodal import AudioSegmentActor, synth_assets
-
-    assets = synth_assets(60, seed=5)
+    """Segment explosion from REAL wave decode: audio assets only,
+    contiguous 400ms windows over the DECODED duration, md5-stub text,
+    RMS from decoded samples."""
+    assets = synth_assets(60)
     out = (ray.data.from_arrow(assets)
            .map_batches(AudioSegmentActor, batch_format="pyarrow",
                         batch_size=16, concurrency=2)
            .to_pandas().sort_values(["asset_id", "segment"])
            .reset_index(drop=True))
-    kinds = dict(zip(assets.column("asset_id").to_pylist(),
-                     assets.column("kind").to_pylist()))
-    durs = dict(zip(assets.column("asset_id").to_pylist(),
-                    assets.column("duration_ms").to_pylist()))
+    src = assets.to_pandas()
+    audio = src[src["kind"] == "audio"]
+    durs = dict(zip(audio["asset_id"], audio["duration_ms"]))
     assert len(out) > 0
-    assert all(kinds[a] == "audio" for a in out["asset_id"])
+    assert set(out["asset_id"]) == set(audio["asset_id"])
     for aid, g in out.groupby("asset_id"):
-        # contiguous coverage [0, dur]
+        # contiguous coverage [0, decoded dur] == [0, derived dur]
         assert list(g["segment"]) == list(range(len(g)))
-        assert g["start"].iloc[0] == 0.0
-        assert abs(g["end"].iloc[-1] - durs[aid] / 1000.0) < 1e-9
-        assert (g["end"].to_numpy()[:-1] == g["start"].to_numpy()[1:]).all()
+        assert g["start_ms"].iloc[0] == 0
+        assert g["end_ms"].iloc[-1] == durs[aid]
+        assert (g["end_ms"].to_numpy()[:-1] ==
+                g["start_ms"].to_numpy()[1:]).all()
     assert out["decode_ok"].all()
-    assert (out["text"].str.len() > 0).all()
+    assert (out["text"].str.startswith("tok")).all()
+    # RMS is computed from the real decoded samples: recompute
+    # independently for one asset straight from the WAV bytes
+    aid = int(audio["asset_id"].iloc[0])
+    payload = audio[audio["asset_id"] == aid]["payload"].iloc[0]
+    with wave.open(io.BytesIO(payload)) as w:
+        samples = np.frombuffer(
+            w.readframes(w.getnframes()), dtype="<i2").astype(np.float64)
+    g = out[out["asset_id"] == aid]
+    for _, row in g.iterrows():
+        lo = row["start_ms"] * AUDIO_RATE // 1000
+        hi = row["end_ms"] * AUDIO_RATE // 1000
+        want = int(round(float(np.sqrt(np.mean(samples[lo:hi] ** 2))) * 1000))
+        assert row["rms_milli"] == want
+    assert (g["rms_milli"] > 0).all()
     # determinism across parallelism
     out2 = (ray.data.from_arrow(assets).repartition(5)
             .map_batches(AudioSegmentActor, batch_format="pyarrow",
                          batch_size=16, concurrency=2)
             .to_pandas().sort_values(["asset_id", "segment"])
             .reset_index(drop=True))
-    import pandas as pd
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_audio_corrupt_payload_error_row():
+    t = pa.table({
+        "asset_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["audio"]),
+        "payload": pa.array([b"\x00not-a-wav"], pa.binary()),
+    })
+    out = AudioSegmentActor()(t).to_pylist()
+    assert len(out) == 1
+    assert out[0]["decode_ok"] is False
+    assert out[0]["segment"] == -1
+
+
+def test_duration_is_pure_function_of_doc_id():
+    d = np.array([0, 1, 2, 3, 100, 101])
+    dur = asset_duration_ms(d)
+    assert (dur[d % 3 == 0] == -1).all()
+    assert (dur[d % 3 != 0] == (200 + (d[d % 3 != 0] * 7919) % 1800)).all()
+    # wav length honors the derived duration exactly
+    wav = synth_wav_bytes(1, int(dur[1]))
+    with wave.open(io.BytesIO(wav)) as w:
+        assert w.getnframes() == int(dur[1]) * AUDIO_RATE // 1000
