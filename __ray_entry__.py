@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": d.q_dedup_exact,
         "minhash_candidates": d.q_minhash_candidates,     # md5-mode oracle
         "simhash": d.q_simhash,                           # md5-mode oracle
+        "simhash_candidates": d.q_simhash_candidates,     # md5-mode oracle
         "ngram_jaccard_adjacent": d.q_ngram_jaccard_adjacent,
         "neardup_dedup": d.q_neardup_dedup,               # md5-mode oracle
         # similarity search over embeddings
@@ -219,6 +220,24 @@ def _simhash_sql() -> str:
         SELECT d.doc_id, CAST(coalesce(c.simhash, 0) AS BIGINT) AS simhash
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN code c USING (doc_id)"""
+
+
+def _simhash_candidates_sql() -> str:
+    # Hamming-band miner over the simhash sketch: 4 bands x 16 bits
+    # (pigeonhole-complete for hamming <= 3), exact popcount verify via
+    # bit_count(xor(...)) — engine/dedup.py simhash_candidates
+    return f"""
+        WITH s AS ({_simhash_sql()}),
+        e AS (SELECT doc_id, simhash, i AS band,
+                     (simhash >> CAST(16 * i AS INT)) & 65535 AS bv
+              FROM s, unnest(range(4)) AS t(i)),
+        p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.simhash, b.simhash)) AS hm
+              FROM e a JOIN e b
+                ON a.band = b.band AND a.bv = b.bv
+               AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(hm AS BIGINT) AS hamming
+        FROM p WHERE hm <= 3"""
 
 
 def _fingerprint_sql() -> str:
@@ -668,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _minhash_sql(),
         "neardup_dedup": _neardup_sql(0.5),
         "simhash": _simhash_sql(),
+        "simhash_candidates": _simhash_candidates_sql(),
         "fingerprints": _fingerprint_sql(),
         "embed_knn": _embed_knn_sql(),
         "rerank_topk": _rerank_sql(k1, b),

@@ -197,6 +197,15 @@ def q_simhash(sf_dir: str):
     ).select_columns(["doc_id", "simhash"])
 
 
+def q_simhash_candidates(sf_dir: str) -> pd.DataFrame:
+    """Hamming-band candidate mining over the simhash sketch (md5
+    oracle mode): 4 bands x 16 bits, exact popcount verify <= 3.
+    DuckDB reproduces band extraction with >>/& and the verify with
+    bit_count(xor(...))."""
+    return dedup_ops.simhash_candidates(documents_ds(sf_dir),
+                                        max_hamming=3, hash_fn="md5")
+
+
 def q_ngram_jaccard_adjacent(sf_dir: str):
     return dedup_ops.ngram_jaccard_adjacent(documents_ds(sf_dir))
 

@@ -131,3 +131,36 @@ def test_neardup_dedup_parallelism_invariant(corpus):
     # md5 oracle mode finds the same identical-doc cluster
     mc = dict(zip(c["doc_id"], c["canonical_id"]))
     assert mc.get(0) == 0 and mc.get(1) == 0
+
+
+def test_simhash_candidates(corpus):
+    from engine.dedup import simhash_candidates, hamming64
+
+    out = simhash_candidates(_ds(corpus), max_hamming=3)
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    # identical docs 0/1 have hamming 0 -> always found
+    assert (0, 1) in pairs
+    assert (out["hamming"] <= 3).all()
+    assert (out["id_a"] < out["id_b"]).all()
+    # brute-force recall check: banding with 4 bands is pigeonhole-
+    # complete for hamming <= 3, so EVERY such pair must be present
+    import pyarrow as pa
+    sh = simhash_batch(pa.table(
+        {"doc_id": corpus["doc_id"], "text": corpus["text"]})).to_pandas()
+    codes = sh["simhash"].to_numpy().astype(np.uint64)
+    ids = sh["doc_id"].to_numpy()
+    iu = np.triu_indices(len(ids), 1)
+    hm = hamming64(codes[iu[0]] ^ codes[iu[1]])
+    want = {(int(ids[a]), int(ids[b]))
+            for a, b, h in zip(iu[0], iu[1], hm) if h <= 3}
+    assert pairs == want
+
+
+def test_simhash_candidates_parallelism_and_hot_band_cap(corpus):
+    from engine.dedup import simhash_candidates
+    a = simhash_candidates(_ds(corpus))
+    b = simhash_candidates(ray.data.from_pandas(corpus).repartition(7))
+    pd.testing.assert_frame_equal(a, b)
+    # a tiny max_group drops degenerate hot bands (never errors)
+    capped = simhash_candidates(_ds(corpus), max_group=2)
+    assert len(capped) <= len(a)
