@@ -175,12 +175,31 @@ def read_postings_part(index_dir: str, part: int, use_mmap: bool = False):
     return terms, postings, skips
 
 
-def read_docmeta(index_dir: str, cfg: EngineConfig) -> pa.Table:
+def read_docmeta(index_dir: str, cfg: EngineConfig,
+                 doc_range: tuple[int, int] | None = None) -> pa.Table:
+    """All docmeta parts, optionally filtered to a doc-id range [lo, hi).
+
+    The filter is applied PER PART before concat so a doc-range shard's
+    transient peak is one part + its slice, and resident memory is
+    O(corpus / n_ranges) — docmeta parts are doc_id % D so every part
+    contributes ~1/D of the range."""
     tables = []
     for p in range(cfg.docmeta_parts):
         path = os.path.join(part_dir(index_dir, "docmeta", p), "docmeta.parquet")
         if os.path.exists(path):
-            tables.append(pq.read_table(path))
+            t = pq.read_table(path)
+            if doc_range is not None:
+                import pyarrow.compute as pc
+                lo, hi = doc_range
+                ids = t.column("doc_id")
+                # doc ids are 63-bit positive; the last range's hi is
+                # 2^63, which overflows int64 — drop the upper test then
+                mask = pc.greater_equal(ids, pa.scalar(lo, pa.int64()))
+                if hi <= (1 << 63) - 1:
+                    mask = pc.and_(mask, pc.less(
+                        ids, pa.scalar(hi, pa.int64())))
+                t = t.filter(mask)
+            tables.append(t)
     if not tables:
         import pyarrow as _pa
         from engine.schema import DOCMETA

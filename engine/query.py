@@ -53,7 +53,8 @@ class InvertedIndex:
     """
 
     def __init__(self, index_dir: str, use_mmap: bool = True,
-                 cache_budget_bytes: int = 1 << 30):
+                 cache_budget_bytes: int = 1 << 30,
+                 doc_range: tuple[int, int] | None = None):
         self.index_dir = index_dir
         self.use_mmap = use_mmap  # serving default: page-cache-backed blobs
         # decoded-term cache budget in BYTES, not term count: one
@@ -68,7 +69,13 @@ class InvertedIndex:
         st = self.manifest["stats"]
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) or 1.0
-        dm = index_io.read_docmeta(index_dir, self.cfg)
+        # doc_range=[lo, hi): this loader holds ONLY that range's docmeta
+        # (O(corpus / n_ranges) resident) and decodes only posting blocks
+        # intersecting the range — the term-sharded serving tier's
+        # docmeta-residency fix.  N/avgdl stay GLOBAL (from the
+        # manifest), so per-range scores equal the full index's.
+        self.doc_range = doc_range
+        dm = index_io.read_docmeta(index_dir, self.cfg, doc_range=doc_range)
         ids = dm.column("doc_id").to_numpy()
         order = np.argsort(ids, kind="stable")
         self._doc_ids = ids[order]                       # sorted for searchsorted
@@ -264,6 +271,62 @@ class InvertedIndex:
             self._postings_cache[term] = out
             self._cache_bytes += size
         return out
+
+    def score_term_range(self, term: str):
+        """-> (doc_ids, bm25 scores) restricted to this loader's
+        ``doc_range`` (full postings when no range is set), decoding
+        ONLY the posting blocks whose docID window intersects the range
+        — postings are docID-sorted, so a range is a contiguous block
+        window found by binary search on the skip table's last_doc
+        column.  Concatenating every range's output in ascending-range
+        order reproduces the full decode bit-for-bit (same ids order,
+        same per-element score arithmetic), which is what keeps the
+        doc-range-sharded scatter-gather identical to local daat."""
+        ent = self.lookup(term)
+        if ent is None:
+            return None
+        df, pbytes, skips = ent
+        idf = self.idf(self._df_overrides.get(term, df))
+        if self.doc_range is None:
+            ids, _tfs, s, _pos = self._decode_term(term, df, pbytes, skips,
+                                                   idf)
+            return ids, s
+        lo, hi = self.doc_range
+        hi_in = min(hi, (1 << 63)) - 1      # inclusive upper (int64-safe)
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            self._postings_cache.pop(term)
+            self._postings_cache[term] = hit
+            return hit[0], hit[2]
+        last = skips[:, 0]
+        if last.size == 0:
+            return None
+        b0 = int(np.searchsorted(last, lo, side="left"))
+        b1 = int(np.searchsorted(last, hi_in, side="left"))
+        b1 = min(b1, last.size - 1)
+        if b0 > b1:
+            return None
+        parts = [decode_block(pbytes, skips, bi, df, self.cfg.block_size)
+                 for bi in range(b0, b1 + 1)]
+        ids = np.concatenate([p[0] for p in parts]).astype(np.int64)
+        tfs = np.concatenate([p[1] for p in parts])
+        keep = (ids >= lo) & (ids <= hi_in)
+        ids, tfs = ids[keep], tfs[keep]
+        if ids.size == 0:
+            return None
+        pos = np.searchsorted(self._doc_ids, ids)
+        scores = self._term_score(tfs, self._doclens[pos], idf)
+        out = (ids, tfs, scores, pos)
+        size = ids.nbytes + tfs.nbytes + scores.nbytes + pos.nbytes
+        if size <= self.cache_budget_bytes:
+            while (self._cache_bytes + size > self.cache_budget_bytes
+                   and self._postings_cache):
+                oldest = next(iter(self._postings_cache))
+                evicted = self._postings_cache.pop(oldest)
+                self._cache_bytes -= sum(a.nbytes for a in evicted)
+            self._postings_cache[term] = out
+            self._cache_bytes += size
+        return ids, scores
 
     def _search_bmw(self, entries, k: int):
         """Block-max top-k: two-phase MaxScore (Turtle & Flood 1995 /

@@ -13,14 +13,19 @@ shared-state pattern (/root/reference/rust/src/lib.rs:839).  Two tiers:
   posting arrays and accumulates exactly like the exhaustive DAAT path
   — bit-identical results to a single-process index (pytest-asserted).
   Per-shard resident memory = its part range's working set (mmap blobs).
+  With ``n_doc_ranges > 1`` each term shard becomes a GROUP of
+  doc-range workers: every worker holds only its hash-range's docmeta
+  slice (O(corpus / n_ranges) resident — doc ids are uniform 63-bit
+  hashes so equal-width ranges balance with no scan) and decodes only
+  the posting-block window intersecting its range; the front
+  concatenates per-range fragments in range order, which reproduces
+  the full docID-sorted decode bit-for-bit.
   Trade-off, stated honestly: term-sharding ships decoded postings of
   the query terms over the network (bounded by query df, large for
   stopwords); doc-sharded serving (per-shard top-k, merge k·S rows)
   is the classic web-search layout and falls out of building S doc-range
   indexes — the build already supports arbitrary input splits.  Term
   sharding is the natural fit for THIS index's on-disk layout.
-  Each shard still loads full docmeta (doclens for scoring); sharding
-  docmeta by doc-range per actor group is documented, not built.
 
 The module creates actors only when a service is explicitly
 instantiated — never at import (the driver owns the Ray session).
@@ -97,40 +102,48 @@ class QueryService:
 
 @ray.remote
 class ShardWorker:
-    """Owns a part range of the term-partitioned index.  The wrapped
-    InvertedIndex loads parts lazily, so memory = the warmed range."""
+    """Owns a part range of the term-partitioned index, optionally
+    restricted to a DOC RANGE: with ``doc_range`` set the worker loads
+    only that range's docmeta slice (O(corpus / n_ranges) resident, the
+    round-2 docmeta-residency fix) and decodes only the posting blocks
+    intersecting the range.  The wrapped InvertedIndex loads term parts
+    lazily, so postings memory = the warmed part range (mmap)."""
 
-    def __init__(self, index_dir: str):
-        self.idx = InvertedIndex(index_dir)
+    def __init__(self, index_dir: str,
+                 doc_range: tuple[int, int] | None = None,
+                 cache_budget_bytes: int = 1 << 30):
+        self.idx = InvertedIndex(index_dir, doc_range=doc_range,
+                                 cache_budget_bytes=cache_budget_bytes)
 
     def warm(self, parts: list[int]) -> bool:
         for p in parts:
             self.idx._load_part(p)
         return True
 
+    def docmeta_rows(self) -> int:
+        """Resident docmeta rows (the memory assertion hook)."""
+        return int(self.idx._doc_ids.size)
+
     def score_terms(self, terms: list[str]) -> dict:
-        """term -> (doc_ids int64, bm25 scores float64) or None.
-        Decoding + scoring happen shard-side; only scored arrays move."""
-        out = {}
-        for t in terms:
-            ent = self.idx.lookup(t)
-            if ent is None:
-                out[t] = None
-                continue
-            df, pbytes, skips = ent
-            ids, _tfs, s, _pos = self.idx._decode_term(t, df, pbytes, skips)
-            out[t] = (ids, s)
-        return out
+        """term -> (doc_ids int64, bm25 scores float64) or None,
+        restricted to this worker's doc range.  Decoding + scoring
+        happen shard-side; only scored arrays move."""
+        return {t: self.idx.score_term_range(t) for t in terms}
 
 
 class _Front:
     """Stateless routing + accumulation logic shared by the local front
-    and the FrontWorker actor pool."""
+    and the FrontWorker actor pool.  ``shards[si][ri]`` is the replica
+    list for term-shard si, doc-range ri: a query term is routed to its
+    owning term shard and fanned across that shard's doc-range workers;
+    the per-range scored fragments are concatenated in ascending-range
+    order, which reproduces the full docID-sorted decode exactly."""
 
     def __init__(self, cfg: EngineConfig, shards: list):
         self.cfg = cfg
         self.n_shards = len(shards)
         self.shards = shards
+        self.n_ranges = len(shards[0]) if shards else 1
         self._rr = 0
 
     def _terms_of(self, query: str) -> list[str]:
@@ -148,7 +161,7 @@ class _Front:
 
     def _scatter(self, query: str):
         """Submit score_terms futures for one query (no blocking) ->
-        (terms, {shard: future}) or None for empty queries."""
+        (terms, {(shard, range): future}) or None for empty queries."""
         terms = self._terms_of(query)
         if not terms:
             return None
@@ -156,23 +169,30 @@ class _Front:
         for t in terms:
             by_shard.setdefault(self._shard_of(t), []).append(t)
         self._rr += 1
-        futs = {si: self.shards[si][self._rr % len(self.shards[si])]
-                .score_terms.remote(ts) for si, ts in by_shard.items()}
+        futs = {}
+        for si, ts in by_shard.items():
+            for ri in range(self.n_ranges):
+                replicas = self.shards[si][ri]
+                futs[(si, ri)] = (replicas[self._rr % len(replicas)]
+                                  .score_terms.remote(ts))
         return terms, futs
 
     def _gather(self, plan, k: int):
         if plan is None:
             return []
         terms, futs = plan
-        gathered: dict[str, tuple] = {}
-        for res in ray.get(list(futs.values())):
-            gathered.update(res)
-        # accumulate in original query-term order == _search_daat order,
-        # so float addition is bit-identical to the local engine
+        # fragments per term in ascending doc-range order — concatenated
+        # they equal the full docID-sorted decode, so float accumulation
+        # is bit-identical to the local engine's daat path
+        frags: dict[str, list] = {}
+        keys = sorted(futs.keys(), key=lambda sr: sr[1])
+        for key, res in zip(keys, ray.get([futs[key] for key in keys])):
+            for t, ent in res.items():
+                if ent is not None:
+                    frags.setdefault(t, []).append(ent)
         all_ids, all_scores = [], []
-        for t in terms:
-            ent = gathered.get(t)
-            if ent is not None:
+        for t in terms:                    # original query-term order
+            for ent in frags.get(t, ()):
                 all_ids.append(ent[0])
                 all_scores.append(ent[1])
         if not all_ids:
@@ -221,24 +241,46 @@ class ShardedQueryService:
 
     def __init__(self, index_dir: str, n_shards: int = 2,
                  replicas_per_shard: int = 1, n_fronts: int = 0,
-                 num_cpus: float = 0.5):
+                 num_cpus: float = 0.5, n_doc_ranges: int = 1,
+                 cache_budget_bytes: int = 1 << 30):
         # num_cpus=0.5 per actor: shard/front actors alternate decode
         # and network waits, and a full-CPU reservation per actor can
         # STARVE small sessions (shards x replicas + fronts actors must
         # all be placed before warm() returns — a 1.0 reservation each
         # deadlocks a 4-cpu pytest session; round-1 aggregator-pool
         # lesson applied to serving)
+        #
+        # n_doc_ranges > 1 splits each term shard into a GROUP of
+        # doc-range workers: doc ids are uniform 63-bit hashes, so
+        # equal-width hash ranges are balanced with no docmeta scan.
+        # Each worker holds only its range's docmeta (the residency
+        # fix) and decodes only its range's posting-block window.
+        # The per-worker decoded-term cache budget divides by the
+        # total worker count so the tier's aggregate cache stays
+        # within one budget.
         self.manifest = index_io.load_manifest(index_dir)
         self.cfg = EngineConfig.from_dict(self.manifest["config"])
+        bounds = [(2 ** 63) * r // n_doc_ranges
+                  for r in range(n_doc_ranges + 1)]
+        per_worker_budget = max(
+            1 << 20,
+            cache_budget_bytes
+            // (n_shards * n_doc_ranges * replicas_per_shard))
         self.shards = []
         for si in range(n_shards):
             parts = [p for p in range(self.cfg.num_parts)
                      if p % n_shards == si]
-            replicas = [ShardWorker.options(num_cpus=num_cpus)
-                        .remote(index_dir)
-                        for _ in range(replicas_per_shard)]
-            ray.get([r.warm.remote(parts) for r in replicas])
-            self.shards.append(replicas)
+            ranges = []
+            for ri in range(n_doc_ranges):
+                doc_range = ((bounds[ri], bounds[ri + 1])
+                             if n_doc_ranges > 1 else None)
+                replicas = [ShardWorker.options(num_cpus=num_cpus)
+                            .remote(index_dir, doc_range=doc_range,
+                                    cache_budget_bytes=per_worker_budget)
+                            for _ in range(replicas_per_shard)]
+                ray.get([r.warm.remote(parts) for r in replicas])
+                ranges.append(replicas)
+            self.shards.append(ranges)
         self._local = _Front(self.cfg, self.shards)
         self.fronts = [
             FrontWorker.options(num_cpus=num_cpus)
@@ -264,10 +306,17 @@ class ShardedQueryService:
                 out[fi + j * n] = r
         return out
 
+    def docmeta_rows_per_worker(self) -> list[int]:
+        """Resident docmeta rows of every shard worker (memory probe)."""
+        futs = [w.docmeta_rows.remote()
+                for ranges in self.shards for reps in ranges for w in reps]
+        return ray.get(futs)
+
     def shutdown(self):
-        for replicas in self.shards:
-            for w in replicas:
-                ray.kill(w)
+        for ranges in self.shards:
+            for replicas in ranges:
+                for w in replicas:
+                    ray.kill(w)
         for f in self.fronts:
             ray.kill(f)
         self.shards = []
@@ -339,7 +388,12 @@ class DocShardedQueryService:
                  for w in self.workers])
         self.cfg = EngineConfig.from_dict(
             index_io.load_manifest(index_dirs[0])["config"])
+        # bounded LRU (dict insertion order): the front's global-df
+        # memo otherwise grows with distinct query terms forever —
+        # the same unbounded-cache class the byte-budget decoded-term
+        # LRU fixed in engine/query.py
         self._df_cache: dict[str, int] = {}
+        self.df_cache_max_terms = 1_000_000
 
     def _terms_of(self, query: str) -> list[str]:
         seen, out = set(), []
@@ -356,7 +410,14 @@ class DocShardedQueryService:
                                  for w in self.workers])
             for t in missing:
                 self._df_cache[t] = sum(d[t] for d in per_shard)
-        return {t: self._df_cache[t] for t in terms}
+            while len(self._df_cache) > self.df_cache_max_terms:
+                self._df_cache.pop(next(iter(self._df_cache)))
+        out = {}
+        for t in terms:
+            v = self._df_cache.pop(t)      # LRU touch: re-insert
+            self._df_cache[t] = v
+            out[t] = v
+        return out
 
     def _scatter(self, query: str, k: int):
         terms = self._terms_of(query)

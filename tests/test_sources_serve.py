@@ -117,6 +117,45 @@ def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
         svc.shutdown()
 
 
+def test_sharded_service_doc_ranges(ray_session, e2e_webtext,
+                                    tmp_path_factory):
+    """Doc-range docmeta sharding inside the term-sharded tier: with
+    n_doc_ranges=3 every worker holds ONLY its hash-range's docmeta
+    slice (memory assertion) and range-windowed posting decode, yet the
+    scatter-gather stays bit-identical to single-process DAAT (fragments
+    concatenate in range order == the full docID-sorted decode)."""
+    import json
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.query import InvertedIndex
+    from engine.serve import ShardedQueryService
+
+    idx_dir = str(tmp_path_factory.mktemp("shidxr") / "index")
+    build_index(e2e_webtext, idx_dir, EngineConfig(num_parts=8,
+                                                   docmeta_parts=3))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "queries.json")) as f:
+        queries = json.load(f)
+
+    svc = ShardedQueryService(idx_dir, n_shards=2, replicas_per_shard=1,
+                              n_doc_ranges=3)
+    try:
+        local = InvertedIndex(idx_dir)
+        corpus_rows = local._doc_ids.size
+        rows = svc.docmeta_rows_per_worker()
+        # residency: every worker < corpus, union == corpus (ranges
+        # partition the id space; workers of one shard tile it)
+        assert all(r < corpus_rows for r in rows)
+        assert sum(rows) == corpus_rows * 2  # 2 term shards x full tiling
+        want = [local.search(q, k=10, method="daat") for q in queries]
+        for q, w in zip(queries, want):
+            assert svc.search(q, k=10) == w, q
+        assert svc.search_many(queries, k=10) == want
+        assert svc.search("zzz_unseen_term", 10) == []
+    finally:
+        svc.shutdown()
+
+
 def test_doc_sharded_query_service(ray_session, e2e_webtext,
                                    tmp_path_factory):
     """3 doc-range sub-indexes + distributed-IDF exchange == one global
