@@ -97,16 +97,21 @@ def duplicate_losers(keys_ds: "ray.data.Dataset",
 
 def make_dedup_filter(losers: dict[str, int]):
     """Vectorized keep-filter: row survives unless a duplicate url with a
-    non-winning warc_ts."""
+    non-winning warc_ts.  The loser set becomes a hash-backed
+    ``pd.Index`` ONCE here (driver side, shipped in the closure); each
+    batch does one get_indexer probe + one integer compare — no per-row
+    Python in the build's hot path."""
+    if not losers:
+        return lambda batch: batch
+    loser_urls = pd.Index(np.asarray(list(losers.keys()), dtype=object))
+    loser_ts = np.fromiter(losers.values(), dtype=np.int64,
+                           count=len(losers))
+
     def dedup_filter(batch: pa.Table) -> pa.Table:
-        if not losers:
-            return batch
-        urls = batch.column("url").to_pylist()
+        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
         ts = batch.column("warc_ts").cast(pa.int64()).to_numpy()
-        keep = np.fromiter(
-            (u not in losers or t == losers[u] for u, t in zip(urls, ts)),
-            dtype=bool, count=len(urls),
-        )
+        idx = loser_urls.get_indexer(urls)
+        keep = (idx < 0) | (ts == loser_ts[np.maximum(idx, 0)])
         return batch.filter(pa.array(keep))
     return dedup_filter
 
