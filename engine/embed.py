@@ -162,6 +162,18 @@ class WeightsEmbedder:
         return batch.append_column(self.out_col, col)
 
 
+# a REAL learned matrix, checked in: PPMI+SVD word vectors trained by
+# tools/train_word_vectors.py on the sf0.001 documents corpus (Levy &
+# Goldberg 2014 count-based factorization — pure numpy, no torch).
+# Rows are stable_hash64(token) % n_buckets, matching _encode above, so
+# WeightsEmbedder(weights_path=TRAINED_WEIGHTS) runs a trained model
+# end-to-end — the reference's ``from_pretrained`` analog with actual
+# fitted weights rather than a random stand-in.
+import os as _os
+TRAINED_WEIGHTS = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                "data", "word_vectors.npz")
+
+
 def save_random_weights(path: str, n_buckets: int = 4096, dim: int = 64,
                         seed: int = 7) -> str:
     """Test-double weight file (seeded normal matrix) in the format

@@ -124,3 +124,73 @@ def test_weights_embedder_pooling_modes(tmp_path):
     assert np.array_equal(last[0], single_beta[0])
     with pytest.raises(ValueError):
         WeightsEmbedder(path, pooling="cls")
+
+
+def test_trained_word_vectors_end_to_end():
+    """The checked-in .npz is a REAL trained artifact: (a) it loads into
+    the WeightsEmbedder slot and embeds deterministically, (b) retraining
+    with tools/train_word_vectors.py on the same public corpus reproduces
+    it exactly (the matrix is a pure function of the training data — not
+    a random blob), (c) a doc still embeds nearer its own truncation than
+    the corpus average."""
+    import pyarrow.parquet as pq
+    from engine.embed import WeightsEmbedder, TRAINED_WEIGHTS
+
+    e = WeightsEmbedder(TRAINED_WEIGHTS)
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    vecs = e.embed_texts(texts[:40])
+    assert vecs.shape == (40, e.dim)
+    assert np.allclose(np.linalg.norm(vecs, axis=1), 1.0)
+    half = [t[: len(t) // 2] for t in texts[:40]]
+    self_sim = np.einsum("ij,ij->i", vecs, e.embed_texts(half))
+    cross = vecs @ vecs.T
+    mean_cross = (cross.sum() - np.trace(cross)) / (40 * 39)
+    assert self_sim.mean() > mean_cross + 0.03
+    # determinism (actor-pool restart invariance)
+    assert np.array_equal(vecs, WeightsEmbedder(TRAINED_WEIGHTS)
+                          .embed_texts(texts[:40]))
+    # (b) retrain -> bitwise-identical matrix
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "twv", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "train_word_vectors.py"))
+    twv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(twv)
+    retrained = twv.train(texts, n_buckets=1024, dim=64)
+    assert np.array_equal(retrained, e.matrix.astype(np.float32))
+
+
+def test_word_vector_training_learns_structure():
+    """On a corpus with PLANTED topic structure the PPMI+SVD trainer
+    places within-topic tokens closer than cross-topic tokens — the
+    property no random matrix has (the sf0.001 fixture corpus is
+    near-random bag-of-words, so this is tested on generated topical
+    docs instead)."""
+    import importlib.util, os
+    from engine.tokenize import stable_hash64
+    spec = importlib.util.spec_from_file_location(
+        "twv2", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "train_word_vectors.py"))
+    twv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(twv)
+
+    rng = np.random.default_rng(11)
+    topic_a = [f"alpha{i}" for i in range(12)]
+    topic_b = [f"beta{i}" for i in range(12)]
+    docs = []
+    for _ in range(120):
+        vocab = topic_a if rng.random() < 0.5 else topic_b
+        docs.append(" ".join(rng.choice(vocab, 40)))
+    M = twv.train(docs, n_buckets=512, dim=16).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    def rows(words):
+        return (stable_hash64(np.asarray(words, dtype=object))
+                % np.uint64(512)).astype(np.int64)
+
+    ra, rb = rows(topic_a), rows(topic_b)
+    within = np.concatenate([(M[r] @ M[r].T)[np.triu_indices(len(r), 1)]
+                             for r in (ra, rb)])
+    across = (M[ra] @ M[rb].T).ravel()
+    assert within.mean() > across.mean() + 0.15
