@@ -44,6 +44,11 @@ import numpy as np
 import pyarrow as pa
 
 _LEVELS = ["\n\n", "\n", ". ", " "]
+# the reference's ``SplittingStrategy::Sentence``
+# (/root/reference/rust/src/config.rs:52-59): pack SENTENCE units,
+# falling back to words/chars only for oversize sentences — same greedy
+# packer, a truncated level hierarchy
+_SENTENCE_LEVELS = [". ", " "]
 
 
 def _split_units(text: str, sep: str) -> list[str]:
@@ -61,16 +66,17 @@ def _split_units(text: str, sep: str) -> list[str]:
     return [p + sep for p in parts[:-1]] + [parts[-1]]
 
 
-def _pack(text: str, chunk_size: int, level: int = 0) -> list[str]:
-    """Greedy packing at ``_LEVELS[level]``; oversize units recurse."""
+def _pack(text: str, chunk_size: int, level: int = 0,
+          levels: list[str] = _LEVELS) -> list[str]:
+    """Greedy packing at ``levels[level]``; oversize units recurse."""
     if len(text) <= chunk_size:
         return [text] if text else []
-    if level >= len(_LEVELS):
+    if level >= len(levels):
         # character fallback: hard slices
         return [text[i:i + chunk_size] for i in range(0, len(text), chunk_size)]
-    units = _split_units(text, _LEVELS[level])
+    units = _split_units(text, levels[level])
     if len(units) == 1:
-        return _pack(text, chunk_size, level + 1)
+        return _pack(text, chunk_size, level + 1, levels)
     out: list[str] = []
     cur = ""
     for u in units:
@@ -82,7 +88,7 @@ def _pack(text: str, chunk_size: int, level: int = 0) -> list[str]:
             if len(u) <= chunk_size:
                 cur = u
             else:
-                pieces = _pack(u, chunk_size, level + 1)
+                pieces = _pack(u, chunk_size, level + 1, levels)
                 out.extend(pieces[:-1])
                 cur = pieces[-1] if pieces else ""
     if cur:
@@ -106,6 +112,29 @@ def split_markdown(text: str, chunk_size: int = 1000,
     return chunks
 
 
+def split_sentence(text: str, chunk_size: int = 1000,
+                   overlap: int = 0) -> list[str]:
+    """Sentence splitting strategy (reference config.rs:52-59
+    ``SplittingStrategy::Sentence``): greedy-pack sentence units to the
+    character budget; only an oversize single sentence falls back to
+    word/char splits.  Same lossless/overlap semantics as
+    ``split_markdown``."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    chunks = _pack(text, chunk_size, levels=_SENTENCE_LEVELS)
+    if overlap > 0 and len(chunks) > 1:
+        out = [chunks[0]]
+        for prev, cur in zip(chunks, chunks[1:]):
+            out.append(prev[-overlap:] + cur)
+        return out
+    return chunks
+
+
+SPLITTERS = {"markdown": split_markdown, "sentence": split_sentence}
+
+
 def split_fixed(text: str, chunk_size: int = 1000,
                 overlap: int = 0) -> list[str]:
     """Fixed character windows, stride = chunk_size - overlap.  The
@@ -125,7 +154,7 @@ def make_chunk_batch(chunk_size: int = 1000, overlap: int = 0,
                      mode: str = "markdown", id_col: str = "doc_id",
                      text_col: str = "text"):
     """map_batches UDF factory: explode docs into chunk rows."""
-    split = split_markdown if mode == "markdown" else split_fixed
+    split = SPLITTERS.get(mode, split_fixed)
 
     def chunk_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -155,3 +184,20 @@ def chunk_documents(docs, chunk_size: int = 1000, overlap: int = 0,
     return docs.map_batches(
         make_chunk_batch(chunk_size, overlap, mode, id_col, text_col),
         batch_format="pyarrow")
+
+
+def chunk_by_config(docs, cfg, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Config-routed chunking — the reference's ``splitting_strategy``
+    switch (/root/reference/rust/src/config.rs:52-59) over the engine's
+    chunkers: sentence/markdown/fixed are stateless exploding
+    map_batches UDFs; "semantic" routes to the encoder actor pool."""
+    s = cfg.splitting_strategy
+    if s == "semantic":
+        from engine.semantic_chunk import semantic_chunk_documents
+        return semantic_chunk_documents(docs, id_col=id_col,
+                                        text_col=text_col)
+    if s not in ("sentence", "markdown", "fixed"):
+        raise ValueError(f"unknown splitting_strategy {s!r}")
+    return chunk_documents(docs, cfg.chunk_size, cfg.chunk_overlap,
+                           mode=s, id_col=id_col, text_col=text_col)

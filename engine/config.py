@@ -62,6 +62,20 @@ class EngineConfig:
     # warc_ts (FIXTURES.md §1, explicit stable rule).
     dedup_keep: str = "earliest"
 
+    # --- chunking (reference TextEmbedConfig parity,
+    # /root/reference/rust/src/config.rs:52-59: ``splitting_strategy:
+    # Sentence`` and ``late_chunking``) ---
+    # "sentence" packs sentence units, "markdown" packs the structural
+    # hierarchy, "fixed" is fixed char windows, "semantic" routes to the
+    # encoder-driven statistical chunker (engine/semantic_chunk.py).
+    splitting_strategy: str = "sentence"
+    chunk_size: int = 1000
+    chunk_overlap: int = 0
+    # late_chunking=True embeds the WHOLE document's token sequence once
+    # and mean-pools each chunk's span from prefix sums (Jina late
+    # chunking shape) instead of embedding each chunk separately.
+    late_chunking: bool = False
+
     # --- tokenizer ---
     # Lowercase + Unicode letter/digit runs, CJK chars as unigrams
     # (FIXTURES.md §3).  cjk_unigrams=False gives the SQL-parity simple

@@ -185,6 +185,126 @@ def save_random_weights(path: str, n_buckets: int = 4096, dim: int = 64,
 
 
 # ---------------------------------------------------------------------------
+# Late chunking (reference config.rs:52-59 ``late_chunking``)
+# ---------------------------------------------------------------------------
+
+class LateChunkingEmbedder:
+    """Actor-pool stage implementing LATE chunking: encode the WHOLE
+    document's token sequence ONCE, then pool each chunk's embedding
+    from its token SPAN — one encoder pass + O(tokens) prefix sums per
+    document instead of one encoder pass per chunk (the Jina
+    late-chunking execution shape; the reference exposes the switch in
+    ``TextEmbedConfig::late_chunking``).
+
+    With the engine's LINEAR encoders (hashing / word-vector rows) the
+    pooled chunk vector is mathematically equal to embedding the chunk
+    alone — pytest asserts that equivalence, which is exactly the
+    property that BREAKS when a contextual encoder fills this slot (the
+    full-document pass then injects cross-chunk context; only
+    ``_token_vectors`` changes).
+
+    Output: one row per chunk — (doc_id, chunk_id, chunk, embedding).
+    """
+
+    def __init__(self, chunk_size: int = 1000, overlap: int = 0,
+                 strategy: str = "sentence", dim: int = 64,
+                 weights_path: str | None = None,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 hash_fn: str = "sip"):
+        from engine.chunk import SPLITTERS, split_fixed
+        from engine.tokenize import HASH_FNS
+        self.split = SPLITTERS.get(strategy, split_fixed)
+        self.chunk_size, self.overlap = chunk_size, overlap
+        self.id_col, self.text_col = id_col, text_col
+        # the per-actor "model load": token-vector table (trained rows)
+        # or the hashing trick's implicit signed one-hot
+        if weights_path is not None:
+            wz = np.load(weights_path)
+            self.matrix = np.ascontiguousarray(wz["embedding"],
+                                               dtype=np.float64)
+            self.n_buckets = np.uint64(self.matrix.shape[0])
+            self.dim = int(self.matrix.shape[1])
+        else:
+            self.matrix = None
+            self.dim = dim
+        self.hasher = HASH_FNS[hash_fn]
+
+    def _token_vectors(self, toks: list[str]) -> np.ndarray:
+        """(T, dim) token-level embeddings from ONE full-document pass.
+        A contextual encoder replaces this method only."""
+        h = self.hasher(np.asarray(toks, dtype=object))
+        if self.matrix is not None:
+            return self.matrix[(h % self.n_buckets).astype(np.int64)]
+        out = np.zeros((len(toks), self.dim), dtype=np.float64)
+        bucket = (h % np.uint64(self.dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+        out[np.arange(len(toks)), bucket] = sign
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.tokenize import tokenize_batch
+        ids = batch.column(self.id_col).to_numpy()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_cid, out_chunk, out_vec = [], [], [], []
+        for did, text in zip(ids, texts):
+            chunks = self.split(text, self.chunk_size, self.overlap)
+            if not chunks:
+                continue
+            tok_lists = tokenize_batch(chunks)
+            spans = np.cumsum([0] + [len(t) for t in tok_lists])
+            all_toks = [t for ts in tok_lists for t in ts]
+            if all_toks:
+                V = self._token_vectors(all_toks)       # ONE pass
+                P = np.vstack([np.zeros((1, self.dim)),
+                               np.cumsum(V, axis=0)])  # prefix sums
+            for ci, chunk in enumerate(chunks):
+                lo, hi = spans[ci], spans[ci + 1]
+                if hi > lo:
+                    v = (P[hi] - P[lo]) / (hi - lo)
+                    n = np.linalg.norm(v)
+                    v = v / n if n else v
+                else:
+                    v = np.zeros(self.dim)
+                out_id.append(int(did))
+                out_cid.append(ci)
+                out_chunk.append(chunk)
+                out_vec.append(v)
+        vecs = (np.vstack(out_vec) if out_vec
+                else np.empty((0, self.dim)))
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_cid, pa.int64()),
+            "chunk": pa.array(out_chunk, pa.large_string()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), self.dim),
+        })
+
+
+def chunk_and_embed(docs, cfg, concurrency: int = 4,
+                    batch_size: int = 64, dim: int = 64,
+                    weights_path: str | None = None,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Config-routed chunk+embed: ``late_chunking=True`` runs the
+    one-pass LateChunkingEmbedder actor pool; otherwise chunk rows are
+    exploded first and embedded per chunk (early chunking)."""
+    if cfg.late_chunking:
+        return docs.map_batches(
+            LateChunkingEmbedder,
+            fn_constructor_kwargs={
+                "chunk_size": cfg.chunk_size, "overlap": cfg.chunk_overlap,
+                "strategy": cfg.splitting_strategy, "dim": dim,
+                "weights_path": weights_path,
+                "id_col": id_col, "text_col": text_col},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency)
+    from engine.chunk import chunk_by_config
+    chunks = chunk_by_config(docs, cfg, id_col=id_col, text_col=text_col)
+    return embed_documents(chunks, dim=dim, concurrency=concurrency,
+                           batch_size=batch_size, id_col=id_col,
+                           text_col="chunk", weights_path=weights_path)
+
+
+# ---------------------------------------------------------------------------
 # Reranker (reference A5): actor-pool cross-scorer over top-k candidates
 # ---------------------------------------------------------------------------
 

@@ -7,6 +7,7 @@ budget, explode row counts.
 """
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -162,3 +163,51 @@ def test_markdown_matches_independent_oracle_random():
         assert all(len(c) <= size for c in got)
 
     run()
+
+
+def test_split_sentence_strategy():
+    from engine.chunk import split_sentence
+    text = ("First sentence here. Second one is a bit longer. Third. "
+            "Fourth sentence ends the text")
+    chunks = split_sentence(text, chunk_size=40)
+    assert "".join(chunks) == text                 # lossless
+    assert all(len(c) <= 40 for c in chunks)       # budget
+    # sentence units are kept whole when they fit: every chunk except
+    # the last ends with a sentence boundary
+    assert all(c.endswith(". ") or c.endswith(".") for c in chunks[:-1])
+    # oversize single sentence falls back to word/char splits
+    big = "word " * 30
+    over = split_sentence(big.strip(), chunk_size=20)
+    assert "".join(over) == big.strip()
+    assert all(len(c) <= 20 for c in over)
+    # overlap semantics match the markdown splitter's
+    ov = split_sentence(text, chunk_size=40, overlap=5)
+    assert ov[1].startswith(chunks[0][-5:])
+
+
+def test_chunk_by_config_routing(ray_session):
+    import ray.data
+    from engine.chunk import chunk_by_config, split_sentence, split_markdown
+    from engine.config import EngineConfig
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["alpha beta. gamma delta. " * 20,
+                                "para one\n\npara two\n\n" + "x " * 50]})
+    ds = ray.data.from_pandas(df)
+    for strat, fn in (("sentence", split_sentence),
+                      ("markdown", split_markdown)):
+        cfg = EngineConfig(splitting_strategy=strat, chunk_size=60)
+        out = (chunk_by_config(ds, cfg).to_pandas()
+               .sort_values(["doc_id", "chunk_id"]))
+        want = [c for t in df["text"] for c in fn(t, 60)]
+        assert out["chunk"].tolist() == want
+    # semantic routes to the actor pool (schema check only)
+    outs = chunk_by_config(ds, EngineConfig(splitting_strategy="semantic")
+                           ).to_pandas()
+    assert {"doc_id", "chunk_id", "chunk"} <= set(outs.columns)
+    with pytest.raises(ValueError):
+        chunk_by_config(ds, EngineConfig(splitting_strategy="nope"))
+    # config round-trips through to_dict/from_dict with the new fields
+    cfg = EngineConfig(splitting_strategy="fixed", chunk_size=123,
+                       chunk_overlap=7, late_chunking=True)
+    assert EngineConfig.from_dict(cfg.to_dict()) == cfg

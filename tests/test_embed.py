@@ -194,3 +194,47 @@ def test_word_vector_training_learns_structure():
                              for r in (ra, rb)])
     across = (M[ra] @ M[rb].T).ravel()
     assert within.mean() > across.mean() + 0.15
+
+
+def test_late_chunking_linear_equivalence(ray_session):
+    """Late chunking (one full-doc encode + per-span prefix-sum pooling)
+    equals early chunking (embed each chunk alone) for LINEAR encoders —
+    the invariant a contextual encoder in the same slot breaks.  Checked
+    for both the hashing embedder and the trained word-vector matrix."""
+    import ray.data
+    import pandas as pd
+    import pyarrow as pa
+    from engine.chunk import split_sentence
+    from engine.config import EngineConfig
+    from engine.embed import (LateChunkingEmbedder, HashingEmbedder,
+                              WeightsEmbedder, TRAINED_WEIGHTS,
+                              chunk_and_embed)
+
+    texts = ["alpha beta gamma. delta epsilon zeta. " * 12,
+             "one two three four five. " * 20, "short"]
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    for weights in (None, TRAINED_WEIGHTS):
+        late = LateChunkingEmbedder(chunk_size=80, strategy="sentence",
+                                    weights_path=weights)
+        out = late(pa.table(df)).to_pandas()
+        enc = (HashingEmbedder() if weights is None
+               else WeightsEmbedder(weights))
+        for t, did in zip(texts, df["doc_id"]):
+            chunks = split_sentence(t, 80)
+            got = np.array(out[out["doc_id"] == did]
+                           .sort_values("chunk_id")["embedding"].tolist())
+            want = enc.embed_texts(chunks)
+            assert got.shape == want.shape
+            assert np.allclose(got, want, atol=1e-6)
+    # config-routed pipeline: late vs early produce identical vectors
+    ds = ray.data.from_pandas(df)
+    late_cfg = EngineConfig(splitting_strategy="sentence", chunk_size=80,
+                            late_chunking=True)
+    early_cfg = EngineConfig(splitting_strategy="sentence", chunk_size=80)
+    a = (chunk_and_embed(ds, late_cfg).to_pandas()
+         .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    b = (chunk_and_embed(ds, early_cfg).to_pandas()
+         .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    assert a["chunk"].tolist() == b["chunk"].tolist()
+    assert np.allclose(np.array(a["embedding"].tolist()),
+                       np.array(b["embedding"].tolist()), atol=1e-6)
