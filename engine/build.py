@@ -120,15 +120,81 @@ def make_dedup_filter(losers: dict[str, int]):
 # tokenize + per-batch partial aggregation (the combiner; SURVEY.md G3)
 # --------------------------------------------------------------------------
 
+def resolve_id_collisions(keys: "ray.data.Dataset",
+                          num_partitions: int) -> dict[str, int]:
+    """Wide-doc-id pre-pass: find 63-bit ids claimed by >=2 DISTINCT
+    urls and deterministically re-id every url of a colliding group
+    except the lexicographically smallest.
+
+    Scale shape: one (doc_id, url) aggregate with Min/Max(url) — a
+    colliding id has min != max; only THOSE groups' rows come back to
+    the driver (at 10^12 docs, ~54 expected pairs), so the remap dict
+    broadcast into tokenize is tiny.  Replacement ids are a salted
+    rehash chain of the url (pure function of the url — deterministic
+    at any parallelism); the docmeta fail-loud check backstops the
+    ~1e-7-per-probe residual risk of a replacement landing on an
+    existing id."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max as AggMax
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        urls = np.asarray(t.column("url").to_pylist(), dtype=object)
+        return pa.table({
+            "doc_id": pa.array(doc_ids_from_urls(urls)),
+            "url": pa.array(urls.tolist(), pa.large_string()),
+        })
+
+    ids_ds = keys.select_columns(["url"]).map_batches(
+        to_ids, batch_format="pyarrow")
+    agg = ids_ds.groupby("doc_id", num_partitions=num_partitions).aggregate(
+        Min("url", alias_name="u_min"), AggMax("url", alias_name="u_max"))
+    coll = agg.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["u_min"], t["u_max"]))),
+        batch_format="pyarrow").to_pandas()
+    if not len(coll):
+        return {}
+    bad_ids = set(coll["doc_id"].tolist())
+    rows = ids_ds.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t.column("doc_id").to_numpy(),
+            np.fromiter(bad_ids, dtype=np.int64)))),
+        batch_format="pyarrow").to_pandas()
+    remap: dict[str, int] = {}
+    mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+    for _, g in rows.groupby("doc_id"):
+        group_urls = sorted(set(g["url"]))
+        taken = {int(g["doc_id"].iloc[0])} | set(remap.values())
+        for u in group_urls[1:]:       # smallest url keeps the id
+            for salt in range(1, 64):
+                cand = int(stable_hash64(
+                    np.array([f"{u}#wide{salt}"], dtype=object))[0]
+                    & mask63)
+                if cand not in taken:
+                    break
+            taken.add(cand)
+            remap[u] = cand
+    return remap
+
+
 def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
-                          done_docmeta: frozenset[int], with_url: bool = True):
+                          done_docmeta: frozenset[int], with_url: bool = True,
+                          id_remap: dict[str, int] | None = None):
     """Build the map_batches UDF producing the single-shuffle payload."""
     P, D = cfg.num_parts, cfg.docmeta_parts
+    if id_remap:
+        remap_urls = pd.Index(np.asarray(list(id_remap.keys()),
+                                         dtype=object))
+        remap_ids = np.fromiter(id_remap.values(), dtype=np.int64,
+                                count=len(id_remap))
 
     def tokenize_partial(batch: pa.Table) -> pa.Table:
         if with_url:
             urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
             doc_ids = doc_ids_from_urls(urls)
+            if id_remap:
+                ri = remap_urls.get_indexer(urls)
+                hit = ri >= 0
+                doc_ids[hit] = remap_ids[ri[hit]]
         else:
             doc_ids = batch.column("doc_id").to_numpy()
             urls = doc_ids.astype(str).astype(object)
@@ -251,7 +317,9 @@ def make_part_writer(sink, cfg: EngineConfig,
         # but a repeated doc_id carrying a DIFFERENT url is a hash64(url)
         # COLLISION (63-bit id space, SURVEY.md §7.5): dropping it would
         # silently corrupt postings, so fail loudly instead.  The scale
-        # path beyond ~10^11 docs is a 128-bit split id (documented).
+        # path is EngineConfig(wide_doc_ids=True): resolve_id_collisions
+        # detects and remaps collisions pre-build; this check then
+        # backstops the residual rehash risk.
         uniq = np.concatenate(([True], np.diff(doc_ids) != 0))
         if not uniq.all():
             dup_pos = np.flatnonzero(~uniq)
@@ -419,6 +487,7 @@ def build_index(
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = cpu_override
         ctx.min_hash_shuffle_aggregator_wait_time_in_s = 30
         try:
+            id_remap: dict[str, int] | None = None
             if mode == "webtext":
                 if isinstance(source, ray.data.Dataset):
                     ds = source
@@ -428,6 +497,11 @@ def build_index(
                         source, columns=["url", "warc_ts", "html"])
                     keys = ray.data.read_parquet(
                         source, columns=["url", "warc_ts"])
+                if cfg.wide_doc_ids:
+                    id_remap = resolve_id_collisions(
+                        keys, min(cfg.dedup_partitions,
+                                  max(4, n_cpus * 2)))
+                    lineage["id_collisions_resolved"] = len(id_remap)
                 strategy = cfg.dedup_strategy
                 n_keys = None
                 if strategy == "auto":
@@ -462,7 +536,7 @@ def build_index(
 
             shuffle_payload = ds.map_batches(
                 make_tokenize_partial(cfg, done_postings, done_docmeta,
-                                      with_url),
+                                      with_url, id_remap=id_remap),
                 batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
             )
             writer = make_part_writer(sink, cfg, lineage,

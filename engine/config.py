@@ -62,6 +62,22 @@ class EngineConfig:
     # warc_ts (FIXTURES.md §1, explicit stable rule).
     dedup_keep: str = "earliest"
 
+    # --- doc-id width ---
+    # False: doc_id = hash64(url) & 2^63-1; a collision between two
+    # DISTINCT urls aborts the build loudly (expected ~2.7% chance of
+    # >=1 collision somewhere at 10^12 docs).  True: the build runs a
+    # collision-resolution pre-pass — detect ids shared by >=2 distinct
+    # urls with a (doc_id -> min/max url) aggregate (the 128-bit
+    # identity (h1, h2) exists only to DETECT; at 10^12 docs the
+    # expected collision count is ~54 pairs), then deterministically
+    # re-id all but the lexicographically-smallest url of each group
+    # via salted rehash, broadcast as a tiny {url: new_id} dict into
+    # the tokenize stage.  This keeps the posting format at int64
+    # (a true 128-bit posting id would double posting bytes corpus-wide
+    # to serve ~100 documents); the docmeta fail-loud check remains the
+    # backstop for the ~1e-5 residual probability.
+    wide_doc_ids: bool = False
+
     # --- chunking (reference TextEmbedConfig parity,
     # /root/reference/rust/src/config.rs:52-59: ``splitting_strategy:
     # Sentence`` and ``late_chunking``) ---

@@ -101,7 +101,10 @@ def doc_ids_from_urls(urls: np.ndarray | list) -> np.ndarray:
     Deterministic dense-enumeration-free id assignment (SURVEY.md §7.4):
     ids don't depend on task order or partitioning.  63-bit space; at
     10^12 docs the collision expectation is ~2.7% for a full corpus —
-    the scale path widens to a 128-bit split id, documented not built.
+    ``EngineConfig(wide_doc_ids=True)`` runs the collision-resolution
+    pre-pass (engine/build.py resolve_id_collisions: detect shared ids,
+    salted-rehash remap broadcast into tokenize) so distinct urls always
+    index under distinct ids.
     """
     return (stable_hash64(urls) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 

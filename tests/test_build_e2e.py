@@ -189,6 +189,54 @@ def test_doc_id_collision_fails_loudly(tmp_path_factory, monkeypatch):
                     EngineConfig(num_parts=2, docmeta_parts=1))
 
 
+def test_doc_id_collision_resolved_wide_ids(tmp_path_factory, monkeypatch):
+    """The same forced collision BUILDS under wide_doc_ids=True: the
+    pre-pass detects the shared id, re-ids the lexicographically larger
+    url via salted rehash, and both documents index and serve."""
+    import pyarrow as pa
+    import ray.data
+    from engine import build as B
+    from engine.query import InvertedIndex
+    from engine.tokenize import stable_hash64
+
+    real = B.doc_ids_from_urls
+
+    def colliding_ids(urls):
+        # only the two planted urls collide; remapped probes hash free
+        out = real(urls)
+        plant = np.isin(np.asarray(urls, dtype=object),
+                        np.array(["http://a/1", "http://a/2"], dtype=object))
+        out[plant] = 42
+        return out
+
+    monkeypatch.setattr(B, "doc_ids_from_urls", colliding_ids)
+    t = pa.table({
+        "url": pa.array(["http://a/1", "http://a/2"]),
+        "warc_ts": pa.array(np.zeros(2, dtype="datetime64[us]")),
+        "html": pa.array([b"<html><body><p>alpha beta</p></body></html>",
+                          b"<html><body><p>gamma delta</p></body></html>"],
+                         pa.binary()),
+    })
+    idx = str(tmp_path_factory.mktemp("wide") / "idx")
+    m = B.build_index(ray.data.from_arrow(t), idx,
+                      EngineConfig(num_parts=2, docmeta_parts=1,
+                                   wide_doc_ids=True))
+    assert m["stats"]["n_docs"] == 2
+    assert m["lineage"]["id_collisions_resolved"] == 1
+    ix = InvertedIndex(idx)
+    # both docs present under DISTINCT ids; the kept url holds id 42
+    assert set(ix._urls) == {"http://a/1", "http://a/2"}
+    assert 42 in ix._doc_ids
+    expect_new = int(stable_hash64(
+        np.array(["http://a/2#wide1"], dtype=object))[0]
+        & np.uint64(0x7FFFFFFFFFFFFFFF))
+    assert expect_new in ix._doc_ids
+    # each doc's terms retrieve exactly that doc
+    (a_hit,) = ix.search("alpha", k=5)
+    (g_hit,) = ix.search("gamma", k=5)
+    assert a_hit[0] == 42 and g_hit[0] == expect_new
+
+
 def test_extreme_stopword_skew_build(tmp_path_factory):
     """Every doc shares one hot term (df == corpus size): the salted
     partial aggregation + part shuffle must still produce a correct
