@@ -185,11 +185,17 @@ class _Front:
         # they equal the full docID-sorted decode, so float accumulation
         # is bit-identical to the local engine's daat path
         frags: dict[str, list] = {}
-        keys = sorted(futs.keys(), key=lambda sr: sr[1])
-        for key, res in zip(keys, ray.get([futs[key] for key in keys])):
-            for t, ent in res.items():
-                if ent is not None:
-                    frags.setdefault(t, []).append(ent)
+        if self.n_ranges == 1:             # fast path: no range merge
+            for res in ray.get(list(futs.values())):
+                for t, ent in res.items():
+                    if ent is not None:
+                        frags[t] = [ent]
+        else:
+            keys = sorted(futs.keys(), key=lambda sr: sr[1])
+            for key, res in zip(keys, ray.get([futs[key] for key in keys])):
+                for t, ent in res.items():
+                    if ent is not None:
+                        frags.setdefault(t, []).append(ent)
         all_ids, all_scores = [], []
         for t in terms:                    # original query-term order
             for ent in frags.get(t, ()):
