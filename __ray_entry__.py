@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_candidates": d.q_simhash_candidates,     # md5-mode oracle
         "ngram_jaccard_adjacent": d.q_ngram_jaccard_adjacent,
         "neardup_dedup": d.q_neardup_dedup,               # md5-mode oracle
+        "neardup_dedup_dist": d.q_neardup_dedup_dist,     # md5-mode oracle
         # similarity search over embeddings
         "knn_cosine": d.q_knn_cosine,
         "lsh_knn": d.q_lsh_knn,
@@ -686,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         # the SipHash default is the same code path, pytest-verified)
         "minhash_candidates": _minhash_sql(),
         "neardup_dedup": _neardup_sql(0.5),
+        "neardup_dedup_dist": _neardup_sql(0.5),
         "simhash": _simhash_sql(),
         "simhash_candidates": _simhash_candidates_sql(),
         "fingerprints": _fingerprint_sql(),

@@ -523,6 +523,133 @@ def ngram_jaccard_adjacent(
 # end-to-end near-dup dedup: candidates -> verify -> components -> canonical
 # ---------------------------------------------------------------------------
 
+def connected_components(
+    pairs: pd.DataFrame,
+    n_buckets: int = 64,
+    max_rounds: int = 50,
+) -> pd.DataFrame:
+    """Distributed connected components over an edge list -> DataFrame
+    (doc_id, canonical_id) for every node, canonical = component min.
+
+    Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): every
+    round is ONE coarse-bucket shuffle + a vectorized per-node
+    min-neighbor emit, every emitted edge points at a smaller id, and
+    the fixpoint is the star graph node -> component min.  Converges in
+    O(log n) rounds even on path graphs (where plain min-label
+    propagation needs O(diameter)).  Per round only a 2-int checksum
+    reaches the driver, so the edge list may exceed driver memory —
+    the beyond-driver-memory path that neardup_dedup's default
+    union-find cannot cover.
+
+    Edge layout between rounds: columns (u, v) with u > v, globally
+    distinct after each small-star (all rows of one u land in one
+    group, which dedupes vectorized).
+    """
+    import ray.data as rd
+
+    src = pd.DataFrame({
+        "u": pairs["id_b"].to_numpy().astype(np.int64),
+        "v": pairs["id_a"].to_numpy().astype(np.int64),
+    })  # candidates come id_a < id_b, so u > v holds already
+    if not len(src):
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "canonical_id": pd.Series(dtype=np.int64)})
+    edges = rd.from_pandas(src)
+
+    def _emit_unique(uu: np.ndarray, vv: np.ndarray) -> pd.DataFrame:
+        if uu.size == 0:
+            return pd.DataFrame({"u": pd.Series(dtype=np.int64),
+                                 "v": pd.Series(dtype=np.int64)})
+        order = np.lexsort((vv, uu))
+        uu, vv = uu[order], vv[order]
+        keep = np.r_[True, (uu[1:] != uu[:-1]) | (vv[1:] != vv[:-1])]
+        return pd.DataFrame({"u": uu[keep], "v": vv[keep]})
+
+    def large_expand(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        x = np.concatenate([u, v])       # node key: both directions
+        n = np.concatenate([v, u])
+        return pa.table({"x": x, "n": n,
+                         "bucket": (x % n_buckets).astype(np.int32)})
+
+    def large_emit(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["x"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((n, x))
+        x, n = x[order], n[order]
+        starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
+        counts = np.diff(np.r_[starts, x.size])
+        m = np.minimum(np.minimum.reduceat(n, starts), x[starts])
+        m_full = np.repeat(m, counts)
+        keep = n > x                     # strictly larger neighbors
+        return _emit_unique(n[keep], m_full[keep])
+
+    def small_key(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy()
+        return t.append_column(
+            "bucket", pa.array((u % n_buckets).astype(np.int32)))
+
+    def small_emit(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, u.size])
+        m = np.minimum.reduceat(v, starts)   # all v < u, so m < u
+        m_full = np.repeat(m, counts)
+        # (v, m) for every smaller neighbor, plus (u, m); drop (m, m)
+        uu = np.concatenate([v, u[starts]])
+        vv = np.concatenate([m_full, m])
+        keep = uu > vv
+        return _emit_unique(uu[keep], vv[keep])
+
+    def checksum(ds: "ray.data.Dataset") -> tuple[int, int]:
+        def partial(t: pa.Table) -> pa.Table:
+            u = t.column("u").to_numpy().astype(np.uint64)
+            v = t.column("v").to_numpy().astype(np.uint64)
+            chk = _splitmix64(u * np.uint64(0x9E3779B97F4A7C15) ^ v)
+            return pa.table({
+                "chk": pa.array([int(chk.sum(dtype=np.uint64))],
+                                pa.uint64()),
+                "cnt": pa.array([len(t)], pa.int64())})
+        parts = ds.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+        return (int(parts["chk"].to_numpy()
+                    .astype(np.uint64).sum(dtype=np.uint64)),
+                int(parts["cnt"].sum()))
+
+    prev = None
+    for _ in range(max_rounds):
+        edges = (edges.map_batches(large_expand, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(large_emit, batch_format="pandas"))
+        edges = (edges.map_batches(small_key, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(small_emit, batch_format="pandas")
+                 .materialize())
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:  # pragma: no cover - 2^50 nodes exceeds any real input
+        raise RuntimeError("connected_components did not converge")
+
+    # fixpoint = star set: each non-root appears exactly once as u;
+    # roots appear only as v.  Mapping = edges + (root, root) rows.
+    star = edges.to_pandas()
+    roots = np.unique(star["v"].to_numpy())
+    out_ids = np.concatenate([star["u"].to_numpy(), roots])
+    out_canon = np.concatenate([star["v"].to_numpy(), roots])
+    order = np.argsort(out_ids, kind="stable")
+    return pd.DataFrame({
+        "doc_id": pd.Series(out_ids[order], dtype=np.int64),
+        "canonical_id": pd.Series(out_canon[order], dtype=np.int64),
+    })
+
+
 def neardup_dedup(
     docs: "ray.data.Dataset",
     threshold: float = 0.8,
@@ -533,6 +660,7 @@ def neardup_dedup(
     text_col: str = "text",
     hash_fn: str = "sip",
     band_mode: str = "splitmix",
+    cc: str = "driver",
 ) -> pd.DataFrame:
     """The operator a training-data user actually runs: MinHash-LSH
     candidates -> exact Jaccard verify (>= threshold) -> connected
@@ -543,16 +671,20 @@ def neardup_dedup(
     Scale shape: the distributed stages (banding shuffle, bucketed pair
     extraction, broadcast-semi-join verify) touch the corpus; only the
     VERIFIED pair list — bounded by the true near-dup rate — reaches the
-    driver, where union-find resolves components in O(pairs α).  For
-    pair sets beyond driver memory the same mapping falls out of
-    iterated min-label propagation (a handful of groupby("id").min()
-    rounds); documented, not built — verified pairs at 10^12 docs with
-    sane thresholds are ~10^9 rows, still driver-feasible sharded.
+    driver, where union-find resolves components in O(pairs α).
+    ``cc="distributed"`` routes the component resolution through
+    ``connected_components`` (alternating-star rounds, nothing but
+    per-round checksums on the driver) for pair sets beyond driver
+    memory; both paths are equivalence-tested bit-identical.
     """
+    if cc not in ("driver", "distributed"):
+        raise ValueError(f"cc must be 'driver' or 'distributed': {cc!r}")
     cand = minhash_candidates(docs, n_perm, bands, shingle_k, id_col,
                               text_col, hash_fn, band_mode)
     ver = verify_jaccard(docs, cand, threshold, shingle_k, id_col,
                          text_col, hash_fn)
+    if cc == "distributed":
+        return connected_components(ver)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

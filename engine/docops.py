@@ -218,6 +218,16 @@ def q_neardup_dedup(sf_dir: str) -> pd.DataFrame:
                                    hash_fn="md5", band_mode="md5str")
 
 
+def q_neardup_dedup_dist(sf_dir: str) -> pd.DataFrame:
+    """Same pipeline resolved by the DISTRIBUTED connected-components
+    path (alternating-star rounds; nothing but per-round checksums on
+    the driver) — proves the beyond-driver-memory path against the
+    identical recursive-CTE oracle."""
+    return dedup_ops.neardup_dedup(documents_ds(sf_dir), threshold=0.5,
+                                   hash_fn="md5", band_mode="md5str",
+                                   cc="distributed").reset_index(drop=True)
+
+
 # --- similarity search ------------------------------------------------------
 
 def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:

@@ -164,3 +164,86 @@ def test_simhash_candidates_parallelism_and_hot_band_cap(corpus):
     # a tiny max_group drops degenerate hot bands (never errors)
     capped = simhash_candidates(_ds(corpus), max_group=2)
     assert len(capped) <= len(a)
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (alternating-star)
+# ---------------------------------------------------------------------------
+
+def _uf_reference(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Independent union-find oracle (min-id canonical)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame({"doc_id": pd.Series([r[0] for r in rows],
+                                             dtype=np.int64),
+                         "canonical_id": pd.Series([r[1] for r in rows],
+                                                   dtype=np.int64)})
+
+
+def _pairs(edges) -> pd.DataFrame:
+    a = np.minimum.reduce([np.asarray([e[0] for e in edges]),
+                           np.asarray([e[1] for e in edges])])
+    b = np.maximum.reduce([np.asarray([e[0] for e in edges]),
+                           np.asarray([e[1] for e in edges])])
+    return pd.DataFrame({"id_a": a.astype(np.int64),
+                         "id_b": b.astype(np.int64)})
+
+
+@pytest.mark.parametrize("name,edges", [
+    ("single", [(7, 3)]),
+    # a 200-node path: diameter 199, the worst case for plain min-label
+    # propagation; alternating-star must still converge in O(log n)
+    ("chain", [(i, i + 1) for i in range(200)]),
+    ("star", [(0, i) for i in range(1, 40)]),
+    ("two_cliques", [(i, j) for i in range(10) for j in range(i + 1, 10)]
+     + [(i, j) for i in range(100, 112) for j in range(i + 1, 112)]),
+])
+def test_connected_components_known_graphs(name, edges):
+    from engine.dedup import connected_components
+    got = connected_components(_pairs(edges)).reset_index(drop=True)
+    want = _uf_reference(_pairs(edges))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_connected_components_random_graph():
+    from engine.dedup import connected_components
+    rng = np.random.default_rng(123)
+    # sparse random graph over ids drawn from a large sparse space
+    ids = rng.choice(10 ** 12, size=300, replace=False).astype(np.int64)
+    e = []
+    for _ in range(400):
+        a, b = rng.choice(ids, 2, replace=False)
+        e.append((int(a), int(b)))
+    got = connected_components(_pairs(e)).reset_index(drop=True)
+    want = _uf_reference(_pairs(e))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_connected_components_empty():
+    from engine.dedup import connected_components
+    out = connected_components(pd.DataFrame({
+        "id_a": pd.Series(dtype=np.int64),
+        "id_b": pd.Series(dtype=np.int64)}))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "canonical_id"]
+
+
+def test_neardup_dedup_distributed_equals_driver(corpus):
+    from engine.dedup import neardup_dedup
+    a = neardup_dedup(_ds(corpus), cc="driver")
+    b = neardup_dedup(_ds(corpus), cc="distributed").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
