@@ -610,12 +610,15 @@ def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
                          columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                         columns=["n_nationkey", "n_name"])
-    import pyarrow.compute as pc
-    max_ck = int(pc.max(cust.column("c_custkey")).as_py())
-    c2n = np.full(max_ck + 1, -1, dtype=np.int32)
-    c2n[cust.column("c_custkey").to_numpy()] = \
-        cust.column("c_nationkey").to_numpy()
-    lookup_ref = ray.put(c2n)
+    # sorted-key searchsorted map, not a dense max_key+1 array: works
+    # unchanged for sparse 64-bit keys (a dense array would be O(max
+    # key) memory; this is O(n_customers) and still one vectorized
+    # probe per batch)
+    ck = cust.column("c_custkey").to_numpy()
+    order = np.argsort(ck, kind="stable")
+    lookup_ref = ray.put((ck[order],
+                          cust.column("c_nationkey").to_numpy()
+                          .astype(np.int32)[order]))
     names = dict(zip(nat.column("n_nationkey").to_pylist(),
                      nat.column("n_name").to_pylist()))
 
@@ -623,8 +626,11 @@ def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
                                columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lookup_ref)
-        nk = lut[batch.column("o_custkey").to_numpy()]
+        keys, vals = ray.get(lookup_ref)
+        # every order references an existing customer (FK integrity of
+        # the generator), so the searchsorted position is exact
+        nk = vals[np.searchsorted(keys, batch.column("o_custkey")
+                                  .to_numpy())]
         micro = micro_units(batch.column("o_totalprice").to_numpy())
         df = pd.DataFrame({"nationkey": nk, "micro": micro})
         g = df.groupby("nationkey", sort=False).agg(

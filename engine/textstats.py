@@ -177,11 +177,32 @@ def fingerprint_batch(batch: pa.Table, hash_fn: str = "sip") -> pa.Table:
     from engine.tokenize import HASH_FNS
     hasher = HASH_FNS[hash_fn]
     toks = tokenize_batch(batch.column("text").to_pylist())
-    fps = []
-    for ts in toks:
-        if not ts:
-            fps.append(0)
-            continue
-        h = hasher(np.asarray(ts, dtype=object))
-        fps.append(int(_rolling_hashes(h).min() & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                       count=len(toks))
+    fps = np.zeros(len(toks), dtype=np.int64)
+    flat = [t for ts in toks for t in ts]
+    if flat:
+        # ONE vectorized hash call for the whole batch, then all
+        # full-width windows of every doc scored together: window
+        # starts = per-doc offset + within-doc arange, min per doc via
+        # reduceat over the window-count runs.  Bit-identical to the
+        # per-doc loop (same uint64 arithmetic, same mask-after-min).
+        h_all = hasher(np.asarray(flat, dtype=object))
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        mask = np.uint64(0x7FFFFFFFFFFFFFFF)
+        w = _FP_WINDOW
+        big = np.flatnonzero(lens >= w)
+        if big.size:
+            n_win = lens[big] - w + 1
+            w0 = np.concatenate(([0], np.cumsum(n_win)))
+            within = np.arange(int(n_win.sum())) - np.repeat(w0[:-1], n_win)
+            starts = np.repeat(offs[big], n_win) + within
+            powers = _FP_BASE ** np.arange(w, dtype=np.uint64)
+            wh = (h_all[starts[:, None] + np.arange(w)]
+                  * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            fps[big] = (np.minimum.reduceat(wh, w0[:-1])
+                        & mask).astype(np.int64)
+        for i in np.flatnonzero((lens > 0) & (lens < w)):  # rare shorts
+            h = h_all[offs[i]:offs[i + 1]]
+            fps[i] = int(_rolling_hashes(h).min() & mask)
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
