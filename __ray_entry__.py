@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunks_semantic": d.q_chunks_semantic,           # rows-only
         # embedding actor pool + rerank + hybrid (A1-A5, RRF)
         "embed_knn": d.q_embed_knn,                       # md5-mode oracle
+        "late_chunk_knn": d.q_late_chunk_knn,             # md5-mode oracle
         "rerank_topk": d.q_rerank_topk,                   # md5-mode oracle
         "hybrid_rrf": d.q_hybrid_rrf,                     # md5-mode oracle
         # file-format dispatch: pdf/docx/txt extraction (S1/M4/M6)
@@ -319,6 +320,52 @@ def _embed_knn_sql() -> str:
                CAST(round(d / n2 * 1e6) AS BIGINT) AS cos_ppm
         FROM dot JOIN rn USING (doc_id)
         ORDER BY d / n2 DESC, dot.doc_id LIMIT 10"""
+
+
+def _late_chunk_knn_sql() -> str:
+    """Late-chunking kNN oracle: fixed 200-char chunks (the proven
+    chunks_fixed window spec), md5 hashing-trick vectors MEAN-pooled
+    per chunk (mean then L2-normalize — the exact op order of
+    engine/embed.py LateChunkingEmbedder, whose prefix sums are exact
+    integer arithmetic in float64), cosine vs the shared query vector,
+    top 10 by (cos desc, doc_id, chunk_id)."""
+    _, rows2 = _query_vec_values()
+    return f"""
+        WITH ch AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   substr(text, CAST(i * 200 + 1 AS INT), 200) AS chunk
+            FROM (SELECT doc_id, text,
+                         CAST(ceil(length(text) / 200.0) AS INT) AS k
+                  FROM documents WHERE length(text) > 0) n,
+                 unnest(range(k)) AS t(i)),
+        tok AS (SELECT doc_id, chunk_id, unnest(
+                    regexp_extract_all(lower(chunk), '[\\p{{L}}\\p{{N}}]+'))
+                    AS term
+                FROM ch),
+        ntk AS (SELECT doc_id, chunk_id, count(*) AS n
+                FROM tok GROUP BY 1, 2),
+        hb AS (SELECT doc_id, chunk_id,
+                      md5_number_lower(term) AS h FROM tok),
+        vb AS (SELECT doc_id, chunk_id, CAST(h % 64 AS INT) AS b,
+                      sum(CASE WHEN (h >> 63) & 1 = 1
+                          THEN -1 ELSE 1 END) AS v
+               FROM hb GROUP BY 1, 2, 3),
+        vm AS (SELECT vb.doc_id, vb.chunk_id, b,
+                      CAST(v AS DOUBLE) / n AS vmean
+               FROM vb JOIN ntk USING (doc_id, chunk_id)),
+        nrm AS (SELECT doc_id, chunk_id, sqrt(sum(vmean ** 2)) AS n1
+                FROM vm GROUP BY 1, 2),
+        e AS (SELECT vm.doc_id, vm.chunk_id, b, vmean / n1 AS ev
+              FROM vm JOIN nrm USING (doc_id, chunk_id) WHERE n1 > 0),
+        rn AS (SELECT doc_id, chunk_id, sqrt(sum(ev ** 2)) AS n2
+               FROM e GROUP BY 1, 2),
+        q(b, qv) AS (SELECT * FROM (VALUES {rows2})),
+        dot AS (SELECT e.doc_id, e.chunk_id, sum(ev * qv) AS d
+                FROM e JOIN q ON e.b = q.b GROUP BY 1, 2)
+        SELECT dot.doc_id, dot.chunk_id,
+               CAST(round(d / n2 * 1e6) AS BIGINT) AS cos_ppm
+        FROM dot JOIN rn USING (doc_id, chunk_id)
+        ORDER BY d / n2 DESC, dot.doc_id, dot.chunk_id LIMIT 10"""
 
 
 def _bm25_sc_cte(terms_sql: str, k1: float, b: float) -> str:
@@ -692,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": _simhash_candidates_sql(),
         "fingerprints": _fingerprint_sql(),
         "embed_knn": _embed_knn_sql(),
+        "late_chunk_knn": _late_chunk_knn_sql(),
         "rerank_topk": _rerank_sql(k1, b),
         "hybrid_rrf": _hybrid_rrf_sql(k1, b),
     }

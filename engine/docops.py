@@ -386,6 +386,46 @@ def q_embed_knn(sf_dir: str) -> pd.DataFrame:
                              dtype=np.int64)})
 
 
+def q_late_chunk_knn(sf_dir: str) -> pd.DataFrame:
+    """LATE chunking end-to-end (reference ``TextEmbedConfig::
+    late_chunking``): ONE full-document encoder pass per doc, chunk
+    embeddings mean-pooled from fixed 200-char token spans, then
+    text-query kNN over the CHUNK vectors -> (doc_id, chunk_id,
+    cos_ppm) top 10.  md5 hash mode + float64 storage = the
+    SQL-oracle-parity configuration (with the engine's linear encoders
+    the pooled chunk vector equals embedding the chunk alone, which is
+    what makes the DuckDB oracle expressible)."""
+    from engine.embed import HashingEmbedder, LateChunkingEmbedder
+    from engine.textstats import micro_units
+    emb = documents_ds(sf_dir).map_batches(
+        LateChunkingEmbedder,
+        fn_constructor_kwargs=dict(chunk_size=200, overlap=0,
+                                   strategy="fixed", dim=EMBED_DIM,
+                                   hash_fn="md5", out_dtype="float64"),
+        concurrency=2, batch_size=256, batch_format="pyarrow")
+
+    def cid(t: pa.Table) -> pa.Table:
+        # composite key doc_id * 2^20 + chunk_id: single int column for
+        # the generic knn merge; chunk counts are << 2^20
+        d = t.column("doc_id").to_numpy()
+        c = t.column("chunk_id").to_numpy()
+        return pa.table({"cid": pa.array(d * (1 << 20) + c, pa.int64()),
+                         "embedding": t.column("embedding")})
+
+    q = HashingEmbedder(dim=EMBED_DIM,
+                        hash_fn="md5").embed_texts([BM25_QUERY])[0]
+    out = sim_ops.knn_cosine(emb.map_batches(cid, batch_format="pyarrow"),
+                             q[None, :], [-1], k=10, id_col="cid",
+                             vec_col="embedding", round_dp=None)
+    cids = out["vec_id"].to_numpy().astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": pd.Series(cids >> 20, dtype=np.int64),
+        "chunk_id": pd.Series(cids & ((1 << 20) - 1), dtype=np.int64),
+        "cos_ppm": pd.Series(micro_units(out["cos"].to_numpy()),
+                             dtype=np.int64),
+    })
+
+
 def q_rerank_topk(sf_dir: str) -> pd.DataFrame:
     """BM25 top-20 candidates re-scored by the actor-shaped cross-scorer
     (reference reranker semantics: sigmoid score, desc sort, 1-based

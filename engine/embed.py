@@ -210,7 +210,7 @@ class LateChunkingEmbedder:
                  strategy: str = "sentence", dim: int = 64,
                  weights_path: str | None = None,
                  id_col: str = "doc_id", text_col: str = "text",
-                 hash_fn: str = "sip"):
+                 hash_fn: str = "sip", out_dtype: str = "float32"):
         from engine.chunk import SPLITTERS, split_fixed
         from engine.tokenize import HASH_FNS
         self.split = SPLITTERS.get(strategy, split_fixed)
@@ -228,6 +228,7 @@ class LateChunkingEmbedder:
             self.matrix = None
             self.dim = dim
         self.hasher = HASH_FNS[hash_fn]
+        self.out_dtype = out_dtype
 
     def _token_vectors(self, toks: list[str]) -> np.ndarray:
         """(T, dim) token-level embeddings from ONE full-document pass.
@@ -276,7 +277,9 @@ class LateChunkingEmbedder:
             "chunk_id": pa.array(out_cid, pa.int64()),
             "chunk": pa.array(out_chunk, pa.large_string()),
             "embedding": pa.FixedSizeListArray.from_arrays(
-                pa.array(vecs.ravel(), pa.float32()), self.dim),
+                pa.array(vecs.ravel(),
+                         pa.float64() if self.out_dtype == "float64"
+                         else pa.float32()), self.dim),
         })
 
 
