@@ -130,6 +130,15 @@ class ShardWorker:
         happen shard-side; only scored arrays move."""
         return {t: self.idx.score_term_range(t) for t in terms}
 
+    def search(self, query: str, k: int):
+        """Whole-query top-k on the shard (the single-shard routing
+        fast path): when every query term lives on this shard, the
+        exhaustive-daat accumulate runs HERE and only k rows cross the
+        network instead of the terms' full decoded postings.  daat =
+        the same decode order + float accumulation as the front's
+        scatter-gather, so results stay bit-identical."""
+        return self.idx.search(query, k=k, method="daat")
+
 
 class _Front:
     """Stateless routing + accumulation logic shared by the local front
@@ -145,6 +154,7 @@ class _Front:
         self.shards = shards
         self.n_ranges = len(shards[0]) if shards else 1
         self._rr = 0
+        self._k_hint = 10
 
     def _terms_of(self, query: str) -> list[str]:
         seen, out = set(), []
@@ -169,6 +179,13 @@ class _Front:
         for t in terms:
             by_shard.setdefault(self._shard_of(t), []).append(t)
         self._rr += 1
+        if len(by_shard) == 1 and self.n_ranges == 1:
+            # single-shard fast path: ship the query, get k rows back
+            # (O(k) network instead of the terms' decoded postings)
+            (si, _ts), = by_shard.items()
+            replicas = self.shards[si][0]
+            return "local", (replicas[self._rr % len(replicas)]
+                             .search.remote(query, self._k_hint))
         futs = {}
         for si, ts in by_shard.items():
             for ri in range(self.n_ranges):
@@ -181,6 +198,8 @@ class _Front:
         if plan is None:
             return []
         terms, futs = plan
+        if terms == "local":               # single-shard fast path
+            return ray.get(futs)
         # fragments per term in ascending doc-range order — concatenated
         # they equal the full docID-sorted decode, so float accumulation
         # is bit-identical to the local engine's daat path
@@ -213,6 +232,7 @@ class _Front:
     def search(self, query: str, k: int = 10):
         if k <= 0:
             return []
+        self._k_hint = k
         return self._gather(self._scatter(query), k)
 
     def search_many(self, queries: list[str], k: int = 10):
@@ -221,6 +241,7 @@ class _Front:
         overlaps the front's accumulate for query i."""
         if k <= 0:
             return [[] for _ in queries]
+        self._k_hint = k
         plans = [self._scatter(q) for q in queries]
         return [self._gather(p, k) for p in plans]
 

@@ -110,6 +110,11 @@ def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
             assert svc.search(q, k=10) == w, q
         # front-pool batch path preserves input order + exact results
         assert svc.search_many(queries, k=10) == want
+        # single-term queries route whole to one shard (the O(k)-network
+        # fast path) and must stay bit-identical to local daat
+        for q in ("hash", "join", "table"):
+            assert svc.search(q, k=10) == local.search(q, k=10,
+                                                       method="daat"), q
         assert svc.search("", 10) == []
         assert svc.search("zzz_unseen_term", 10) == []
         assert svc.search("hash", 0) == []
