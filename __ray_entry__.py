@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chunking (M2/M3 + A7 semantic)
         "chunks_fixed": d.q_chunks_fixed,
         "chunks_markdown": d.q_chunks_markdown,           # rows-only
+        "chunks_sentence": d.q_chunks_sentence,           # rows-only
         "chunks_semantic": d.q_chunks_semantic,           # rows-only
         # embedding actor pool + rerank + hybrid (A1-A5, RRF)
         "embed_knn": d.q_embed_knn,                       # md5-mode oracle

@@ -304,6 +304,17 @@ def q_chunks_fixed(sf_dir: str):
                            mode="fixed")
 
 
+def q_chunks_sentence(sf_dir: str):
+    """Sentence splitting-strategy chunker (reference config.rs:52-59
+    ``SplittingStrategy::Sentence``): split on sentence boundaries,
+    greedy-pack to the char budget.  Rows-only driver check (greedy
+    packing has the same sequential dependency PROVEN SQL-infeasible
+    for the markdown chunker); pytest covers lossless/budget props."""
+    from engine.chunk import chunk_documents
+    return chunk_documents(documents_ds(sf_dir), chunk_size=200,
+                           mode="sentence")
+
+
 def q_chunks_markdown(sf_dir: str):
     """Structure-aware greedy chunker (pinned reference-shaped spec);
     rows-only driver check, pytest-verified lossless/budget properties."""
