@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding actor pool + rerank + hybrid (A1-A5, RRF)
         "embed_knn": d.q_embed_knn,                       # md5-mode oracle
         "late_chunk_knn": d.q_late_chunk_knn,             # md5-mode oracle
+        "maxsim_topk": d.q_maxsim_topk,                   # md5-mode oracle
         "rerank_topk": d.q_rerank_topk,                   # md5-mode oracle
         "hybrid_rrf": d.q_hybrid_rrf,                     # md5-mode oracle
         # file-format dispatch: pdf/docx/txt extraction (S1/M4/M6)
@@ -367,6 +368,47 @@ def _late_chunk_knn_sql() -> str:
                CAST(round(d / n2 * 1e6) AS BIGINT) AS cos_ppm
         FROM dot JOIN rn USING (doc_id, chunk_id)
         ORDER BY d / n2 DESC, dot.doc_id, dot.chunk_id LIMIT 10"""
+
+
+def _maxsim_sql() -> str:
+    """MaxSim late-interaction oracle.  Token vectors come from the
+    PURE-FORMULA matrix (engine/embed.py _formula_token_matrix): cell
+    (b, j) = md5_number_lower('mv{b}_{j}') scaled into [-0.5, 0.5) —
+    exact power-of-two scaling, so numpy and DuckDB produce the
+    bit-identical double — rows L2-normalized.  The per-(bucket, pos)
+    dot table keeps the join tiny: <= 1024 x q_len rows of 64-term
+    sums, then max per (doc, pos) and sum per doc."""
+    return f"""
+        WITH qt(pos, term) AS (VALUES (0, 'hash'), (1, 'join'),
+                                      (2, 'table')),
+        qb AS (SELECT pos,
+                      CAST(md5_number_lower(term) % 1024 AS INT) AS b
+               FROM qt),
+        dtok AS (SELECT DISTINCT doc_id, unnest({_TOK}) AS term
+                 FROM documents),
+        db AS (SELECT DISTINCT doc_id,
+                      CAST(md5_number_lower(term) % 1024 AS INT) AS b
+               FROM dtok),
+        bt AS (SELECT DISTINCT b FROM db
+               UNION SELECT DISTINCT b FROM qb),
+        mat AS (SELECT b, CAST(i AS INT) AS j,
+                       CAST(md5_number_lower('mv' || b || '_' || i)
+                            AS DOUBLE) / 18446744073709551616.0 - 0.5
+                           AS mv
+                FROM bt, unnest(range(64)) AS t(i)),
+        nm AS (SELECT b, sqrt(sum(mv * mv)) AS n FROM mat GROUP BY b),
+        v AS (SELECT mat.b, j, mv / n AS vv
+              FROM mat JOIN nm USING (b)),
+        bd AS (SELECT qb.pos, vd.b AS db_b, sum(vd.vv * vq.vv) AS dp
+               FROM qb JOIN v vq ON vq.b = qb.b
+                    JOIN v vd ON vd.j = vq.j
+               GROUP BY 1, 2),
+        mx AS (SELECT db.doc_id, bd.pos, max(bd.dp) AS m
+               FROM db JOIN bd ON bd.db_b = db.b
+               GROUP BY 1, 2),
+        sc AS (SELECT doc_id, sum(m) AS score FROM mx GROUP BY 1)
+        SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_ppm
+        FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 10"""
 
 
 def _bm25_sc_cte(terms_sql: str, k1: float, b: float) -> str:
@@ -741,6 +783,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _fingerprint_sql(),
         "embed_knn": _embed_knn_sql(),
         "late_chunk_knn": _late_chunk_knn_sql(),
+        "maxsim_topk": _maxsim_sql(),
         "rerank_topk": _rerank_sql(k1, b),
         "hybrid_rrf": _hybrid_rrf_sql(k1, b),
     }

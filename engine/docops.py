@@ -437,6 +437,31 @@ def q_late_chunk_knn(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_maxsim_topk(sf_dir: str) -> pd.DataFrame:
+    """Late-interaction (ColBERT-family MultiVector) retrieval: score =
+    sum over query token positions of max over doc tokens of
+    cos(q_tok, d_tok), formula token matrix in md5 mode -> (doc_id,
+    score_ppm) top 10 — full DuckDB oracle."""
+    from engine.embed import maxsim_topk
+    from engine.textstats import micro_units
+    # score EVERY doc, round to integer ppm, THEN cut: the query terms
+    # tie dozens of docs at the exact same score, and a float cut
+    # diverges from the oracle on cross-system ulps — the established
+    # all-integer-before-selection discipline (k is the operator's
+    # scale knob; the parity entry runs the slow-by-design exhaustive
+    # configuration like the other md5-mode oracles)
+    hits = maxsim_topk(documents_ds(sf_dir), BM25_QUERY, k=1 << 30,
+                       hash_fn="md5")
+    df = pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score_ppm": pd.Series(
+            micro_units(np.array([s for _, s in hits])), dtype=np.int64),
+    })
+    return (df.sort_values(["score_ppm", "doc_id"],
+                           ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
 def q_rerank_topk(sf_dir: str) -> pd.DataFrame:
     """BM25 top-20 candidates re-scored by the actor-shaped cross-scorer
     (reference reranker semantics: sigmoid score, desc sort, 1-based

@@ -358,3 +358,161 @@ def rrf_fuse(rankings: list[list[int]], k: int = 10,
     vals = np.fromiter(scores.values(), dtype=np.float64, count=len(scores))
     order = np.lexsort((ids, -vals))[:k]
     return [(int(ids[i]), float(vals[i])) for i in order]
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector (late-interaction) embedding + MaxSim retrieval
+# (reference ColBERT/ColPali family: EmbeddingResult::MultiVector,
+#  /root/reference/rust/src/embeddings/embed/types.rs:6-9, scorers in
+#  rust/src/embeddings/local/colbert.rs)
+# ---------------------------------------------------------------------------
+
+def _formula_token_matrix(n_buckets: int, dim: int,
+                          hash_fn: str = "md5") -> np.ndarray:
+    """(n_buckets, dim) float64 token-vector table from a PURE HASH
+    FORMULA — every cell is hash("mv{b}_{j}") scaled to [-0.5, 0.5),
+    rows L2-normalized.  md5 mode makes every cell reproducible in
+    DuckDB (`md5_number_lower` + exact power-of-two scaling), which is
+    what lets MaxSim retrieval have a full SQL oracle; a trained matrix
+    (.npz) drops in via MultiVectorEmbedder(weights_path=...)."""
+    from engine.tokenize import HASH_FNS
+    hasher = HASH_FNS[hash_fn]
+    keys = np.array([f"mv{b}_{j}" for b in range(n_buckets)
+                     for j in range(dim)], dtype=object)
+    vals = hasher(keys).astype(np.float64) / float(1 << 64) - 0.5
+    mat = vals.reshape(n_buckets, dim)
+    norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+class MultiVectorEmbedder:
+    """Actor-pool stage emitting MULTI-vector rows: one L2-normalized
+    vector per DISTINCT document token (the ColBERT document-side
+    representation; identical tokens contribute one vector because
+    MaxSim's max over duplicates equals the max over distincts).
+
+    Output: (doc_id, n_tokens, tok_vecs list<fixed_size_list<f64,dim>>).
+    Storage note, stated honestly: multi-vector indexes are O(distinct
+    tokens x dim) per doc — 2 orders beyond a pooled vector; at corpus
+    scale they live behind the same IndexSink/parquet layout with doc-id
+    partitioning, and retrieval fuses embed+score per batch
+    (maxsim_topk) precisely so the representation never materializes
+    across stages.
+    """
+
+    def __init__(self, dim: int = 64, n_buckets: int = 1024,
+                 hash_fn: str = "sip", weights_path: str | None = None,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        if weights_path is not None:
+            wz = np.load(weights_path)
+            mat = np.ascontiguousarray(wz["embedding"], dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            norms[norms == 0.0] = 1.0
+            self.matrix = mat / norms
+        else:
+            self.matrix = _formula_token_matrix(n_buckets, dim, hash_fn)
+        self.n_buckets = np.uint64(self.matrix.shape[0])
+        self.dim = int(self.matrix.shape[1])
+        from engine.tokenize import HASH_FNS
+        self.hasher = HASH_FNS[hash_fn]
+        self.id_col, self.text_col = id_col, text_col
+
+    def vecs_for_terms(self, terms: list[str]) -> np.ndarray:
+        """(len(terms), dim) rows — also the query-side encoder."""
+        if not terms:
+            return np.empty((0, self.dim))
+        h = self.hasher(np.asarray(terms, dtype=object))
+        return self.matrix[(h % self.n_buckets).astype(np.int64)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.tokenize import tokenize_batch
+        ids = batch.column(self.id_col).to_numpy()
+        tok_lists = tokenize_batch(batch.column(self.text_col).to_pylist())
+        out_id, out_n, mats = [], [], []
+        for did, ts in zip(ids, tok_lists):
+            terms = sorted(set(ts))
+            if not terms:
+                continue
+            out_id.append(int(did))
+            out_n.append(len(terms))
+            mats.append(self.vecs_for_terms(terms))
+        flat = (np.vstack(mats) if mats else np.empty((0, self.dim)))
+        inner = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.ravel(), pa.float64()), self.dim)
+        offsets = pa.array(np.concatenate(
+            ([0], np.cumsum(out_n))).astype(np.int32))
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "tok_vecs": pa.ListArray.from_arrays(offsets, inner),
+        })
+
+
+def maxsim_topk(
+    docs: "ray.data.Dataset",
+    query: str,
+    k: int = 10,
+    n_buckets: int = 1024,
+    dim: int = 64,
+    hash_fn: str = "sip",
+    weights_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[int, float]]:
+    """Late-interaction retrieval: score(q, d) = sum over query token
+    positions of max over doc tokens of cos(q_tok, d_tok) (the ColBERT
+    MaxSim operator) -> top-k (doc_id, score), score desc / doc_id asc.
+
+    Scale shape: embed + score are FUSED in one map_batches (the per-doc
+    multi-vector never crosses a stage boundary); per batch the scoring
+    is one (q_len x total_tokens) mult-sum + a maximum.reduceat over doc
+    runs; only k rows (with boundary ties) per batch reach the merge.
+    """
+    from engine.similarity import _topk_with_ties
+    from engine.tokenize import tokenize
+
+    q_terms = tokenize(query)
+    if not q_terms or k <= 0:
+        return []
+    kw = dict(dim=dim, n_buckets=n_buckets, hash_fn=hash_fn,
+              weights_path=weights_path, id_col=id_col, text_col=text_col)
+
+    class _Scorer(MultiVectorEmbedder):
+        def __init__(self):
+            super().__init__(**kw)
+            self.q = self.vecs_for_terms(q_terms)   # (q_len, dim)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from engine.tokenize import tokenize_batch
+            ids = batch.column(self.id_col).to_numpy()
+            tok_lists = tokenize_batch(
+                batch.column(self.text_col).to_pylist())
+            out_id, out_n, mats = [], [], []
+            for did, ts in zip(ids, tok_lists):
+                terms = sorted(set(ts))
+                if terms:
+                    out_id.append(int(did))
+                    out_n.append(len(terms))
+                    mats.append(self.vecs_for_terms(terms))
+            if not out_id:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            flat = np.vstack(mats)                       # (T, dim)
+            # sequential per-row sums (match the oracle's sum shape)
+            sims = np.stack([(flat * qv).sum(axis=1) for qv in self.q])
+            starts = np.concatenate(([0], np.cumsum(out_n)[:-1]))
+            mx = np.maximum.reduceat(sims, starts, axis=1)  # (q, docs)
+            scores = mx.sum(axis=0)
+            part = _topk_with_ties(scores, min(k, scores.size))
+            return pa.table({
+                "doc_id": pa.array(np.asarray(out_id)[part], pa.int64()),
+                "score": pa.array(scores[part], pa.float64()),
+            })
+
+    cand = docs.map_batches(_Scorer, batch_format="pyarrow",
+                            batch_size=256, concurrency=2).to_pandas()
+    cand = cand.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return [(int(d), float(s))
+            for d, s in zip(cand["doc_id"], cand["score"])]

@@ -238,3 +238,75 @@ def test_late_chunking_linear_equivalence(ray_session):
     assert a["chunk"].tolist() == b["chunk"].tolist()
     assert np.allclose(np.array(a["embedding"].tolist()),
                        np.array(b["embedding"].tolist()), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# multi-vector (late-interaction) embedding + MaxSim
+# ---------------------------------------------------------------------------
+
+def _mv_corpus():
+    import pandas as pd
+    return pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["hash join table", "hash join", "sort merge join",
+                 "b tree index scan", "hash table probe",
+                 "completely unrelated words here"]})
+
+
+def test_multivector_rows_and_maxsim(ray_session):
+    import ray.data
+    from engine.embed import MultiVectorEmbedder, maxsim_topk
+    df = _mv_corpus()
+    ds = ray.data.from_pandas(df)
+    mv = (ds.map_batches(MultiVectorEmbedder, concurrency=2,
+                         fn_constructor_kwargs={"hash_fn": "md5"},
+                         batch_format="pyarrow")
+          .to_pandas().sort_values("doc_id"))
+    # one row per doc, n_tokens = distinct tokens, vectors L2-normalized
+    assert list(mv["doc_id"]) == list(df["doc_id"])
+    assert list(mv["n_tokens"]) == [3, 2, 3, 4, 3, 4]
+    v0 = np.array(mv["tok_vecs"].iloc[0].tolist())
+    assert v0.shape == (3, 64)
+    assert np.allclose(np.linalg.norm(v0, axis=1), 1.0)
+
+    hits = maxsim_topk(ds, "hash join table", k=3, hash_fn="md5")
+    # exact-match doc scores q_len * cos(1.0) = 3.0 and ranks first
+    assert hits[0][0] == 0
+    assert abs(hits[0][1] - 3.0) < 1e-9
+    # subset queries: every doc containing all query terms ties at top
+    hits2 = maxsim_topk(ds, "hash join", k=2, hash_fn="md5")
+    assert [d for d, _ in hits2] == [0, 1]
+
+
+def test_maxsim_parallelism_invariant(ray_session):
+    import ray.data
+    from engine.embed import maxsim_topk
+    df = _mv_corpus()
+    a = maxsim_topk(ray.data.from_pandas(df), "hash table", k=4)
+    b = maxsim_topk(ray.data.from_pandas(df).repartition(5),
+                    "hash table", k=4)
+    assert a == b
+
+
+def test_maxsim_empty_and_degenerate(ray_session):
+    import ray.data
+    from engine.embed import maxsim_topk
+    df = _mv_corpus()
+    ds = ray.data.from_pandas(df)
+    assert maxsim_topk(ds, "", k=5) == []
+    assert maxsim_topk(ds, "hash", k=0) == []
+    assert maxsim_topk(ds, "...", k=5) == []
+
+
+def test_multivector_trained_weights(ray_session):
+    """weights_path mode: rows come from the trained PPMI+SVD matrix
+    (normalized), not the formula table."""
+    import os
+    import ray.data
+    from engine.embed import MultiVectorEmbedder
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "engine", "data", "word_vectors.npz")
+    mv = MultiVectorEmbedder(weights_path=path)
+    v = mv.vecs_for_terms(["hash", "join"])
+    assert v.shape == (2, 64)
+    assert np.allclose(np.linalg.norm(v, axis=1), 1.0)
