@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn": d.q_embed_knn,                       # md5-mode oracle
         "late_chunk_knn": d.q_late_chunk_knn,             # md5-mode oracle
         "maxsim_topk": d.q_maxsim_topk,                   # md5-mode oracle
+        "stratified_sample": d.q_stratified_sample,       # md5-mode oracle
         "rerank_topk": d.q_rerank_topk,                   # md5-mode oracle
         "hybrid_rrf": d.q_hybrid_rrf,                     # md5-mode oracle
         # file-format dispatch: pdf/docx/txt extraction (S1/M4/M6)
@@ -409,6 +410,22 @@ def _maxsim_sql() -> str:
         sc AS (SELECT doc_id, sum(m) AS score FROM mx GROUP BY 1)
         SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_ppm
         FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 10"""
+
+
+def _stratified_sample_sql() -> str:
+    """Hash-Bernoulli stratified sample: keep iff
+    md5_number_lower(doc_id || '_s7') < per-lang integer threshold
+    (int(fraction * 2^64), computed identically engine-side —
+    engine/sampling.py)."""
+    return """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '_s7')
+                   AS HUGEINT) <
+              CAST(CASE lang
+                   WHEN 'en' THEN '14757395258967642112'
+                   WHEN 'de' THEN '7378697629483821056'
+                   WHEN 'es' THEN '3689348814741910528'
+                   ELSE '1844674407370955264' END AS HUGEINT)"""
 
 
 def _bm25_sc_cte(terms_sql: str, k1: float, b: float) -> str:
@@ -784,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_knn": _embed_knn_sql(),
         "late_chunk_knn": _late_chunk_knn_sql(),
         "maxsim_topk": _maxsim_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "rerank_topk": _rerank_sql(k1, b),
         "hybrid_rrf": _hybrid_rrf_sql(k1, b),
     }

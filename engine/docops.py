@@ -437,6 +437,19 @@ def q_late_chunk_knn(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_stratified_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic stratified (per-language) sampling — the
+    data-MIXING primitive of training-corpus curation: keep 80% en /
+    40% de / 20% es / 10% other, decided by a pure hash of
+    (doc_id, seed), identical at any parallelism and across retries.
+    md5 mode -> exact DuckDB oracle (integer threshold compare)."""
+    from engine.sampling import stratified_sample
+    return stratified_sample(
+        documents_ds(sf_dir, columns=("doc_id", "lang")),
+        fractions={"en": 0.8, "de": 0.4, "es": 0.2}, strata_col="lang",
+        seed=7, hash_fn="md5", default_fraction=0.1)
+
+
 def q_maxsim_topk(sf_dir: str) -> pd.DataFrame:
     """Late-interaction (ColBERT-family MultiVector) retrieval: score =
     sum over query token positions of max over doc tokens of
