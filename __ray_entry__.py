@@ -44,6 +44,11 @@ def entry() -> Any:
     return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
 
 
+def _joins():
+    from engine import joins
+    return joins
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine import docops as d
     return {
@@ -98,6 +103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": d.q_events_hourly,
         "events_sliding": d.q_events_sliding,
         "events_sessions": d.q_events_sessions,
+        # temporal joins (as-of + range) over the events stream
+        "asof_profile": _joins().q_asof_profile,
+        "range_join_windows": _joins().q_range_join_windows,
+        # phrase stats + exact histogram quantiles
+        "bigram_cf_top100": d.q_bigram_cf_top100,
+        "doclen_quantiles": d.q_doclen_quantiles,
         # relational wide-step patterns (pre-agg combiner, broadcast join)
         "lineitem_pricing": d.q_lineitem_pricing,
         "orders_by_nation": d.q_orders_by_nation,
@@ -728,6 +739,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
                        AS sum_value_micro
             FROM s GROUP BY user_id, session_id""",
+
+        # as-of join: every event gets the latest profile snapshot
+        # (events with event_id % 10 == 0, deduped to max id per
+        # (user, ts)) of the same user at-or-before its ts
+        "asof_profile": """
+            WITH snap AS (
+              SELECT user_id, ts, max(event_id) AS snap_event_id
+              FROM events WHERE event_id % 10 = 0
+              GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+                   CAST(COALESCE(s.snap_event_id, -1) AS BIGINT)
+                       AS snap_event_id
+            FROM events e ASOF LEFT JOIN snap s
+              ON e.user_id = s.user_id AND e.ts >= s.ts
+            ORDER BY e.event_id""",
+
+        # range join: per 2h interval anchored at every 97th event,
+        # LEFT-aggregate the events with start <= ts < end
+        "range_join_windows": """
+            WITH win AS (
+              SELECT event_id AS interval_id, ts AS start_ts,
+                     ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_id % 97 = 0)
+            SELECT w.interval_id,
+                   CAST(count(e.event_id) AS BIGINT) AS n_events,
+                   CAST(COALESCE(sum(CAST(round(e.value * 1e6) AS BIGINT)),
+                                 0) AS BIGINT) AS sum_value_micro
+            FROM win w LEFT JOIN events e
+              ON e.ts >= w.start_ts AND e.ts < w.end_ts
+            GROUP BY w.interval_id ORDER BY w.interval_id""",
+
+        "bigram_cf_top100": f"""
+            WITH t AS (SELECT {_TOK} AS toks FROM documents),
+            b AS (SELECT toks[g] || ' ' || toks[g+1] AS bigram
+                  FROM t CROSS JOIN unnest(range(1, len(toks))) AS r(g))
+            SELECT bigram, count(*) AS cf FROM b
+            GROUP BY bigram ORDER BY cf DESC, bigram LIMIT 100""",
+
+        "doclen_quantiles": f"""
+            WITH d AS (SELECT len({_TOK}) AS dl FROM documents),
+            ql AS (SELECT quantile_disc(dl, [0.25, 0.5, 0.75, 0.9, 0.99])
+                       AS qa FROM d)
+            SELECT unnest([250000, 500000, 750000, 900000, 990000])
+                       AS q_ppm,
+                   CAST(unnest(qa) AS BIGINT) AS doclen
+            FROM ql ORDER BY q_ppm""",
 
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

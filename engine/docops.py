@@ -104,6 +104,72 @@ def q_term_df_top100(sf_dir: str) -> pd.DataFrame:
         Count(alias_name="df")), "df")
 
 
+def q_bigram_cf_top100(sf_dir: str) -> pd.DataFrame:
+    """Top-100 bigram collection frequencies (phrase statistics for the
+    indexing path — the unigram stats' natural extension).  Same shape
+    as term_cf_top100: per-batch partial counts (the combiner), hash
+    groupby on the bigram, exact per-block top-k prune."""
+    from engine.tokenize import tokenize_batch
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = tokenize_batch(batch.column("text").to_pylist())
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t]
+        ) if lens.sum() else np.empty(0, dtype=object)
+        # drop each doc's last token position: bigrams never cross docs
+        mask = np.ones(flat.size, dtype=bool)
+        ends = np.cumsum(lens[lens > 0])
+        if ends.size:
+            mask[ends - 1] = False
+        pos = np.flatnonzero(mask)
+        big = pd.Series(flat[pos]).str.cat(pd.Series(flat[pos + 1]),
+                                           sep=" ")
+        part = big.value_counts()
+        return pa.table({
+            "term": pa.array(part.index.to_numpy(dtype=object),
+                             pa.string()),
+            "cf": pa.array(part.to_numpy().astype(np.int64)),
+        })
+
+    out = _topk_by(documents_ds(sf_dir).map_batches(
+        f, batch_format="pyarrow").groupby("term").aggregate(
+        Sum("cf", alias_name="cf")), "cf")
+    return out.rename(columns={"term": "bigram"})
+
+
+QUANTILE_PPM = (250000, 500000, 750000, 900000, 990000)
+
+
+def q_doclen_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles of the doclen distribution via a value
+    histogram: doclen is small-integer-valued, so groupby(doclen).count()
+    is tiny (distinct values, not docs) and the driver-side cumsum +
+    rank lookup is exact — no sampling, no full sort, no t-digest
+    approximation.  Rank rule ceil(n*q), 1-based, verified empirically
+    == DuckDB quantile_disc for these q at realistic n (including its
+    float products)."""
+    import math
+
+    def part(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t.column("doclen").to_numpy(), return_counts=True)
+        return pa.table({"doclen": pa.array(v.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist = (q_doclen(sf_dir).map_batches(part, batch_format="pyarrow")
+            .groupby("doclen").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("doclen"))
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1])
+    vals = hist["doclen"].to_numpy()
+    out = []
+    for ppm in QUANTILE_PPM:
+        rank = math.ceil(n * (ppm / 1e6))
+        out.append((ppm, int(vals[np.searchsorted(cum, rank, "left")])))
+    return pd.DataFrame(out, columns=["q_ppm", "doclen"]).astype(np.int64)
+
+
 def q_term_cf_top100(sf_dir: str) -> pd.DataFrame:
     return _topk_by(_exploded_tf(sf_dir).groupby("term").aggregate(
         Sum("tf", alias_name="cf")), "cf")
