@@ -81,10 +81,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": d.q_quality,
         "token_counts": d.q_token_counts,
         "fingerprints": d.q_fingerprints,                 # md5-mode oracle
+        # training-data filtering (Gopher/CCNet/decontamination)
+        "gopher_quality": d.q_gopher_quality,
+        "lm_perplexity": d.q_lm_perplexity,
+        "decontaminate": d.q_decontaminate,
         # chunking (M2/M3 + A7 semantic)
         "chunks_fixed": d.q_chunks_fixed,
         "chunks_markdown": d.q_chunks_markdown,           # rows-only
-        "chunks_sentence": d.q_chunks_sentence,           # rows-only
+        "chunks_sentence": d.q_chunks_sentence,           # recursive-CTE oracle
         "chunks_semantic": d.q_chunks_semantic,           # rows-only
         # embedding actor pool + rerank + hybrid (A1-A5, RRF)
         "embed_knn": d.q_embed_knn,                       # md5-mode oracle
@@ -505,6 +509,154 @@ def _hybrid_rrf_sql(k1: float, b: float) -> str:
         FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""
 
 
+def _lead_gram(n: int) -> str:
+    """SQL expr: the ' '-joined n-gram starting at this token position
+    (NULL past the end — tokens never contain spaces, so the join is
+    injective and string counts equal the engine's code-chain counts)."""
+    parts = ["term"] + [f"lead(term, {k}) OVER w" for k in range(1, n)]
+    return " || ' ' || ".join(parts)
+
+
+def _gopher_sql() -> str:
+    """Per-doc Gopher repetition metrics — all-integer counts; the
+    engine computes identical equivalence classes via chained
+    factorize codes (engine/filtering.py)."""
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS i
+                FROM t),
+        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+                 FROM t),
+        nd AS (SELECT doc_id, count(DISTINCT term) AS n_distinct,
+                      CAST(sum(length(term)) AS BIGINT) AS ttc
+               FROM tok GROUP BY 1),
+        t1 AS (SELECT doc_id, max(c) AS v FROM (
+                 SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2)
+               GROUP BY 1),
+        g2 AS (SELECT doc_id, {_lead_gram(2)} AS g FROM tok
+               WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        t2 AS (SELECT doc_id, max(c) AS v FROM (
+                 SELECT doc_id, g, count(*) AS c FROM g2
+                 WHERE g IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+        g3 AS (SELECT doc_id, {_lead_gram(3)} AS g FROM tok
+               WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        t3 AS (SELECT doc_id, max(c) AS v FROM (
+                 SELECT doc_id, g, count(*) AS c FROM g3
+                 WHERE g IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+        g5 AS (SELECT doc_id, {_lead_gram(5)} AS g FROM tok
+               WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        d5 AS (SELECT doc_id,
+                      sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS v
+               FROM (SELECT doc_id, g, count(*) AS c FROM g5
+                     WHERE g IS NOT NULL GROUP BY 1, 2) GROUP BY 1)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(nd.n_distinct, 0) AS n_distinct,
+               coalesce(t1.v, 0) AS top1_count,
+               coalesce(t2.v, 0) AS top2_count,
+               coalesce(t3.v, 0) AS top3_count,
+               CAST(coalesce(d5.v, 0) AS BIGINT) AS dup5_positions,
+               coalesce(nd.ttc, 0) AS total_token_chars
+        FROM base b
+        LEFT JOIN nd USING (doc_id) LEFT JOIN t1 USING (doc_id)
+        LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        LEFT JOIN d5 USING (doc_id)"""
+
+
+def _lm_perplexity_sql() -> str:
+    """Corpus-trained unigram LM: per-token integer micro-bits
+    ``round((log2(T) - log2(cf)) * 1e6)`` summed per doc — the exact
+    integer arithmetic of engine/filtering.py LMScorer (micro_units is
+    half-away-from-zero, matching DuckDB round); OOV (beyond the top-V
+    vocabulary cap) scores at the cf=1 floor on both sides."""
+    from engine.filtering import LM_TOP_V
+    return f"""
+        WITH t AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+        tot AS (SELECT count(*) AS T FROM t),
+        cf AS (SELECT term, count(*) AS c FROM t GROUP BY 1
+               ORDER BY c DESC, term LIMIT {LM_TOP_V}),
+        dt AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        sc AS (SELECT doc_id, tf,
+                      CAST(round((log2(CAST(T AS DOUBLE))
+                                  - log2(CAST(coalesce(c, 1) AS DOUBLE)))
+                                 * 1e6) AS BIGINT) AS b
+               FROM dt LEFT JOIN cf USING (term) CROSS JOIN tot)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(b * tf) AS BIGINT) AS bits_micro
+        FROM sc GROUP BY 1"""
+
+
+def _decontaminate_sql() -> str:
+    """Benchmark 5-gram overlap (benchmark split = doc_id % 97 == 0);
+    the engine broadcasts the distinct benchmark grams and probes each
+    corpus batch with one vectorized membership test."""
+    from engine.docops import DECONTAM_BENCH_MOD as MOD
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS i
+                FROM t),
+        g5 AS (SELECT doc_id, {_lead_gram(5)} AS g FROM tok
+               WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        gg AS (SELECT doc_id, g FROM g5 WHERE g IS NOT NULL),
+        bench AS (SELECT DISTINCT g FROM gg WHERE doc_id % {MOD} = 0)
+        SELECT gg.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlap
+        FROM gg LEFT JOIN bench USING (g)
+        WHERE gg.doc_id % {MOD} <> 0 GROUP BY 1"""
+
+
+def _chunks_sentence_sql(budget: int = 200) -> str:
+    """Recursive-CTE replay of the word-level greedy packer for docs
+    inside the SQL guard (engine/chunk.py sentence_sql_guard): unit
+    lengths (word + trailing space, last word bare) cumulate to char
+    offsets; each chunk ends at the LAST unit offset within the budget
+    of its start (lead() exposes the 'next unit would overflow' test),
+    and the recursive step jumps start -> end.  substr over the offset
+    pairs reconstructs the exact chunk strings (the packer is lossless,
+    separators attached left)."""
+    big = 1 << 62
+    return f"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, text, string_split(text, ' ') AS parts
+              FROM documents
+              WHERE length(text) > 0 AND text NOT LIKE '%. %'),
+        u AS (SELECT doc_id, i,
+                     length(parts[CAST(i + 1 AS INT)])
+                       + CASE WHEN i + 1 < len(parts) THEN 1 ELSE 0 END
+                       AS ulen
+              FROM d, unnest(range(len(parts))) AS t(i)),
+        ok AS (SELECT doc_id FROM u GROUP BY doc_id
+               HAVING max(ulen) <= {budget}),
+        c AS (SELECT u.doc_id, i,
+                     sum(ulen) OVER (PARTITION BY u.doc_id ORDER BY i)
+                       AS e
+              FROM u JOIN ok USING (doc_id)),
+        c2 AS (SELECT doc_id, e,
+                      lead(e, 1, {big}) OVER (PARTITION BY doc_id
+                                              ORDER BY i) AS nx
+               FROM c),
+        tl AS (SELECT doc_id, max(e) AS tlen FROM c GROUP BY 1),
+        walk AS (
+            SELECT c2.doc_id, CAST(0 AS BIGINT) AS chunk_id,
+                   CAST(0 AS BIGINT) AS s, e
+            FROM c2 WHERE e <= {budget} AND nx > {budget}
+            UNION ALL
+            SELECT c2.doc_id, w.chunk_id + 1, w.e, c2.e
+            FROM walk w
+            JOIN tl ON tl.doc_id = w.doc_id AND w.e < tl.tlen
+            JOIN c2 ON c2.doc_id = w.doc_id
+                   AND c2.e - w.e <= {budget}
+                   AND c2.nx - w.e > {budget}
+                   AND c2.e > w.e)
+        SELECT w.doc_id, chunk_id,
+               substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT))
+                   AS chunk,
+               CAST(e - s AS BIGINT) AS n_chars
+        FROM walk w JOIN d USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     k1, b = 1.2, 0.75
     return {
@@ -856,6 +1008,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "simhash_candidates": _simhash_candidates_sql(),
         "fingerprints": _fingerprint_sql(),
+        "gopher_quality": _gopher_sql(),
+        "lm_perplexity": _lm_perplexity_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "chunks_sentence": _chunks_sentence_sql(200),
         "embed_knn": _embed_knn_sql(),
         "late_chunk_knn": _late_chunk_knn_sql(),
         "maxsim_topk": _maxsim_sql(),

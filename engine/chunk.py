@@ -135,6 +135,29 @@ def split_sentence(text: str, chunk_size: int = 1000,
 SPLITTERS = {"markdown": split_markdown, "sentence": split_sentence}
 
 
+def sentence_sql_guard(chunk_size: int = 1000):
+    """map_batches pre-filter keeping exactly the docs whose sentence
+    chunking is reproducible by the DuckDB recursive-CTE oracle: no
+    ". " boundary (so the packer runs at the word level) and every
+    word unit within the budget (so the char-fallback never fires).
+    The greedy walk over word units is then a pure boundary-jump
+    process the oracle replays with a recursive CTE; docs outside the
+    guard (sentence-level packing, oversize units) stay covered by the
+    pytest lossless/budget properties instead."""
+    def f(batch: pa.Table) -> pa.Table:
+        keep = []
+        for t in batch.column("text").to_pylist():
+            if not t or ". " in t:
+                keep.append(False)
+                continue
+            parts = t.split(" ")
+            keep.append(all(len(p) + 1 <= chunk_size
+                            for p in parts[:-1])
+                        and len(parts[-1]) <= chunk_size)
+        return batch.filter(pa.array(keep))
+    return f
+
+
 def split_fixed(text: str, chunk_size: int = 1000,
                 overlap: int = 0) -> list[str]:
     """Fixed character windows, stride = chunk_size - overlap.  The

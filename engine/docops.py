@@ -361,6 +361,44 @@ def q_fingerprints(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+# --- training-data filtering (Gopher / CCNet / decontamination) -------------
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition metrics (all-integer, shuffle-free)."""
+    from engine.filtering import gopher_over
+    return gopher_over(documents_ds(sf_dir))
+
+
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style corpus-trained unigram-LM scoring: integer
+    micro-bits per doc (train pass -> broadcast vocab -> score pass)."""
+    from engine.filtering import lm_perplexity_over
+    return lm_perplexity_over(documents_ds(sf_dir))
+
+
+DECONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 is the "benchmark" split
+
+
+def q_decontaminate(sf_dir: str):
+    """Test-set decontamination: corpus docs sharing any 5-gram with
+    the deterministic benchmark split (doc_id % 97 == 0) get their
+    overlap counted; benchmark grams broadcast once via ray.put."""
+    from engine.filtering import decontaminate_over
+
+    def side(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            mask = (ids % DECONTAM_BENCH_MOD == 0) == is_bench
+            return t.filter(pa.array(mask))
+        return f
+
+    bench = documents_ds(sf_dir).map_batches(side(True),
+                                             batch_format="pyarrow")
+    corpus = documents_ds(sf_dir).map_batches(side(False),
+                                              batch_format="pyarrow")
+    return decontaminate_over(corpus, bench)
+
+
 # --- chunking (reference M2/M3) ---------------------------------------------
 
 def q_chunks_fixed(sf_dir: str):
@@ -373,12 +411,17 @@ def q_chunks_fixed(sf_dir: str):
 def q_chunks_sentence(sf_dir: str):
     """Sentence splitting-strategy chunker (reference config.rs:52-59
     ``SplittingStrategy::Sentence``): split on sentence boundaries,
-    greedy-pack to the char budget.  Rows-only driver check (greedy
-    packing has the same sequential dependency PROVEN SQL-infeasible
-    for the markdown chunker); pytest covers lossless/budget props."""
-    from engine.chunk import chunk_documents
-    return chunk_documents(documents_ds(sf_dir), chunk_size=200,
-                           mode="sentence")
+    greedy-pack to the char budget.  SQL-guarded + oracle-checked: the
+    guard keeps docs whose packing reduces to the word-level greedy
+    walk (no ". " boundary, no oversize unit — on the fixture corpus
+    that is EVERY doc), which the DuckDB oracle replays exactly with a
+    recursive-CTE boundary jump; the unguarded general case (markdown-
+    style sequential packing, PROVEN SQL-infeasible) stays covered by
+    the pytest lossless/budget properties."""
+    from engine.chunk import chunk_documents, sentence_sql_guard
+    docs = documents_ds(sf_dir).map_batches(sentence_sql_guard(200),
+                                            batch_format="pyarrow")
+    return chunk_documents(docs, chunk_size=200, mode="sentence")
 
 
 def q_chunks_markdown(sf_dir: str):
