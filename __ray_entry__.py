@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_stop": d.q_bm25_topk_stop,
         "term_top_docs": d.q_term_top_docs,
         "index_stats": d.q_index_stats,                   # rows-only (SipHash part split)
+        "index_stats_md5": d.q_index_stats_md5,           # md5-routing oracle
         "index_totals": d.q_index_totals,                 # SQL oracle
         # dedup family (D1/D3 extensions)
         "dedup_exact": d.q_dedup_exact,
@@ -1008,6 +1009,20 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "simhash_candidates": _simhash_candidates_sql(),
         "fingerprints": _fingerprint_sql(),
+        # per-part lineage under md5 term routing: part assignment,
+        # term counts and posting counts all recomputed from raw text
+        "index_stats_md5": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOK}) AS term
+                       FROM documents),
+            dt AS (SELECT DISTINCT doc_id, term FROM t),
+            tp AS (SELECT term,
+                          CAST(md5_number_lower(term) % 8 AS BIGINT)
+                              AS part,
+                          count(*) AS df
+                   FROM dt GROUP BY 1, 2)
+            SELECT part, count(*) AS n_terms,
+                   CAST(sum(df) AS BIGINT) AS n_postings
+            FROM tp GROUP BY 1""",
         "gopher_quality": _gopher_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
         "decontaminate": _decontaminate_sql(),

@@ -51,7 +51,8 @@ from engine.config import EngineConfig, DEFAULT_CONFIG
 from engine.extract import extract_batch
 from engine.metrics import PartMetrics, Timer, sha256_of
 from engine.postings import encode_postings, encode_postings_many
-from engine.tokenize import count_terms, doc_ids_from_urls, stable_hash64
+from engine.tokenize import (HASH_FNS, count_terms, doc_ids_from_urls,
+                             stable_hash64)
 from engine.schema import SHUFFLE
 
 
@@ -217,7 +218,7 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
                 np.concatenate(([True], c_s[1:] != c_s[:-1])))
             offsets = np.concatenate((starts, [c_s.size])).astype(np.int64)
             uniq_obj = np.asarray(uniq_terms, dtype=object)
-            part_arr = (stable_hash64(uniq_obj)
+            part_arr = (HASH_FNS[cfg.term_hash](uniq_obj)
                         % np.uint64(P)).astype(np.int32)
             t_post = pa.table({
                 "part": pa.array(part_arr),

@@ -32,6 +32,11 @@ class EngineConfig:
     # Posting-list block size for delta+varbyte blocks and block-max
     # skip metadata (block-max WAND granularity).
     block_size: int = 128
+    # term -> part routing hash: "sip" (production; pandas SipHash,
+    # vectorized) or "md5" (oracle-parity mode: equals DuckDB
+    # md5_number_lower, so per-part lineage metrics are SQL-checkable).
+    # Stored in the manifest; the query loader routes with the same fn.
+    term_hash: str = "sip"
 
     # Partitions for the small dedup-key groupby (url, warc_ts only).
     dedup_partitions: int = 32

@@ -43,15 +43,15 @@ def documents_ds(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
                                  columns=list(columns))
 
 
-def docs_index(sf_dir: str) -> InvertedIndex:
+def docs_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> InvertedIndex:
     """Build (or resume) the documents-table index for this sf_dir."""
     key = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|v{INDEX_FORMAT_VERSION}|"
-        f"{sorted(DOCS_CFG.to_dict().items())}".encode()).hexdigest()[:12]
+        f"{sorted(cfg.to_dict().items())}".encode()).hexdigest()[:12]
     idx_dir = os.path.join("/tmp", "engine_cache", f"docsidx-{key}")
     if not os.path.exists(os.path.join(idx_dir, "_manifest.json")):
         build_index(os.path.join(sf_dir, "documents.parquet"), idx_dir,
-                    DOCS_CFG, mode="docs")
+                    cfg, mode="docs")
     return InvertedIndex(idx_dir)
 
 
@@ -446,6 +446,28 @@ def q_index_stats(sf_dir: str) -> pd.DataFrame:
             "n_postings": np.int64(m["n_postings"]),
             "n_docs": np.int64(m["n_docs"]),
             "checksum": m["checksum"],
+        })
+    return pd.DataFrame(rows)
+
+
+def q_index_stats_md5(sf_dir: str) -> pd.DataFrame:
+    """Per-partition postings lineage from a build routed with the
+    SQL-reproducible md5 term hash (EngineConfig.term_hash="md5"):
+    part = md5_number_lower(term) % num_parts, so DuckDB recomputes
+    each part's (n_terms, n_postings) from raw text — the per-part
+    metrics the north_rule requires, value-checked end to end.  The
+    production sip routing keeps its rows-only `index_stats` twin."""
+    cfg = EngineConfig(num_parts=8, docmeta_parts=2, term_hash="md5")
+    idx = docs_index(sf_dir, cfg)
+    rows = []
+    for key, m in sorted(idx.manifest["parts"].items()):
+        kind, part = key.split(":")
+        if kind != "postings" or m["n_terms"] == 0:
+            continue
+        rows.append({
+            "part": np.int64(int(part)),
+            "n_terms": np.int64(m["n_terms"]),
+            "n_postings": np.int64(m["n_postings"]),
         })
     return pd.DataFrame(rows)
 

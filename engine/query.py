@@ -116,7 +116,9 @@ class InvertedIndex:
 
     # -- segment access -----------------------------------------------------
     def _part_of(self, term: str) -> int:
-        return int(stable_hash64(np.array([term], dtype=object))[0]
+        from engine.tokenize import HASH_FNS
+        hasher = HASH_FNS[getattr(self.cfg, "term_hash", "sip")]
+        return int(hasher(np.array([term], dtype=object))[0]
                    % np.uint64(self.cfg.num_parts))
 
     def _load_part(self, part: int) -> tuple[dict, bytes, bytes]:
@@ -228,20 +230,22 @@ class InvertedIndex:
         return [(int(doc_ids[i]), float(scores[i])) for i in order]
 
     def _search_daat(self, entries, k: int):
-        """Exhaustive: decode every posting of every query term, then one
-        vectorized accumulate.  O(total postings) but all in numpy."""
-        all_ids, all_scores = [], []
+        """Exhaustive: decode every posting of every query term,
+        accumulate into a DENSE per-position score array.  Positions are
+        unique within a term (docID-sorted postings), so buffered fancy
+        ``acc[pos] += s`` is exact — the earlier sparse np.unique +
+        np.add.at merge cost seconds per stopword term at multi-M df
+        (np.add.at is unbuffered); the dense array is O(n_docs) = 8
+        bytes/doc, bounded per doc-range shard when serving sharded."""
+        acc = np.zeros(self._doc_ids.size, dtype=np.float64)
+        touched = np.zeros(self._doc_ids.size, dtype=bool)
         for term, df, idf, pbytes, skips in entries:
-            ids, _tfs, s, _pos = self._decode_term(term, df, pbytes, skips,
+            _ids, _tfs, s, pos = self._decode_term(term, df, pbytes, skips,
                                                    idf)
-            all_ids.append(ids)
-            all_scores.append(s)
-        ids = np.concatenate(all_ids)
-        scores = np.concatenate(all_scores)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        acc = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(acc, inv, scores)
-        return self._topk(uniq, acc, k)
+            acc[pos] += s
+            touched[pos] = True
+        nz = np.flatnonzero(touched)
+        return self._topk(self._doc_ids[nz], acc[nz], k)
 
     def _decode_term(self, term: str, df: int, pbytes: bytes,
                      skips: np.ndarray, idf: float | None = None):
@@ -363,23 +367,33 @@ class InvertedIndex:
         # suffix_ub[i] = sum of ubs of terms[i:]
         suffix_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
 
-        cand_ids = np.array([], dtype=np.int64)     # sorted unique
-        cand_scores = np.array([], dtype=np.float64)
+        # Phase A accumulates into a DENSE per-position array: postings
+        # are docID-sorted so positions are unique within a term and
+        # buffered fancy ``acc[pos] += s`` is exact.  The earlier
+        # sparse np.unique + np.add.at merge re-sorted ~n_docs-sized
+        # candidate arrays per term — seconds per stopword term at
+        # multi-M df (all-stopword queries keep every term essential,
+        # their near-equal upper bounds never fall below θ).
+        acc = np.zeros(self._doc_ids.size, dtype=np.float64)
+        touched = np.zeros(self._doc_ids.size, dtype=bool)
+        n_touched = 0
         theta = -np.inf
         n_ess = len(terms)
         for i, (ub, term, df, idf, pbytes, skips, block_ub) in enumerate(terms):
             if suffix_ub[i] < theta:
                 n_ess = i
                 break
-            ids, _tfs, s, _pos = self._decode_term(term, df, pbytes, skips,
+            _ids, _tfs, s, pos = self._decode_term(term, df, pbytes, skips,
                                                    idf)
-            merged = np.concatenate([cand_ids, ids])
-            uniq, inv = np.unique(merged, return_inverse=True)
-            acc = np.zeros(uniq.size)
-            np.add.at(acc, inv, np.concatenate([cand_scores, s]))
-            cand_ids, cand_scores = uniq, acc
-            if cand_scores.size >= k:
-                theta = float(np.partition(cand_scores, -k)[-k])
+            acc[pos] += s
+            touched[pos] = True
+            n_touched = int(np.count_nonzero(touched))
+            if n_touched >= k:
+                part = acc[touched]
+                theta = float(np.partition(part, -k)[-k])
+        nz = np.flatnonzero(touched)
+        cand_ids = self._doc_ids[nz]                # sorted unique
+        cand_scores = acc[nz]
 
         for j, (ub, term, df, idf, pbytes, skips, block_ub) in enumerate(
                 terms[n_ess:], start=n_ess):
@@ -414,7 +428,9 @@ class InvertedIndex:
                 else:
                     s = self._term_score(tfs[hitmask],
                                          self._doclen_of(ids[hitmask]), idf)
-                np.add.at(cand_scores, pos[hitmask], s)
+                # ids unique within a term -> hit positions unique:
+                # buffered fancy add is exact (and fast, unlike add.at)
+                cand_scores[pos[hitmask]] += s
             if cand_scores.size >= k:
                 theta = float(np.partition(cand_scores, -k)[-k])
         return self._topk(cand_ids, cand_scores, k)

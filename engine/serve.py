@@ -165,7 +165,9 @@ class _Front:
         return out
 
     def _shard_of(self, term: str) -> int:
-        part = int(stable_hash64(np.array([term], dtype=object))[0]
+        from engine.tokenize import HASH_FNS
+        hasher = HASH_FNS[getattr(self.cfg, "term_hash", "sip")]
+        part = int(hasher(np.array([term], dtype=object))[0]
                    % np.uint64(self.cfg.num_parts))
         return part % self.n_shards
 
@@ -225,8 +227,10 @@ class _Front:
         ids = np.concatenate(all_ids)
         scores = np.concatenate(all_scores)
         uniq, inv = np.unique(ids, return_inverse=True)
-        acc = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(acc, inv, scores)
+        # bincount does the same input-order per-bin accumulation as
+        # np.add.at (bit-identical float sums) in buffered C — add.at
+        # is unbuffered and costs seconds at multi-M stopword df
+        acc = np.bincount(inv, weights=scores, minlength=uniq.size)
         return InvertedIndex._topk(uniq, acc, k)
 
     def search(self, query: str, k: int = 10):

@@ -261,3 +261,22 @@ def test_extreme_stopword_skew_build(tmp_path_factory):
     assert ent is not None and ent[0] == n  # df == every doc
     hits = idx.search("hotterm", k=5)
     assert len(hits) == 5
+
+
+def test_md5_routing_search_equivalence(unit_webtext, tmp_path_factory):
+    """term_hash="md5" changes only WHICH part a term lives in: every
+    query must return bit-identical (doc_id, score) lists vs the sip
+    build, and the rolled-up totals must match exactly."""
+    from engine.query import InvertedIndex
+    sip_dir = str(tmp_path_factory.mktemp("idx") / "sip")
+    md5_dir = str(tmp_path_factory.mktemp("idx") / "md5")
+    m_sip = build_index(unit_webtext, sip_dir, CFG)
+    m_md5 = build_index(unit_webtext, md5_dir,
+                        EngineConfig(num_parts=8, docmeta_parts=3,
+                                     term_hash="md5"))
+    assert m_sip["stats"] == {**m_md5["stats"]}
+    a, b = InvertedIndex(sip_dir), InvertedIndex(md5_dir)
+    for q in ("the data", "merge sort join", "xyz unknown", "a"):
+        for method in ("bmw", "daat"):
+            assert a.search(q, k=10, method=method) == \
+                b.search(q, k=10, method=method), (q, method)
