@@ -209,8 +209,7 @@ class InvertedIndex:
         is per-shard n_docs once serving shards doc ranges."""
         acc = np.zeros(self._doc_ids.size, dtype=np.float64)
         for term, df, idf, pbytes, skips in entries:
-            _ids, _tfs, s, pos = self._decode_term(term, df, pbytes, skips,
-                                                   idf)
+            pos, s = self._decode_term(term, df, pbytes, skips, idf)
             acc[pos] += s  # pos unique within a term: safe fancy add
         nz = np.flatnonzero(acc)
         return self._topk(self._doc_ids[nz], acc[nz], k)
@@ -225,6 +224,14 @@ class InvertedIndex:
         if doc_ids.size == 0:
             return []
         k = min(k, doc_ids.size)
+        if doc_ids.size > 4 * k + 1024:
+            # prune to the candidates that can place: everything >= the
+            # kth-largest score (keeps ALL ties at the threshold, so
+            # the doc_id tie-break below stays exact); O(n) partition
+            # instead of an O(n log n) lexsort over millions
+            kth = np.partition(scores, scores.size - k)[scores.size - k]
+            sel = np.flatnonzero(scores >= kth)
+            doc_ids, scores = doc_ids[sel], scores[sel]
         # rank by (score desc, doc_id asc): lexsort keys last = primary
         order = np.lexsort((doc_ids, -scores))[:k]
         return [(int(doc_ids[i]), float(scores[i])) for i in order]
@@ -240,8 +247,7 @@ class InvertedIndex:
         acc = np.zeros(self._doc_ids.size, dtype=np.float64)
         touched = np.zeros(self._doc_ids.size, dtype=bool)
         for term, df, idf, pbytes, skips in entries:
-            _ids, _tfs, s, pos = self._decode_term(term, df, pbytes, skips,
-                                                   idf)
+            pos, s = self._decode_term(term, df, pbytes, skips, idf)
             acc[pos] += s
             touched[pos] = True
         nz = np.flatnonzero(touched)
@@ -249,9 +255,12 @@ class InvertedIndex:
 
     def _decode_term(self, term: str, df: int, pbytes: bytes,
                      skips: np.ndarray, idf: float | None = None):
-        """Full decode + per-posting BM25 scores, with a small hot-term
-        cache (production engines cache decoded stopword lists; scores
-        are a pure function of (tf, doclen, df) so they cache too)."""
+        """Full decode + per-posting BM25 scores -> (pos, scores),
+        where ``pos`` indexes into the loader's sorted ``_doc_ids``
+        (``self._doc_ids[pos]`` reconstructs the docID run).  Cached in
+        a byte-budget LRU (production engines cache decoded stopword
+        lists; scores are a pure function of (tf, doclen, df) so they
+        cache too)."""
         hit = self._postings_cache.get(term)
         if hit is not None:
             # LRU touch: dicts iterate in insertion order, so re-insert
@@ -264,8 +273,15 @@ class InvertedIndex:
         pos = np.searchsorted(self._doc_ids, ids)
         scores = self._term_score(tfs, self._doclens[pos],
                                   self.idf(df) if idf is None else idf)
-        out = (ids, tfs, scores, pos)
-        size = ids.nbytes + tfs.nbytes + scores.nbytes + pos.nbytes
+        # cache the SLIM form: (position, score) is all scoring needs
+        # (ids reconstruct as self._doc_ids[pos]); int32 positions
+        # whenever the per-loader doc count allows -> 12 bytes/posting
+        # vs 32 for (ids, tfs, scores, pos), ~2.7x more hot terms in
+        # the same byte budget
+        if self._doc_ids.size < (1 << 31):
+            pos = pos.astype(np.int32)
+        out = (pos, scores)
+        size = pos.nbytes + scores.nbytes
         if size <= self.cache_budget_bytes:
             while (self._cache_bytes + size > self.cache_budget_bytes
                    and self._postings_cache):
@@ -292,16 +308,16 @@ class InvertedIndex:
         df, pbytes, skips = ent
         idf = self.idf(self._df_overrides.get(term, df))
         if self.doc_range is None:
-            ids, _tfs, s, _pos = self._decode_term(term, df, pbytes, skips,
-                                                   idf)
-            return ids, s
+            pos, s = self._decode_term(term, df, pbytes, skips, idf)
+            return self._doc_ids[pos], s
         lo, hi = self.doc_range
         hi_in = min(hi, (1 << 63)) - 1      # inclusive upper (int64-safe)
         hit = self._postings_cache.get(term)
         if hit is not None:
             self._postings_cache.pop(term)
             self._postings_cache[term] = hit
-            return hit[0], hit[2]
+            rpos, rs = hit
+            return self._doc_ids[rpos], rs
         last = skips[:, 0]
         if last.size == 0:
             return None
@@ -320,8 +336,10 @@ class InvertedIndex:
             return None
         pos = np.searchsorted(self._doc_ids, ids)
         scores = self._term_score(tfs, self._doclens[pos], idf)
-        out = (ids, tfs, scores, pos)
-        size = ids.nbytes + tfs.nbytes + scores.nbytes + pos.nbytes
+        if self._doc_ids.size < (1 << 31):
+            pos = pos.astype(np.int32)
+        out = (pos, scores)
+        size = pos.nbytes + scores.nbytes
         if size <= self.cache_budget_bytes:
             while (self._cache_bytes + size > self.cache_budget_bytes
                    and self._postings_cache):
@@ -383,8 +401,7 @@ class InvertedIndex:
             if suffix_ub[i] < theta:
                 n_ess = i
                 break
-            _ids, _tfs, s, pos = self._decode_term(term, df, pbytes, skips,
-                                                   idf)
+            pos, s = self._decode_term(term, df, pbytes, skips, idf)
             acc[pos] += s
             touched[pos] = True
             n_touched = int(np.count_nonzero(touched))
@@ -411,8 +428,9 @@ class InvertedIndex:
             if need.size * 4 >= skips.shape[0]:
                 # candidates touch most blocks: one vectorized full
                 # decode (cached, pre-scored) beats per-block access
-                ids, _tfs, s_all, _pos = self._decode_term(term, df, pbytes,
-                                                           skips, idf)
+                dpos, s_all = self._decode_term(term, df, pbytes,
+                                                skips, idf)
+                ids = self._doc_ids[dpos]
             else:
                 blk_parts = [decode_block(pbytes, skips, int(bi), df,
                                           self.cfg.block_size) for bi in need]
