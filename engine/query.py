@@ -121,29 +121,55 @@ class InvertedIndex:
         return int(hasher(np.array([term], dtype=object))[0]
                    % np.uint64(self.cfg.num_parts))
 
-    def _load_part(self, part: int) -> tuple[dict, bytes, bytes]:
+    _TERM_COLS = ("df", "cf", "post_off", "post_len", "skip_off",
+                  "skip_len")
+
+    def _load_part(self, part: int):
+        """Part term dictionary as (sorted term array, numeric column
+        arrays).  The segment writer emits terms SORTED (factorize
+        sort=True in build, sorted k-way merge in merge_indexes), so
+        lookups are a binary search over the Arrow-loaded array — no
+        per-term Python dict build, which would cost seconds per part
+        at real web vocabularies (10^5-10^6 terms/part).  Sortedness is
+        verified with one vectorized Arrow compare at load (fail-loud
+        on a corrupt segment rather than silently missing terms)."""
         if part not in self._term_cache:
             d = index_io.part_dir(self.index_dir, "postings", part)
             if not os.path.isdir(d):
-                self._term_cache[part] = {}
+                self._term_cache[part] = None
                 self._blob_cache[part] = (b"", b"")
             else:
                 terms, postings, skips = index_io.read_postings_part(
                     self.index_dir, part, use_mmap=self.use_mmap)
-                tdict = {}
-                cols = [terms.column(c).to_pylist()
-                        for c in ("term", "df", "cf", "post_off", "post_len",
-                                  "skip_off", "skip_len")]
-                for t, df, cf, po, pl, so, sl in zip(*cols):
-                    tdict[t] = (df, cf, po, pl, so, sl)
-                self._term_cache[part] = tdict
+                ca = terms.column("term").combine_chunks()
+                if len(ca) > 1:
+                    import pyarrow.compute as pc
+                    ok = pc.all(pc.less_equal(
+                        ca.slice(0, len(ca) - 1), ca.slice(1))).as_py()
+                    if not ok:
+                        raise ValueError(
+                            f"part {part}: term dictionary not sorted")
+                term_arr = ca.to_numpy(zero_copy_only=False)
+                nums = tuple(terms.column(c).to_numpy()
+                             for c in self._TERM_COLS)
+                self._term_cache[part] = (term_arr, nums)
                 self._blob_cache[part] = (postings, skips)
         return self._term_cache[part], *self._blob_cache[part]
 
+    def _term_row(self, part_entry, term: str):
+        """Binary-search probe -> (df, cf, po, pl, so, sl) or None."""
+        if part_entry is None:
+            return None
+        term_arr, nums = part_entry
+        i = int(np.searchsorted(term_arr, term))
+        if i >= term_arr.size or term_arr[i] != term:
+            return None
+        return tuple(int(col[i]) for col in nums)
+
     def lookup(self, term: str):
         """term -> (df, postings bytes, skips ndarray) or None."""
-        tdict, postings, skips = self._load_part(self._part_of(term))
-        ent = tdict.get(term)
+        entry, postings, skips = self._load_part(self._part_of(term))
+        ent = self._term_row(entry, term)
         if ent is None:
             return None
         df, cf, po, pl, so, sl = ent
@@ -152,8 +178,8 @@ class InvertedIndex:
     def df_of(self, term: str) -> int:
         """Local document frequency (0 if absent) — the term-dictionary
         probe of the distributed-stats exchange; no posting decode."""
-        tdict, _, _ = self._load_part(self._part_of(term))
-        ent = tdict.get(term)
+        entry, _, _ = self._load_part(self._part_of(term))
+        ent = self._term_row(entry, term)
         return 0 if ent is None else int(ent[0])
 
     # -- scoring ------------------------------------------------------------

@@ -72,9 +72,9 @@ def test_bmw_equals_daat_random(index):
     """Property: WAND pruning never changes results (50 random queries
     built from indexed terms)."""
     rng = np.random.default_rng(123)
-    # sample real terms from one part's dictionary
-    tdict, _, _ = index._load_part(0)
-    terms = sorted(tdict)
+    # sample real terms from one part's dictionary (sorted term array)
+    entry, _, _ = index._load_part(0)
+    terms = entry[0].tolist()
     for _ in range(50):
         n = int(rng.integers(1, 5))
         q = " ".join(terms[int(i)] for i in rng.integers(0, len(terms), n))
