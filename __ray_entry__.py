@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": d.q_gopher_quality,
         "lm_perplexity": d.q_lm_perplexity,
         "decontaminate": d.q_decontaminate,
+        "dsir_weights": d.q_dsir_weights,
         # chunking (M2/M3 + A7 semantic)
         "chunks_fixed": d.q_chunks_fixed,
         "chunks_markdown": d.q_chunks_markdown,           # rows-only
@@ -608,6 +609,49 @@ def _decontaminate_sql() -> str:
         WHERE gg.doc_id % {MOD} <> 0 GROUP BY 1"""
 
 
+def _dsir_sql() -> str:
+    """DSIR importance weights: md5-hashed unigram+bigram buckets,
+    per-bucket integer micro-log-ratio with Laplace smoothing (the
+    exact left-to-right ln() op order of engine/filtering.py
+    dsir_bits), summed per raw-split doc."""
+    from engine.filtering import DSIR_BUCKETS as B, DSIR_TARGET_MOD as M
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS i
+                FROM t),
+        g2 AS (SELECT doc_id, {_lead_gram(2)} AS g FROM tok
+               WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        feats AS (
+            SELECT doc_id,
+                   CAST(md5_number_lower(g) % {B} AS BIGINT) AS b
+            FROM (SELECT doc_id, term AS g FROM tok
+                  UNION ALL
+                  SELECT doc_id, g FROM g2 WHERE g IS NOT NULL)),
+        tgt AS (SELECT b, count(*) AS c FROM feats
+                WHERE doc_id % {M} = 0 GROUP BY 1),
+        rawc AS (SELECT b, count(*) AS c FROM feats
+                 WHERE doc_id % {M} <> 0 GROUP BY 1),
+        tot AS (SELECT
+                  (SELECT count(*) FROM feats WHERE doc_id % {M} = 0)
+                      AS tt,
+                  (SELECT count(*) FROM feats WHERE doc_id % {M} <> 0)
+                      AS tr),
+        bits AS (SELECT ab.b,
+                        CAST(round((ln(coalesce(tgt.c, 0) + 1)
+                                    - ln(tt + {B})
+                                    - ln(coalesce(rawc.c, 0) + 1)
+                                    + ln(tr + {B})) * 1e6) AS BIGINT)
+                            AS w
+                 FROM (SELECT DISTINCT b FROM feats) ab
+                 LEFT JOIN tgt USING (b) LEFT JOIN rawc USING (b)
+                 CROSS JOIN tot)
+        SELECT f.doc_id, count(*) AS n_feats,
+               CAST(sum(w) AS BIGINT) AS logw_micro
+        FROM feats f JOIN bits USING (b)
+        WHERE f.doc_id % {M} <> 0 GROUP BY 1"""
+
+
 def _chunks_sentence_sql(budget: int = 200) -> str:
     """Recursive-CTE replay of the word-level greedy packer for docs
     inside the SQL guard (engine/chunk.py sentence_sql_guard): unit
@@ -1026,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
         "decontaminate": _decontaminate_sql(),
+        "dsir_weights": _dsir_sql(),
         "chunks_sentence": _chunks_sentence_sql(200),
         "embed_knn": _embed_knn_sql(),
         "late_chunk_knn": _late_chunk_knn_sql(),

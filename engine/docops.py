@@ -399,6 +399,14 @@ def q_decontaminate(sf_dir: str):
     return decontaminate_over(corpus, bench)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights for data selection: hashed unigram+bigram
+    features, smoothed target/raw log-ratio summed per raw-split doc
+    (integer micro units end to end)."""
+    from engine.filtering import dsir_weights_over
+    return dsir_weights_over(documents_ds(sf_dir))
+
+
 # --- chunking (reference M2/M3) ---------------------------------------------
 
 def q_chunks_fixed(sf_dir: str):

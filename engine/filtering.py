@@ -354,3 +354,128 @@ def decontaminate_over(docs, bench_docs,
     return docs.map_batches(DecontamScorer, batch_format="pyarrow",
                             fn_constructor_args=(grams_ref, n),
                             concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096       # hashed feature space (paper uses ~10k)
+DSIR_TARGET_MOD = 7       # doc_id % 7 == 0 is the deterministic "target"
+
+
+def _dsir_features(toks: list[list[str]]):
+    """Unigram + bigram feature STRINGS per doc (paper's feature set);
+    -> (grams object array, per-doc feature counts)."""
+    g1, n1 = _gram_strings(toks, 1)
+    g2, n2 = _gram_strings(toks, 2)
+    # interleave per doc: all unigrams then all bigrams of each doc
+    n_docs = len(toks)
+    doc_of = np.concatenate([np.repeat(np.arange(n_docs), n1),
+                             np.repeat(np.arange(n_docs), n2)])
+    grams = np.concatenate([g1, g2]) if g1.size or g2.size else \
+        np.empty(0, dtype=object)
+    order = np.argsort(doc_of, kind="stable")
+    return grams[order], n1 + n2
+
+
+def dsir_bucket_counts(docs, target_mod: int = DSIR_TARGET_MOD,
+                       n_buckets: int = DSIR_BUCKETS):
+    """Pass 1: hashed-feature histograms for the target and raw splits.
+    Per-batch partial bincounts emit at most 2*n_buckets rows each; one
+    tiny groupby(key).sum collapses them — the shuffle payload is
+    O(n_buckets * n_blocks), never O(corpus)."""
+    from ray.data.aggregate import Sum
+    from engine.tokenize import HASH_FNS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        toks = tokenize_batch(batch.column("text").to_pylist())
+        grams, n_feats = _dsir_features(toks)
+        out_k, out_c = [], []
+        if grams.size:
+            buckets = (HASH_FNS["md5"](grams)
+                       % np.uint64(n_buckets)).astype(np.int64)
+            doc_of = np.repeat(ids, n_feats)
+            is_tgt = (doc_of % target_mod == 0)
+            for split, mask in ((0, is_tgt), (1, ~is_tgt)):
+                h = np.bincount(buckets[mask], minlength=n_buckets)
+                nz = np.flatnonzero(h)
+                out_k.append(split * n_buckets + nz)
+                out_c.append(h[nz])
+        k = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
+        c = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("c", alias_name="c")).to_pandas()
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    key = agg["key"].to_numpy(np.int64)
+    cnt = agg["c"].to_numpy(np.int64)
+    t_mask = key < n_buckets
+    tgt[key[t_mask]] = cnt[t_mask]
+    raw[key[~t_mask] - n_buckets] = cnt[~t_mask]
+    return tgt, raw
+
+
+def dsir_bits(tgt: np.ndarray, raw: np.ndarray) -> np.ndarray:
+    """Per-bucket integer micro-log-ratio with Laplace smoothing:
+    round((ln(ct+1) - ln(Tt+B) - ln(cr+1) + ln(Tr+B)) * 1e6) — the
+    exact left-to-right float64 op order the DuckDB oracle uses."""
+    b = tgt.size
+    tt, tr = int(tgt.sum()), int(raw.sum())
+    v = (np.log(tgt.astype(np.float64) + 1.0) - np.log(float(tt + b))
+         - np.log(raw.astype(np.float64) + 1.0) + np.log(float(tr + b)))
+    return micro_units(v)
+
+
+class DSIRScorer:
+    """Broadcast bits vector resolved once per actor; per-batch work is
+    hash -> gather -> per-doc reduceat (integer-exact)."""
+
+    def __init__(self, bits_ref, target_mod: int = DSIR_TARGET_MOD,
+                 n_buckets: int = DSIR_BUCKETS):
+        self.bits = ray.get(bits_ref) if not isinstance(bits_ref, np.ndarray) \
+            else bits_ref
+        self.target_mod = target_mod
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from engine.tokenize import HASH_FNS
+        ids = batch.column("doc_id").to_numpy()
+        keep_doc = ids % self.target_mod != 0
+        toks = tokenize_batch(
+            np.asarray(batch.column("text").to_pylist(),
+                       dtype=object)[keep_doc].tolist())
+        ids = ids[keep_doc]
+        grams, n_feats = _dsir_features(toks)
+        logw = np.zeros(len(toks), dtype=np.int64)
+        if grams.size:
+            buckets = (HASH_FNS["md5"](grams)
+                       % np.uint64(self.n_buckets)).astype(np.int64)
+            w = self.bits[buckets]
+            nz = n_feats > 0
+            offs = np.concatenate(([0], np.cumsum(n_feats)))
+            logw[nz] = np.add.reduceat(w, offs[:-1][nz])
+        keep = n_feats > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_feats": pa.array(n_feats[keep]),
+            "logw_micro": pa.array(logw[keep]),
+        })
+
+
+def dsir_weights_over(docs, target_mod: int = DSIR_TARGET_MOD,
+                      n_buckets: int = DSIR_BUCKETS) -> "ray.data.Dataset":
+    """DSIR (Xie et al. 2023) importance weights: log w(x) = sum over
+    hashed unigram+bigram features of the smoothed target/raw
+    log-probability ratio.  Two passes: tiny histogram shuffle, then a
+    broadcast-bits scoring pass over the raw split."""
+    tgt, raw = dsir_bucket_counts(docs, target_mod, n_buckets)
+    bits_ref = ray.put(dsir_bits(tgt, raw))
+    return docs.map_batches(DSIRScorer, batch_format="pyarrow",
+                            fn_constructor_args=(bits_ref, target_mod,
+                                                 n_buckets),
+                            concurrency=(1, 4))

@@ -161,3 +161,32 @@ def test_sentence_guard_filters():
                      "", "x" * 300])
     kept = sentence_sql_guard(200)(t).to_pandas()
     assert list(kept["doc_id"]) == [0]
+
+
+def test_dsir_weights():
+    from engine.filtering import (DSIR_TARGET_MOD, dsir_bits,
+                                  dsir_bucket_counts, dsir_weights_over)
+    # docs 0 and 7 are "target" (mod 7); raw docs resembling the target
+    # must get a higher weight than dissimilar ones
+    texts = ["data processing pipeline runs fast",      # 0: target
+             "data processing pipeline runs fast",      # 1: raw, = target
+             "totally unrelated gibberish words here",  # 2: raw
+             "data processing pipeline runs fast",      # 3: raw, = target
+             "x", "y", "z",                             # 4-6: raw
+             "data processing pipeline runs fast"]      # 7: target
+    ds = ray.data.from_arrow(_docs_table(texts))
+    tgt, raw = dsir_bucket_counts(ds)
+    assert tgt.sum() == 2 * 9   # 2 target docs x (5 uni + 4 bi)
+    bits = dsir_bits(tgt, raw)
+    assert bits.dtype == np.int64
+    out = dsir_weights_over(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2, 3, 4, 5, 6]   # raw split only
+    w = dict(zip(out["doc_id"], out["logw_micro"]))
+    assert w[1] == w[3] > w[2]
+    # independent recomputation for one doc
+    from engine.tokenize import tokenize, HASH_FNS
+    toks = tokenize(texts[2])
+    grams = toks + [" ".join(p) for p in zip(toks, toks[1:])]
+    buckets = HASH_FNS["md5"](np.array(grams, dtype=object)) % 4096
+    assert w[2] == int(bits[buckets.astype(np.int64)].sum())
