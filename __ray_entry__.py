@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_corpus": d.q_file_corpus,                   # rows-only
         # multimodal actor-pool stages (stubbed decode, real plumbing)
         "image_features": d.q_image_features,             # rows-only
+        "image_features_md5": d.q_image_features_md5,     # md5-payload oracle
         "frame_samples": d.q_frame_samples,
         "audio_segments": d.q_audio_segments,
         # windowed aggregate + sessionization over the events table
@@ -609,6 +610,30 @@ def _decontaminate_sql() -> str:
         WHERE gg.doc_id % {MOD} <> 0 GROUP BY 1"""
 
 
+def _image_features_md5_sql() -> str:
+    """Per-channel word sums over the md5-chain payload: word j of an
+    image asset is md5_number_lower('{doc_id}|img|{j}') % 2^32 —
+    exactly the little-endian digest bytes 8..16 the engine payload
+    carries; channel c sums words with j % 3 == c."""
+    from engine.multimodal import MD5_IMAGE_WORDS as K
+    return f"""
+        WITH img AS (SELECT doc_id AS asset_id FROM documents
+                     WHERE doc_id % 3 = 0),
+        w AS (SELECT asset_id, i,
+                     md5_number_lower(asset_id || '|img|' || i)
+                         % 4294967296 AS v
+              FROM img, unnest(range({K})) AS t(i))
+        SELECT asset_id, CAST({K} AS BIGINT) AS n_words,
+               TRUE AS decode_ok,
+               CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END)
+                    AS BIGINT) AS c0_sum,
+               CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END)
+                    AS BIGINT) AS c1_sum,
+               CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END)
+                    AS BIGINT) AS c2_sum
+        FROM w GROUP BY 1"""
+
+
 def _dsir_sql() -> str:
     """DSIR importance weights: md5-hashed unigram+bigram buckets,
     per-bucket integer micro-log-ratio with Laplace smoothing (the
@@ -1071,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _lm_perplexity_sql(),
         "decontaminate": _decontaminate_sql(),
         "dsir_weights": _dsir_sql(),
+        "image_features_md5": _image_features_md5_sql(),
         "chunks_sentence": _chunks_sentence_sql(200),
         "embed_knn": _embed_knn_sql(),
         "late_chunk_knn": _late_chunk_knn_sql(),

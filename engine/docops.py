@@ -399,6 +399,31 @@ def q_decontaminate(sf_dir: str):
     return decontaminate_over(corpus, bench)
 
 
+def q_image_features_md5(sf_dir: str):
+    """md5-mode image feature extraction: the same actor-pool decode
+    shape as `image_features`, but the synthetic payload is an md5
+    chain so the per-channel word sums are SQL-recomputable — the
+    oracle-parity twin of the PCG64-payload stub (which stays
+    rows-only)."""
+    from engine.multimodal import (MD5_IMAGE_WORDS, Md5ImageFeatureActor,
+                                   md5_image_payload)
+
+    def mk_assets(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        img = ids[ids % 3 == 0]                 # image-kind assets
+        return pa.table({
+            "asset_id": pa.array(img, pa.int64()),
+            "payload": pa.array([md5_image_payload(int(i)) for i in img],
+                                pa.binary()),
+        })
+
+    assets = documents_ds(sf_dir, columns=("doc_id",)).map_batches(
+        mk_assets, batch_format="pyarrow")
+    return assets.map_batches(Md5ImageFeatureActor,
+                              batch_format="pyarrow", batch_size=64,
+                              concurrency=(1, 4))
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights for data selection: hashed unigram+bigram
     features, smoothed target/raw log-ratio summed per raw-split doc

@@ -272,3 +272,55 @@ class AudioSegmentActor:
             "rms_milli": pa.array(rms, pa.int64()),
             "decode_ok": pa.array(ok, pa.bool_()),
         })
+
+
+# ---------------------------------------------------------------------------
+# md5-mode image feature path (oracle parity for the stubbed decoder)
+# ---------------------------------------------------------------------------
+
+MD5_IMAGE_WORDS = 48     # 8-byte words per synthetic payload (384 bytes)
+
+
+def md5_image_payload(doc_id: int, n_words: int = MD5_IMAGE_WORDS) -> bytes:
+    """Synthetic image payload whose bytes are an md5 chain: word j is
+    md5(f"{doc_id}|img|{j}") digest bytes 8..16 (little-endian — the
+    exact integer DuckDB's md5_number_lower returns for the same
+    string).  The FEATURE EXTRACTION below reads only the payload
+    bytes, like a real decoder; the md5 construction is what lets the
+    SQL oracle recompute the features from `documents` alone."""
+    import hashlib
+    return b"".join(
+        hashlib.md5(f"{doc_id}|img|{j}".encode()).digest()[8:16]
+        for j in range(n_words))
+
+
+class Md5ImageFeatureActor:
+    """Actor-pool stage: per-channel word sums over the payload bytes
+    (stub 'decode' with the same init/call split as ImageFeatureActor,
+    but arithmetic a SQL oracle reproduces bit-for-bit).  Words are
+    little-endian uint64 taken mod 2^32 so three channel sums of up to
+    ~2^32 words stay exact in int64 on both sides.  Corrupt payloads
+    (empty / not 8-byte aligned) yield decode_ok=False rows."""
+
+    def __init__(self, n_channels: int = 3):
+        self.n_channels = n_channels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sums = np.zeros((n, self.n_channels), dtype=np.int64)
+        words = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for r, payload in enumerate(batch.column("payload").to_pylist()):
+            if not payload or len(payload) % 8:
+                continue
+            u = np.frombuffer(payload, dtype="<u8") % np.uint64(1 << 32)
+            ok[r] = True
+            words[r] = u.size
+            for c in range(self.n_channels):
+                sums[r, c] = int(u[c::self.n_channels].sum(dtype=np.uint64))
+        out = {"asset_id": batch.column("asset_id"),
+               "n_words": pa.array(words),
+               "decode_ok": pa.array(ok.tolist(), pa.bool_())}
+        for c in range(self.n_channels):
+            out[f"c{c}_sum"] = pa.array(sums[:, c])
+        return pa.table(out)

@@ -149,3 +149,32 @@ def test_duration_is_pure_function_of_doc_id():
     wav = synth_wav_bytes(1, int(dur[1]))
     with wave.open(io.BytesIO(wav)) as w:
         assert w.getnframes() == int(dur[1]) * AUDIO_RATE // 1000
+
+
+def test_md5_image_features_roundtrip():
+    """Payload words decode to exactly the md5_number_lower integers,
+    and corrupt payloads yield decode_ok=False rows."""
+    import hashlib
+    import pyarrow as pa
+    from engine.multimodal import (MD5_IMAGE_WORDS, Md5ImageFeatureActor,
+                                   md5_image_payload)
+    p = md5_image_payload(42, 6)
+    assert len(p) == 48
+    u = np.frombuffer(p, dtype="<u8")
+    for j in range(6):
+        d = hashlib.md5(f"42|img|{j}".encode()).digest()
+        assert int(u[j]) == int.from_bytes(d[8:16], "little")
+    actor = Md5ImageFeatureActor()
+    batch = pa.table({
+        "asset_id": pa.array([42, 43, 44], pa.int64()),
+        "payload": pa.array([md5_image_payload(42, MD5_IMAGE_WORDS),
+                             b"short!!",  # not 8-byte aligned
+                             b""], pa.binary()),
+    })
+    out = actor(batch).to_pandas()
+    assert list(out["decode_ok"]) == [True, False, False]
+    assert out["n_words"].iloc[0] == MD5_IMAGE_WORDS
+    w = np.frombuffer(md5_image_payload(42, MD5_IMAGE_WORDS),
+                      dtype="<u8") % (1 << 32)
+    for c in range(3):
+        assert out[f"c{c}_sum"].iloc[0] == int(w[c::3].sum())
