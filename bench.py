@@ -57,6 +57,7 @@ CONTRACT_QUERIES = [
     "neardup_dedup", "knn_cosine", "ivf_knn", "embed_neardup", "langid",
     "quality", "token_counts", "chunks_fixed", "embed_knn",
     "events_hourly", "events_sessions", "file_corpus",
+    "gopher_quality", "lm_perplexity", "dsir_weights",
 ]
 
 
