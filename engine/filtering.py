@@ -190,14 +190,19 @@ def gopher_over(docs) -> "ray.data.Dataset":
 # CCNet-style unigram-LM perplexity
 # ---------------------------------------------------------------------------
 
-def train_unigram_lm(docs, top_v: int = LM_TOP_V) -> pd.Series:
-    """Pass 1: corpus unigram counts -> vocab Series (cf by term).
+def train_unigram_lm(docs, top_v: int = LM_TOP_V,
+                     with_total: bool = False):
+    """Pass 1: corpus unigram counts -> vocab Series (cf by term),
+    optionally with the EXACT corpus token total in the same pass.
 
     Per-batch partial tf is the combiner (only (term, count) pairs
-    shuffle); the groupby output is pruned per block to the top-V terms
-    BEFORE collection, so at most V * n_blocks rows reach the driver
+    shuffle); the groupby output is pruned per block to the top terms
+    BEFORE collection, so at most ~V * n_blocks rows reach the driver
     (the same exact-prune argument as docops._topk_by: after the hash
-    shuffle each term lives in exactly one block)."""
+    shuffle each term lives in exactly one block).  The total rides the
+    shuffle as a sentinel "" key (the tokenizer never emits an empty
+    token); its count is the corpus maximum, so the per-block prune
+    always keeps it."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -207,36 +212,30 @@ def train_unigram_lm(docs, top_v: int = LM_TOP_V) -> pd.Series:
             return pa.table({"term": pa.array([], pa.string()),
                              "c": pa.array([], pa.int64())})
         vc = pd.Series(flat).value_counts()
-        return pa.table({"term": pa.array(vc.index.to_numpy(dtype=object),
-                                          pa.string()),
-                         "c": pa.array(vc.to_numpy().astype(np.int64))})
+        terms = vc.index.to_numpy(dtype=object)
+        counts = vc.to_numpy().astype(np.int64)
+        if with_total:
+            terms = np.concatenate([terms, np.array([""], dtype=object)])
+            counts = np.concatenate([counts, [int(flat.size)]])
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "c": pa.array(counts)})
 
     agg = docs.map_batches(partial, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("c", alias_name="cf"))
 
     def prune(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(
-            ["cf", "term"], ascending=[False, True]).head(top_v)
+            ["cf", "term"], ascending=[False, True]).head(top_v + 1)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     parts = agg.map_batches(prune, batch_format="pyarrow").to_pandas()
-    vocab = parts.sort_values(["cf", "term"],
-                              ascending=[False, True]).head(top_v)
-    return pd.Series(vocab["cf"].to_numpy(np.int64),
-                     index=vocab["term"].to_numpy(object))
-
-
-def _exact_total_tokens(docs) -> int:
-    """Exact corpus token count (tiny aggregate, no vocabulary)."""
-    from ray.data.aggregate import Sum
-
-    def f(batch: pa.Table) -> pa.Table:
-        toks = tokenize_batch(batch.column("text").to_pylist())
-        return pa.table({"n": pa.array(
-            [sum(len(t) for t in toks)], pa.int64())})
-
-    row = docs.map_batches(f, batch_format="pyarrow").aggregate(Sum("n"))
-    return int(row["sum(n)"] or 0)
+    is_sent = parts["term"] == ""
+    t_total = int(parts.loc[is_sent, "cf"].sum())
+    vocab = parts[~is_sent].sort_values(
+        ["cf", "term"], ascending=[False, True]).head(top_v)
+    cf = pd.Series(vocab["cf"].to_numpy(np.int64),
+                   index=vocab["term"].to_numpy(object))
+    return (cf, t_total) if with_total else cf
 
 
 class LMScorer:
@@ -279,8 +278,7 @@ def lm_perplexity_over(docs, top_v: int = LM_TOP_V) -> "ray.data.Dataset":
     score.  ``bits_micro`` = sum over tokens of
     ``round((log2(T) - log2(cf)) * 1e6)`` — integer-exact; mean
     bits/token (and 2**(bits/n) perplexity) derive downstream."""
-    cf = train_unigram_lm(docs, top_v)
-    t_total = _exact_total_tokens(docs)
+    cf, t_total = train_unigram_lm(docs, top_v, with_total=True)
     cf_ref = ray.put(cf)
     return docs.map_batches(LMScorer, batch_format="pyarrow",
                             fn_constructor_args=(cf_ref, t_total),
