@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunks_fixed": d.q_chunks_fixed,
         "chunks_markdown": d.q_chunks_markdown,           # rows-only
         "chunks_sentence": d.q_chunks_sentence,           # recursive-CTE oracle
-        "chunks_semantic": d.q_chunks_semantic,           # rows-only
+        "chunks_semantic": d.q_chunks_semantic,           # guarded SQL oracle
         # embedding actor pool + rerank + hybrid (A1-A5, RRF)
         "embed_knn": d.q_embed_knn,                       # md5-mode oracle
         "late_chunk_knn": d.q_late_chunk_knn,             # md5-mode oracle
@@ -1098,6 +1098,13 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_sql(),
         "image_features_md5": _image_features_md5_sql(),
         "chunks_sentence": _chunks_sentence_sql(200),
+        # single-sentence subset (the guard in q_chunks_semantic): the
+        # pinned spec emits one chunk = the original text per doc
+        "chunks_semantic": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS chunk_id, text AS chunk
+            FROM documents
+            WHERE length(text) > 0 AND text NOT LIKE '%. %'
+              AND NOT contains(text, chr(10)) AND trim(text) <> ''""",
         "embed_knn": _embed_knn_sql(),
         "late_chunk_knn": _late_chunk_knn_sql(),
         "maxsim_topk": _maxsim_sql(),

@@ -522,11 +522,25 @@ def q_index_totals(sf_dir: str) -> pd.DataFrame:
 
 def q_chunks_semantic(sf_dir: str):
     """Actor-pool semantic chunker (reference A7 statistical shape over
-    the deterministic hashing encoder); rows-only driver check,
-    pytest-verified coverage/determinism properties."""
+    the deterministic hashing encoder).  SQL-guarded + oracle-checked
+    on the SINGLE-SENTENCE subset (no '. ' / newline boundary — on the
+    fixture corpus that is EVERY doc, so the guard drops nothing):
+    there the pinned spec emits exactly one chunk = the original text,
+    which the oracle states directly; the encoder-driven multi-sentence
+    boundary logic (rolling-window cosine, adaptive threshold) cannot
+    be stated in SQL and stays pytest-verified
+    (tests/test_semantic_chunk.py)."""
     from engine.semantic_chunk import semantic_chunk_documents
-    return semantic_chunk_documents(documents_ds(sf_dir),
-                                    kind="statistical", concurrency=2)
+
+    def guard(t: pa.Table) -> pa.Table:
+        keep = [bool(x) and ". " not in x and "\n" not in x
+                and bool(x.strip())
+                for x in t.column("text").to_pylist()]
+        return t.filter(pa.array(keep))
+
+    docs = documents_ds(sf_dir).map_batches(guard, batch_format="pyarrow")
+    return semantic_chunk_documents(docs, kind="statistical",
+                                    concurrency=2)
 
 
 # --- embedding / rerank / hybrid (reference A1-A5, hybridsearch RRF) --------
