@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": d.q_lm_perplexity,
         "decontaminate": d.q_decontaminate,
         "dsir_weights": d.q_dsir_weights,
+        "pack_sequences": d.q_pack_sequences,
         # chunking (M2/M3 + A7 semantic)
         "chunks_fixed": d.q_chunks_fixed,
         "chunks_markdown": d.q_chunks_markdown,           # rows-only
@@ -1096,6 +1097,19 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _lm_perplexity_sql(),
         "decontaminate": _decontaminate_sql(),
         "dsir_weights": _dsir_sql(),
+        # running-token-count sequence packing: exclusive prefix sum in
+        # doc_id order (the engine runs it as a range-partitioned scan)
+        "pack_sequences": f"""
+            WITH n AS (SELECT doc_id, len({_TOK}) AS nt FROM documents),
+            s AS (SELECT doc_id, nt,
+                         coalesce(sum(nt) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS prev
+                  FROM n)
+            SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                   CAST(prev // 2048 AS BIGINT) AS seq_id,
+                   CAST(prev % 2048 AS BIGINT) AS off_in_seq
+            FROM s""",
         "image_features_md5": _image_features_md5_sql(),
         "chunks_sentence": _chunks_sentence_sql(200),
         # single-sentence subset (the guard in q_chunks_semantic): the

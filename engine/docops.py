@@ -424,6 +424,13 @@ def q_image_features_md5(sf_dir: str):
                               concurrency=(1, 4))
 
 
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing by running token count — distributed
+    range-partitioned prefix scan (engine/packing.py)."""
+    from engine.packing import pack_sequences
+    return pack_sequences(documents_ds(sf_dir))
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights for data selection: hashed unigram+bigram
     features, smoothed target/raw log-ratio summed per raw-split doc
