@@ -24,6 +24,12 @@ class EngineConfig:
     # hash64(term) % num_parts — fixed by config, NOT by input blocking,
     # so segment bytes are identical at any parallelism (FIXTURES.md §5).
     # At 10^12-doc scale this is thousands; tests use small values.
+    # SIZING RULE (measured, BASELINE.md round 3): the post-shuffle
+    # writer tail is bounded by the LARGEST part's single merge+encode,
+    # and term skew makes parts uneven (15x byte spread on the bench
+    # fixture) — size num_parts so the largest part stays ~<=50 MB and
+    # parts >= 4x total CPUs; 64 -> 128 parts at 1.6M docs cut build
+    # wall ~20%, 256 added nothing.
     num_parts: int = 16
     # Number of docmeta partitions (doc_id -> url, doclen), keyed by
     # hash(doc_id) % docmeta_parts and carried through the SAME shuffle
