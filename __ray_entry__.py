@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": d.q_decontaminate,
         "dsir_weights": d.q_dsir_weights,
         "pack_sequences": d.q_pack_sequences,
+        "snippets": d.q_snippets,
         # chunking (M2/M3 + A7 semantic)
         "chunks_fixed": d.q_chunks_fixed,
         "chunks_markdown": d.q_chunks_markdown,           # rows-only
@@ -635,6 +636,39 @@ def _image_features_md5_sql() -> str:
         FROM w GROUP BY 1"""
 
 
+def _snippets_sql() -> str:
+    """Best 8-token window by query-term hits (ties -> earliest start):
+    window-frame sum + row_number, then string_agg over the winning
+    token range.  1-based generate_subscripts maps to the engine's
+    0-based best_start via i-1."""
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS i,
+                       len(toks) AS n
+                FROM t),
+        wins AS (SELECT doc_id, i, n,
+                        sum(CASE WHEN term IN ('hash','join','table')
+                            THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 7 FOLLOWING) AS wh
+                 FROM tok),
+        best AS (SELECT doc_id, i, wh FROM wins
+                 WHERE n >= 8 AND i <= n - 7
+                 QUALIFY row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY wh DESC, i) = 1),
+        sel AS (SELECT doc_id, i AS s, wh FROM best WHERE wh > 0),
+        snip AS (SELECT tok.doc_id,
+                        string_agg(term, ' ' ORDER BY i) AS snippet
+                 FROM tok JOIN sel ON tok.doc_id = sel.doc_id
+                       AND tok.i BETWEEN sel.s AND sel.s + 7
+                 GROUP BY tok.doc_id)
+        SELECT sel.doc_id, CAST(sel.s - 1 AS BIGINT) AS best_start,
+               CAST(sel.wh AS BIGINT) AS hits, snippet
+        FROM sel JOIN snip ON sel.doc_id = snip.doc_id"""
+
+
 def _dsir_sql() -> str:
     """DSIR importance weights: md5-hashed unigram+bigram buckets,
     per-bucket integer micro-log-ratio with Laplace smoothing (the
@@ -1111,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prev % 2048 AS BIGINT) AS off_in_seq
             FROM s""",
         "image_features_md5": _image_features_md5_sql(),
+        "snippets": _snippets_sql(),
         "chunks_sentence": _chunks_sentence_sql(200),
         # single-sentence subset (the guard in q_chunks_semantic): the
         # pinned spec emits one chunk = the original text per doc

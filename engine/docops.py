@@ -424,6 +424,55 @@ def q_image_features_md5(sf_dir: str):
                               concurrency=(1, 4))
 
 
+SNIPPET_WINDOW = 8
+
+
+def q_snippets(sf_dir: str):
+    """Search-result snippet extraction: for every doc containing a
+    query term, the best ``SNIPPET_WINDOW``-token window (max query-term
+    hits, ties to the earliest start) with its token text — the serving
+    feature next to BM25 top-k.  Shuffle-free: one vectorized
+    map_batches (prefix-sum sliding window counts, reduceat argmax);
+    the oracle states the same rule with a window-frame sum +
+    row_number.  Docs shorter than the window or with zero hits are
+    dropped on both sides."""
+    from engine.tokenize import tokenize_batch
+    w = SNIPPET_WINDOW
+    terms = frozenset(BM25_QUERY.split())
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        toks = tokenize_batch(batch.column("text").to_pylist())
+        out_id, out_start, out_hits, out_text = [], [], [], []
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t]
+        ) if lens.sum() else np.empty(0, dtype=object)
+        hit = np.isin(flat, list(terms)).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        pref = np.concatenate(([0], np.cumsum(hit)))
+        for d in np.flatnonzero(lens >= w):
+            o, n = offs[d], lens[d]
+            # hits in window starting at i: pref[o+i+w] - pref[o+i]
+            wins = pref[o + w:o + n + 1] - pref[o:o + n - w + 1]
+            best = int(np.argmax(wins))        # first max = earliest
+            if wins[best] == 0:
+                continue
+            out_id.append(int(ids[d]))
+            out_start.append(best)
+            out_hits.append(int(wins[best]))
+            out_text.append(" ".join(flat[o + best:o + best + w]))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "best_start": pa.array(out_start, pa.int64()),
+            "hits": pa.array(out_hits, pa.int64()),
+            "snippet": pa.array(out_text, pa.large_string()),
+        })
+
+    return documents_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_pack_sequences(sf_dir: str):
     """Training-sequence packing by running token count — distributed
     range-partitioned prefix scan (engine/packing.py)."""

@@ -77,3 +77,51 @@ def test_fingerprint_deterministic_and_shift_invariant():
     c = fingerprint_batch(_tbl(["totally different words here my friend "
                                 "with many more tokens involved"]))
     assert c.column("fingerprint").to_pylist()[0] != a[0]
+
+
+def test_snippets_best_window():
+    """Best-window rule: max hits, ties to the earliest start; short or
+    hitless docs dropped."""
+    import pyarrow as pa
+    import ray
+    from engine.docops import SNIPPET_WINDOW
+
+    texts = [
+        # hits at positions 2,3 and 9,10,11 -> best window starts at 4
+        # (covers 9,10,11 from start<=4+7)... compute naively below
+        "x x hash join x x x x x hash join table y y y y",
+        "no terms here at all in this document text",
+        "hash join",                              # shorter than window
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    import sys
+    from engine import docops
+
+    def naive(text, w=SNIPPET_WINDOW, terms=("hash", "join", "table")):
+        toks = text.split()
+        if len(toks) < w:
+            return None
+        hits = [1 if t in terms else 0 for t in toks]
+        wins = [sum(hits[i:i + w]) for i in range(len(toks) - w + 1)]
+        best = max(range(len(wins)), key=lambda i: (wins[i], -i))
+        if wins[best] == 0:
+            return None
+        return best, wins[best], " ".join(toks[best:best + w])
+
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3), "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+        out = docops.q_snippets(d).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+    want0 = naive(texts[0])
+    assert len(out) == 1 and out["doc_id"].iloc[0] == 0
+    assert (out["best_start"].iloc[0], out["hits"].iloc[0],
+            out["snippet"].iloc[0]) == want0
