@@ -110,6 +110,25 @@ class EngineConfig:
     # agree there).
     cjk_unigrams: bool = True
 
+    @staticmethod
+    def suggest_layout(n_docs: int, n_cpus: int = 32,
+                       avg_doc_tokens: int = 220) -> "EngineConfig":
+        """Executable form of the num_parts sizing rule (measured,
+        BASELINE.md round 3): size term partitions so the LARGEST
+        part's merge+encode stays short — postings bytes / parts
+        ~<= 50 MB with ~4x headroom for term skew — and never below
+        4x the CPU count (so the writer tail packs the session).
+        docmeta parts follow at ~1/4 the term parts.
+
+        Postings bytes estimate: ~2.5 encoded bytes per token."""
+        est_bytes = n_docs * avg_doc_tokens * 2.5
+        skew_headroom = 4
+        by_size = int(est_bytes * skew_headroom // (50 << 20)) + 1
+        parts = max(4 * n_cpus, by_size, 16)
+        parts = 1 << (parts - 1).bit_length()          # round up to 2^k
+        return EngineConfig(num_parts=parts,
+                            docmeta_parts=max(4, parts // 4))
+
     def to_dict(self) -> dict:
         return asdict(self)
 

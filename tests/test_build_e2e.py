@@ -280,3 +280,12 @@ def test_md5_routing_search_equivalence(unit_webtext, tmp_path_factory):
         for method in ("bmw", "daat"):
             assert a.search(q, k=10, method=method) == \
                 b.search(q, k=10, method=method), (q, method)
+
+
+def test_suggest_layout_rule():
+    a = EngineConfig.suggest_layout(1_600_000, 32)
+    assert a.num_parts == 128          # the measured A/B winner
+    b = EngineConfig.suggest_layout(6_400_000, 32)
+    assert b.num_parts > a.num_parts   # grows with corpus size
+    assert b.num_parts & (b.num_parts - 1) == 0     # power of two
+    assert EngineConfig.suggest_layout(1000, 8).num_parts >= 32  # cpu floor
