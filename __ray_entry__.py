@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": d.q_snippets,
         # chunking (M2/M3 + A7 semantic)
         "chunks_fixed": d.q_chunks_fixed,
-        "chunks_markdown": d.q_chunks_markdown,           # rows-only
+        "chunks_markdown": d.q_chunks_markdown,           # guarded recursive-CTE oracle
         "chunks_sentence": d.q_chunks_sentence,           # recursive-CTE oracle
         "chunks_semantic": d.q_chunks_semantic,           # guarded SQL oracle
         # embedding actor pool + rerank + hybrid (A1-A5, RRF)
@@ -712,7 +712,8 @@ def _dsir_sql() -> str:
         WHERE f.doc_id % {M} <> 0 GROUP BY 1"""
 
 
-def _chunks_sentence_sql(budget: int = 200) -> str:
+def _chunks_sentence_sql(budget: int = 200,
+                         extra_guard: str = "") -> str:
     """Recursive-CTE replay of the word-level greedy packer for docs
     inside the SQL guard (engine/chunk.py sentence_sql_guard): unit
     lengths (word + trailing space, last word bare) cumulate to char
@@ -726,7 +727,8 @@ def _chunks_sentence_sql(budget: int = 200) -> str:
         WITH RECURSIVE
         d AS (SELECT doc_id, text, string_split(text, ' ') AS parts
               FROM documents
-              WHERE length(text) > 0 AND text NOT LIKE '%. %'),
+              WHERE length(text) > 0 AND text NOT LIKE '%. %'
+                    {extra_guard}),
         u AS (SELECT doc_id, i,
                      length(parts[CAST(i + 1 AS INT)])
                        + CASE WHEN i + 1 < len(parts) THEN 1 ELSE 0 END
@@ -1147,6 +1149,10 @@ def oracle_sql() -> dict[str, str]:
         "image_features_md5": _image_features_md5_sql(),
         "snippets": _snippets_sql(),
         "chunks_sentence": _chunks_sentence_sql(200),
+        # same walk, stricter guard: the markdown hierarchy collapses
+        # to word packing when no newline / ". " is present
+        "chunks_markdown": _chunks_sentence_sql(
+            200, extra_guard="AND NOT contains(text, chr(10))"),
         # single-sentence subset (the guard in q_chunks_semantic): the
         # pinned spec emits one chunk = the original text per doc
         "chunks_semantic": """

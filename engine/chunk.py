@@ -135,19 +135,23 @@ def split_sentence(text: str, chunk_size: int = 1000,
 SPLITTERS = {"markdown": split_markdown, "sentence": split_sentence}
 
 
-def sentence_sql_guard(chunk_size: int = 1000):
-    """map_batches pre-filter keeping exactly the docs whose sentence
-    chunking is reproducible by the DuckDB recursive-CTE oracle: no
-    ". " boundary (so the packer runs at the word level) and every
-    word unit within the budget (so the char-fallback never fires).
-    The greedy walk over word units is then a pure boundary-jump
-    process the oracle replays with a recursive CTE; docs outside the
-    guard (sentence-level packing, oversize units) stay covered by the
-    pytest lossless/budget properties instead."""
+def sentence_sql_guard(chunk_size: int = 1000, forbid: tuple = (". ",)):
+    """map_batches pre-filter keeping exactly the docs whose chunking
+    is reproducible by the DuckDB recursive-CTE oracle: none of the
+    coarser ``forbid`` separators present (so the packer runs at the
+    word level) and every word unit within the budget (so the
+    char-fallback never fires).  The greedy walk over word units is
+    then a pure boundary-jump process the oracle replays with a
+    recursive CTE; docs outside the guard (coarser-level packing,
+    oversize units) stay covered by the pytest lossless/budget
+    properties instead.  For the markdown hierarchy pass
+    ``forbid=(". ", "\\n")`` — with no newline and no ". " the whole
+    paragraphs->lines->sentences cascade collapses to the same word
+    walk."""
     def f(batch: pa.Table) -> pa.Table:
         keep = []
         for t in batch.column("text").to_pylist():
-            if not t or ". " in t:
+            if not t or any(s in t for s in forbid):
                 keep.append(False)
                 continue
             parts = t.split(" ")

@@ -514,11 +514,18 @@ def q_chunks_sentence(sf_dir: str):
 
 
 def q_chunks_markdown(sf_dir: str):
-    """Structure-aware greedy chunker (pinned reference-shaped spec);
-    rows-only driver check, pytest-verified lossless/budget properties."""
-    from engine.chunk import chunk_documents
-    return chunk_documents(documents_ds(sf_dir), chunk_size=200,
-                           mode="markdown")
+    """Structure-aware greedy chunker (pinned reference-shaped spec).
+    SQL-guarded + oracle-checked: with no newline and no ". " (every
+    doc of the fixture corpus) the paragraphs->lines->sentences cascade
+    collapses to the word-level greedy walk, which the recursive-CTE
+    oracle replays exactly.  The general nested hierarchy stays
+    SQL-infeasible as a flat boundary rule (falsified conjecture
+    documented in round 2) and is pytest-verified instead."""
+    from engine.chunk import chunk_documents, sentence_sql_guard
+    docs = documents_ds(sf_dir).map_batches(
+        sentence_sql_guard(200, forbid=(". ", "\n")),
+        batch_format="pyarrow")
+    return chunk_documents(docs, chunk_size=200, mode="markdown")
 
 
 def q_index_stats(sf_dir: str) -> pd.DataFrame:
