@@ -27,7 +27,13 @@ Module map (SURVEY.md §7.1):
   similarity  brute-force + LSH-bucketed + IVF cosine top-k over embeddings
   embed       hashing + loadable-weights embedder actors, reranker, RRF
   textstats   language-ID, quality scoring, token counts, fingerprints
-  multimodal  binary-column decode/feature plumbing (libs stubbed)
+  filtering   Gopher repetition metrics, CCNet unigram-LM perplexity,
+              benchmark n-gram decontamination, DSIR importance weights
+  packing     training-sequence packing (distributed prefix scan)
+  joins       temporal joins: as-of + range (bucketed co-partition)
+  sampling    deterministic hash sampling (uniform + stratified mixing)
+  multimodal  binary-column decode/feature plumbing (image/video stubbed,
+              audio REAL via stdlib wave; md5-payload oracle twins)
   pdf, docx   pure-Python format extractors (pinned subsets) + writers
   sources     file-corpus walk + extension dispatch (pdf/docx/html/txt)
   urlfetch    HTTP GET ingest stage (reference's pinned header set)
