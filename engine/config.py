@@ -120,11 +120,22 @@ class EngineConfig:
         4x the CPU count (so the writer tail packs the session).
         docmeta parts follow at ~1/4 the term parts.
 
-        Postings bytes estimate: ~2.5 encoded bytes per token."""
+        Postings bytes estimate: ~2.5 encoded bytes per token.
+
+        The size-driven count is CAPPED at 8x the session CPUs:
+        Ray's hash-shuffle aggregator pool plus the join-dedup stage
+        reserve CPU proportional to the partition count, and an
+        oversubscribed pool STALLS a small session outright (reproduced
+        at 1280 partitions on 32 cpus — join tasks held 16 CPUs while
+        the aggregator pool held 8 and neither could finish).  On a
+        real cluster n_cpus is the fleet total, so the byte rule
+        dominates and partitions reach the thousands the 10^12-doc
+        layout needs; on one node the cap trades a longer writer tail
+        for a build that terminates."""
         est_bytes = n_docs * avg_doc_tokens * 2.5
         skew_headroom = 4
         by_size = int(est_bytes * skew_headroom // (50 << 20)) + 1
-        parts = max(4 * n_cpus, by_size, 16)
+        parts = max(4 * n_cpus, min(by_size, 8 * n_cpus), 16)
         parts = 1 << (parts - 1).bit_length()          # round up to 2^k
         return EngineConfig(num_parts=parts,
                             docmeta_parts=max(4, parts // 4))

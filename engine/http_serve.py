@@ -65,10 +65,15 @@ class EngineHttpServer:
     """Threaded HTTP front over a warm embedder (+ optional index)."""
 
     def __init__(self, index_dir: str | None = None, dim: int = 64,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0, service=None):
         self.embedder = HashingEmbedder(dim=dim)
         self.model_name = f"hashing-{dim}"
         self.index = None
+        # optional actor-tier backend (engine.serve QueryService /
+        # ShardedQueryService / DocShardedQueryService): /v1/search
+        # routes to service.search(query, k) instead of the in-process
+        # index — the cluster-serving front (tools/serve_job.py)
+        self.service = service
         # ThreadingHTTPServer handles requests concurrently and the
         # InvertedIndex decoded-term LRU is not thread-safe (pop +
         # reinsert + byte accounting), so searches serialize on a lock;
@@ -160,11 +165,15 @@ class EngineHttpServer:
         }
 
     def _search(self, req: dict) -> tuple[int, dict]:
-        if self.index is None:
+        if self.index is None and self.service is None:
             return 400, _error("no index mounted", "invalid_request_error",
                                "no_index")
         query = req.get("query", "")
         k = int(req.get("k", 10))
+        if self.service is not None:
+            hits = self.service.search(query, k=k)
+            return 200, {"hits": [
+                {"doc_id": int(d), "score": float(s)} for d, s in hits]}
         with self._search_lock:
             hits = self.index.search(query, k=k)
             urls = self.index.url_of([d for d, _ in hits]) if hits else []

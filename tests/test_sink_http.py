@@ -157,3 +157,34 @@ def test_base64_image_routing(http_engine):
     status, resp = _post(f"{base}/v1/embeddings",
                          {"input": [fake_png, "some text"]})
     assert status == 400 and resp["error"]["code"] == "mixed_input_types"
+
+
+def test_http_service_backend(tmp_path, unit_webtext):
+    """EngineHttpServer with an actor-tier service backend: /v1/search
+    routes through QueryService.search and matches the local index."""
+    import json as _json
+    import urllib.request
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.query import InvertedIndex
+    from engine.serve import QueryService
+    from engine.http_serve import EngineHttpServer
+
+    idx_dir = str(tmp_path / "httpsvc_idx")
+    build_index(unit_webtext, idx_dir, EngineConfig(num_parts=4,
+                                                    docmeta_parts=2))
+    svc = QueryService(idx_dir, replicas=1)
+    server = EngineHttpServer(index_dir=None, service=svc)
+    port = server.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/search",
+            data=_json.dumps({"query": "the data", "k": 5}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            hits = _json.loads(r.read())["hits"]
+        local = InvertedIndex(idx_dir).search("the data", k=5)
+        assert [(h["doc_id"], round(h["score"], 9)) for h in hits] == \
+            [(d, round(s, 9)) for d, s in local]
+    finally:
+        server.stop()
