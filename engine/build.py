@@ -38,6 +38,7 @@ Design notes for 100 TB / 10^12-doc scale:
 from __future__ import annotations
 
 import time
+from collections.abc import Mapping
 from typing import Iterable
 
 import numpy as np
@@ -188,18 +189,30 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
         remap_ids = np.fromiter(id_remap.values(), dtype=np.int64,
                                 count=len(id_remap))
 
-    def tokenize_partial(batch: pa.Table) -> pa.Table:
+    def tokenize_partial(batch) -> pa.Table:
+        # Runs under batch_format="numpy" in the build: dict batches are
+        # Mappings, which Ray Data always hands to the UDF — pyarrow
+        # EMPTY batches would be passed through with their upstream
+        # schema instead, poisoning the output buffer's concat (see
+        # extract_batch's docstring).  pa.Table accepted for tests.
+        if isinstance(batch, Mapping):
+            if not batch:  # schema-less empty block from an upstream join
+                return SHUFFLE.empty_table()
+            col = batch.__getitem__
+        else:
+            col = lambda name: batch.column(name).to_numpy(
+                zero_copy_only=False)  # noqa: E731
         if with_url:
-            urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+            urls = np.asarray(col("url"), dtype=object)
             doc_ids = doc_ids_from_urls(urls)
             if id_remap:
                 ri = remap_urls.get_indexer(urls)
                 hit = ri >= 0
                 doc_ids[hit] = remap_ids[ri[hit]]
         else:
-            doc_ids = batch.column("doc_id").to_numpy()
+            doc_ids = np.asarray(col("doc_id"), dtype=np.int64)
             urls = doc_ids.astype(str).astype(object)
-        texts = batch.column("text").to_pylist()
+        texts = list(col("text"))
         tf = count_terms(texts, doc_ids, cfg.cjk_unigrams)
 
         tables = []
@@ -522,7 +535,12 @@ def build_index(
                                               n_keys=n_keys)
                     ds = ds.map_batches(make_dedup_filter(losers),
                                         batch_format="pyarrow")
-                ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                # numpy batches (Mappings) so Ray calls the UDF even on
+                # empty blocks — the join above emits schema-less
+                # empties that would otherwise pass through unchanged
+                # and break the fused stage's rebatch concat (see
+                # extract_batch docstring).
+                ds = ds.map_batches(extract_batch, batch_format="numpy",
                                     batch_size=cfg.extract_batch_size)
                 with_url = True
             elif mode == "docs":
@@ -538,7 +556,7 @@ def build_index(
             shuffle_payload = ds.map_batches(
                 make_tokenize_partial(cfg, done_postings, done_docmeta,
                                       with_url, id_remap=id_remap),
-                batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
+                batch_format="numpy", batch_size=cfg.tokenize_batch_size,
             )
             writer = make_part_writer(sink, cfg, lineage,
                                       frozenset(fail_parts))

@@ -20,6 +20,7 @@ Spec (total on the generated subset):
 from __future__ import annotations
 
 import re
+from collections.abc import Mapping
 
 import numpy as np
 import pyarrow as pa
@@ -78,15 +79,40 @@ def extract_text(html: bytes | str) -> str:
     return "\n\n".join(blocks)
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+# Pinned output schema of the extract stage: identical for EVERY batch,
+# including empty ones, so downstream rebatch buffers always concatenate
+# like schemas.
+EXTRACTED = pa.schema([("url", pa.large_string()),
+                       ("text", pa.large_string())])
+
+
+def extract_batch(batch) -> pa.Table:
     """Stateless map_batches UDF: html:binary -> text:string, html dropped.
 
     Projects the heavy binary column away immediately after extraction so
     downstream blocks stay narrow (SURVEY.md §7.5 "very wide records").
+
+    Accepts a pyarrow Table or a numpy-dict batch.  The build runs this
+    stage with ``batch_format="numpy"`` deliberately: dict batches are
+    Mappings, which Ray Data always hands to the UDF, whereas EMPTY
+    pyarrow/pandas batches are passed through UNCHANGED with their
+    upstream schema (ray/data/_internal/planner/plan_udf_map_op.py:456,
+    a workaround for all-to-all operators emitting schema-less empty
+    blocks).  A left_semi join upstream emits exactly those, and the
+    fused extract->tokenize rebatch buffer then concatenates a
+    {url,warc_ts,html} passthrough with {url,text} outputs ->
+    KeyError 'Column text does not exist in schema' (reproduced at
+    12.8M docs with a 1-in-4 shard filter; tests/test_build_e2e.py::
+    test_build_with_filtered_empty_blocks).
     """
-    html_col = batch.column("html")
-    texts = pa.array(
-        [extract_text(h) for h in html_col.to_pylist()], type=pa.large_string()
-    )
-    out = batch.drop_columns(["html"]).append_column("text", texts)
-    return out
+    if isinstance(batch, Mapping):  # numpy-dict batch ({} when empty)
+        urls = list(batch.get("url", ()))
+        htmls = list(batch.get("html", ()))
+    else:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+    return pa.table({
+        "url": pa.array(urls, type=pa.large_string()),
+        "text": pa.array([extract_text(h) for h in htmls],
+                         type=pa.large_string()),
+    }, schema=EXTRACTED)

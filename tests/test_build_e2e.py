@@ -166,6 +166,38 @@ def test_join_dedup_equals_broadcast(e2e_webtext, tmp_path_factory):
     assert cks_b == cks_j
 
 
+def test_build_with_filtered_empty_blocks(e2e_webtext, tmp_path_factory):
+    """A pre-filtered input Dataset (sharding/selection upstream of the
+    build) produces empty blocks; the join-dedup branch additionally
+    emits schema-less empties.  Ray Data passes empty non-Mapping
+    batches through map_batches UNCHANGED with the upstream schema,
+    which used to poison the fused extract->tokenize rebatch concat
+    (KeyError 'Column text does not exist in schema', reproduced at
+    12.8M docs with a 1-in-4 shard filter).  The numpy-batch stages
+    must build normally, and the union of shard builds must cover
+    exactly the dedup survivors."""
+    import pyarrow as pa
+
+    base = tmp_path_factory.mktemp("shardfilter")
+    cfg = EngineConfig(num_parts=8, docmeta_parts=3,
+                       dedup_strategy="join")
+    S = 4
+    expected = _expected_corpus(e2e_webtext)
+    n_total = 0
+    for s in range(S):
+        def shard_filter(t: pa.Table, s=s) -> pa.Table:
+            ids = doc_ids_from_urls(
+                np.asarray(t.column("url").to_pylist(), dtype=object))
+            return t.filter(pa.array((ids % S) == s))
+        ds = ray.data.read_parquet(e2e_webtext).map_batches(
+            shard_filter, batch_format="pyarrow")
+        m = build_index(ds, str(base / f"s{s}"), cfg)
+        n_exp = sum(1 for (did, _) in expected.values() if did % S == s)
+        assert m["stats"]["n_docs"] == n_exp
+        n_total += m["stats"]["n_docs"]
+    assert n_total == len(expected)
+
+
 def test_doc_id_collision_fails_loudly(tmp_path_factory, monkeypatch):
     """Two distinct urls forced onto one doc_id must abort the docmeta
     part, not silently drop a document (63-bit id space guard)."""
