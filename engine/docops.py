@@ -205,6 +205,17 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_bm25_topk_and(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive (boolean-AND) BM25 top-k: only docs containing every
+    query term rank; same scoring as bm25_topk over the survivors."""
+    idx = docs_index(sf_dir)
+    hits = idx.search(BM25_QUERY, k=10, require_all=True)
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits], dtype=np.float64),
+    })
+
+
 STOP_QUERY = "the a value"  # high-df terms: exercises block-max pruning
 
 

@@ -202,8 +202,19 @@ class InvertedIndex:
                 seen.add(t); out.append(t)
         return out
 
-    def search(self, query: str, k: int = 10, method: str = "bmw"):
-        """-> list of (doc_id, score) sorted score desc, doc_id asc."""
+    def search(self, query: str, k: int = 10, method: str = "bmw",
+               require_all: bool = False):
+        """-> list of (doc_id, score) sorted score desc, doc_id asc.
+
+        ``require_all=True`` switches to conjunctive (AND) semantics:
+        only documents containing EVERY query term are candidates (a
+        term absent from the index empties the result, the classic
+        boolean-AND rule); scores stay full BM25 sums.  Conjunctive
+        queries route to the intersection scorer regardless of
+        ``method`` — block-max upper bounds prune by score, while AND
+        prunes by membership, and the rarest-first intersection is the
+        stronger cut.
+        """
         if k <= 0:
             return []
         terms = self.query_terms(query)
@@ -211,6 +222,8 @@ class InvertedIndex:
         for t in terms:
             e = self.lookup(t)
             if e is None:
+                if require_all:
+                    return []
                 continue
             df, pbytes, skips = e
             # idf from the GLOBAL df when serving a doc-range shard;
@@ -219,11 +232,36 @@ class InvertedIndex:
             entries.append((t, df, idf, pbytes, skips))
         if not entries:
             return []
+        if require_all:
+            return self._search_all(entries, k)
         if method == "daat":
             return self._search_daat(entries, k)
         if method == "dense":
             return self._search_dense(entries, k)
         return self._search_bmw(entries, k)
+
+    def _search_all(self, entries, k: int):
+        """Conjunctive (AND) top-k: decode rarest term first and
+        intersect the docID-sorted position runs progressively (each
+        run is sorted-unique, so ``np.intersect1d(assume_unique=True)``
+        is a linear merge bounded by the RAREST term's df — the
+        candidate set only shrinks, with an early exit on empty).
+        Per-term scores for the survivors are gathered by searchsorted
+        into each term's own run, then summed in ascending-df order."""
+        entries = sorted(entries, key=lambda e: e[1])  # df asc
+        decoded = []
+        inter = None
+        for term, df, idf, pbytes, skips in entries:
+            pos, s = self._decode_term(term, df, pbytes, skips, idf)
+            decoded.append((pos, s))
+            inter = pos if inter is None else np.intersect1d(
+                inter, pos, assume_unique=True)
+            if inter.size == 0:
+                return []
+        acc = np.zeros(inter.size, dtype=np.float64)
+        for pos, s in decoded:
+            acc += s[np.searchsorted(pos, inter)]
+        return self._topk(self._doc_ids[inter], acc, k)
 
     def _search_dense(self, entries, k: int):
         """Exhaustive scoring into a dense per-position array (Lucene

@@ -97,6 +97,45 @@ def test_oracle_self_consistency(index, frozen):
     assert len(expected) == len(queries)
 
 
+def test_conjunctive_and(index):
+    """require_all=True: every hit contains all query terms, the hit
+    set is the brute-force AND subset of the disjunctive candidates,
+    and scores equal the disjunctive score for the same doc (50 random
+    multi-term queries from indexed terms)."""
+    rng = np.random.default_rng(7)
+    entry, _, _ = index._load_part(0)
+    terms = entry[0].tolist()
+    n_checked = 0
+    for _ in range(50):
+        n = int(rng.integers(2, 5))
+        q = " ".join(terms[int(i)] for i in rng.integers(0, len(terms), n))
+        want_terms = set(index.query_terms(q))
+        big_k = 10**6
+        any_hits = dict(index.search(q, k=big_k, method="daat"))
+        # brute-force AND set: docs present in every per-term result
+        per_term = [dict(index.search(t, k=big_k)) for t in want_terms]
+        and_ids = set(per_term[0])
+        for d in per_term[1:]:
+            and_ids &= set(d)
+        got = index.search(q, k=big_k, require_all=True)
+        assert set(d for d, _ in got) == and_ids, q
+        for d, s in got:
+            assert s == pytest.approx(any_hits[d], rel=1e-9), q
+        # ordering contract: score desc, doc_id asc
+        key = [(-s, d) for d, s in got]
+        assert key == sorted(key), q
+        n_checked += len(got)
+    assert n_checked > 0  # the random queries did exercise non-empty ANDs
+
+
+def test_conjunctive_unknown_term_empties(index):
+    assert index.search("the zzqqxxnevergenerated", 10,
+                        require_all=True) == []
+    # single-term AND == single-term OR
+    assert index.search("the", 10, require_all=True) == \
+        index.search("the", 10, method="daat")
+
+
 def test_dense_equals_daat(index, frozen):
     """Explicit dense score-array method: rank-identical with DAAT."""
     queries, _ = frozen
