@@ -476,14 +476,23 @@ def build_index(
         # 200-partition sort-shuffle default, whose reduce serializes on
         # small key cardinality.  Strategy is restored after execution.
         from ray.data.context import DataContext, ShuffleStrategy
-        ctx = DataContext.get_current()
         num_partitions = cfg.num_parts + cfg.docmeta_parts
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        prev = (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
-                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-                ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
-                ctx.min_hash_shuffle_aggregator_wait_time_in_s)
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # Every Dataset captures a DEEPCOPY of the ambient DataContext at
+        # creation, and derived datasets copy from their PARENT — so for
+        # a caller-supplied Dataset source the overrides must also be
+        # applied to the source's captured context, or the whole build
+        # pipeline silently falls back to the 200-partition sort shuffle
+        # (observed: AllToAllOperator[Sort] in a 3.2M-doc shard build fed
+        # a pre-filtered Dataset; 1.9x slower than the hash shuffle).
+        ctxs = [DataContext.get_current()]
+        if isinstance(source, ray.data.Dataset):
+            ctxs.append(source.context)
+        prevs = [(c.shuffle_strategy, c.max_hash_shuffle_aggregators,
+                  c.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+                  c.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+                  c.min_hash_shuffle_aggregator_wait_time_in_s)
+                 for c in ctxs]
         # Size the aggregator actor pool to the session: ~half the CPUs
         # worth of aggregators, each actor budgeted ~0.5 CPU (they only
         # collect/concat partition blocks; the heavy merge runs in
@@ -496,10 +505,12 @@ def build_index(
         n_aggr = max(2, min(max_parts, n_cpus // 2))
         ppa = -(-max_parts // n_aggr)  # partitions per aggregator, ceil
         cpu_override = 0.5 / ppa
-        ctx.max_hash_shuffle_aggregators = n_aggr
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = cpu_override
-        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = cpu_override
-        ctx.min_hash_shuffle_aggregator_wait_time_in_s = 30
+        for c in ctxs:
+            c.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            c.max_hash_shuffle_aggregators = n_aggr
+            c.hash_shuffle_operator_actor_num_cpus_per_partition_override = cpu_override
+            c.hash_aggregate_operator_actor_num_cpus_per_partition_override = cpu_override
+            c.min_hash_shuffle_aggregator_wait_time_in_s = 30
         try:
             id_remap: dict[str, int] | None = None
             if mode == "webtext":
@@ -569,10 +580,11 @@ def build_index(
             )
             lineage["n_parts_written"] = len(metrics_rows)
         finally:
-            (ctx.shuffle_strategy, ctx.max_hash_shuffle_aggregators,
-             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-             ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
-             ctx.min_hash_shuffle_aggregator_wait_time_in_s) = prev
+            for c, prev in zip(ctxs, prevs):
+                (c.shuffle_strategy, c.max_hash_shuffle_aggregators,
+                 c.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+                 c.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+                 c.min_hash_shuffle_aggregator_wait_time_in_s) = prev
 
     lineage["wall_s"] = round(time.perf_counter() - t0, 3)
     return sink.finalize(cfg, lineage)
