@@ -216,6 +216,22 @@ def q_bm25_topk_and(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k under a tombstone overlay (doc_id % 7 == 0 deleted):
+    deleted docs stop ranking, survivors keep their EXACT pre-delete
+    scores — statistics stay stale until compaction (Lucene semantics,
+    engine/index_io.py delete_docs).  The in-memory ``deleted=``
+    override queries the shared cached index without mutating it."""
+    base = docs_index(sf_dir)
+    deleted = base._doc_ids[base._doc_ids % 7 == 0]
+    idx = InvertedIndex(base.index_dir, deleted=deleted)
+    hits = idx.search(BM25_QUERY, k=10)
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits], dtype=np.float64),
+    })
+
+
 STOP_QUERY = "the a value"  # high-df terms: exercises block-max pruning
 
 

@@ -36,6 +36,37 @@ from engine.metrics import PartMetrics
 
 MANIFEST = "_manifest.json"
 COMMIT = "_COMMIT.json"
+DELETES = "_deletes.parquet"
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone-delete documents: union ``doc_ids`` into the index's
+    deletion overlay (``_deletes.parquet``, one sorted-unique int64
+    column) without touching any segment.  Lucene-style semantics:
+    deleted docs stop appearing in results immediately (the loader
+    masks them at decode), but corpus statistics (N, avgdl, df) stay
+    STALE until ``engine.merge.compact_index`` rewrites the segments.
+    Atomic via tmp+replace; idempotent.  Returns the total tombstone
+    count after the union."""
+    import numpy as np
+    new = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    existing = load_deletes(index_dir)
+    if existing.size:
+        new = np.union1d(existing, new)
+    path = os.path.join(index_dir, DELETES)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(new, pa.int64())}), tmp)
+    os.replace(tmp, path)
+    return int(new.size)
+
+
+def load_deletes(index_dir: str):
+    """-> sorted-unique int64 ndarray of tombstoned doc_ids ([] if none)."""
+    import numpy as np
+    path = os.path.join(index_dir, DELETES)
+    if not os.path.exists(path):
+        return np.empty(0, dtype=np.int64)
+    return pq.read_table(path).column("doc_id").to_numpy().astype(np.int64)
 
 
 def part_dir(index_dir: str, kind: str, part: int) -> str:

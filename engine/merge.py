@@ -1,4 +1,4 @@
-"""Index merging: combine indexes built over disjoint doc sets into one.
+"""Index merging + compaction: segment rewrites over built indexes.
 
 The classic segment-merge of a search engine (SPIMI's final phase; the
 reference delegates all index structure to external vector DBs, so this
@@ -6,7 +6,9 @@ is engine-native capability beyond it).  Inputs must share the same
 layout config (num_parts, docmeta_parts, block_size, tokenizer).  Merge
 is embarrassingly parallel per partition: part p of every input merges
 into part p of the output — expressed as a Ray Data pipeline over the
-part list, one merge task per part.
+part list, one merge task per part.  ``compact_index`` is the same
+rewrite over ONE index minus its tombstones (``index_io.delete_docs``
+overlay), re-basing the stale statistics.
 
 Per-posting doclens (needed to rebuild block-max min_doclen for the
 re-blocked runs) come from the inputs' docmeta, broadcast once via
@@ -59,10 +61,33 @@ def _doclen_lookup(index_dirs: list[str], cfg: EngineConfig):
 
 def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
     """Merge N compatible indexes into ``out_dir``; returns the manifest."""
-    manifests = [index_io.load_manifest(d) for d in index_dirs]
+    return _rewrite(list(index_dirs), out_dir,
+                    drop_ids=np.empty(0, dtype=np.int64),
+                    lineage_key="merged_from")
+
+
+def compact_index(index_dir: str, out_dir: str) -> dict:
+    """Rewrite an index WITHOUT its tombstoned documents (the segment
+    merge that re-bases statistics after ``index_io.delete_docs``):
+    every posting run drops the deleted docIDs and re-encodes, terms
+    whose df reaches 0 vanish, docmeta parts are filtered, and the
+    manifest's N/avgdl/df-bearing stats are recomputed — so post-compact
+    scores equal a FRESH BUILD over the surviving corpus bit-for-bit
+    (asserted by tests/test_deletes.py via part checksums).  Same
+    per-part Ray pipeline as merge_indexes; the output carries no
+    deletion overlay."""
+    drop = index_io.load_deletes(index_dir)
+    return _rewrite([index_dir], out_dir, drop_ids=drop,
+                    lineage_key="compacted_from",
+                    extra_lineage={"n_deleted": int(drop.size)})
+
+
+def _rewrite(dirs: list[str], out_dir: str, drop_ids: np.ndarray,
+             lineage_key: str, extra_lineage: dict | None = None) -> dict:
+    manifests = [index_io.load_manifest(d) for d in dirs]
     cfg = _check_compatible(manifests)
-    lookup_ref = ray.put(_doclen_lookup(index_dirs, cfg))
-    dirs = list(index_dirs)
+    lookup_ref = ray.put(_doclen_lookup(dirs, cfg))
+    drop_ref = ray.put(np.sort(np.asarray(drop_ids, dtype=np.int64)))
 
     def merge_one(batch: pa.Table) -> pa.Table:
         rows = []
@@ -70,10 +95,10 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
                               batch.column("part").to_pylist()):
             with Timer() as t:
                 if kind == "docmeta":
-                    m = _merge_docmeta(dirs, out_dir, cfg, part)
+                    m = _merge_docmeta(dirs, out_dir, cfg, part, drop_ref)
                 else:
                     m = _merge_postings(dirs, out_dir, cfg, part,
-                                        lookup_ref)
+                                        lookup_ref, drop_ref)
             m.wall_s = t.wall_s
             rows.append({"kind": kind, "part": part,
                          "checksum": m.checksum})
@@ -86,12 +111,21 @@ def merge_indexes(index_dirs: list[str], out_dir: str) -> dict:
     (ray.data.from_items(parts)
      .map_batches(merge_one, batch_format="pyarrow", batch_size=1)
      .take_all())
-    lineage = {"merged_from": dirs}
+    lineage = {lineage_key: dirs, **(extra_lineage or {})}
     return index_io.finalize(out_dir, cfg, lineage)
 
 
+def _drop_mask(ids: np.ndarray, drop: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask: True where ``ids`` is NOT in sorted ``drop``."""
+    if drop.size == 0:
+        return np.ones(ids.size, dtype=bool)
+    p = np.searchsorted(drop, ids)
+    p[p >= drop.size] = drop.size - 1
+    return drop[p] != ids
+
+
 def _merge_docmeta(dirs: list[str], out_dir: str, cfg: EngineConfig,
-                   part: int) -> PartMetrics:
+                   part: int, drop_ref=None) -> PartMetrics:
     import os
     import pyarrow.parquet as pq
     tabs = []
@@ -104,6 +138,9 @@ def _merge_docmeta(dirs: list[str], out_dir: str, cfg: EngineConfig,
     ids = tab.column("doc_id").to_numpy()
     dls = tab.column("doclen").to_numpy()
     urls = np.asarray(tab.column("url").to_pylist(), dtype=object)
+    if drop_ref is not None:
+        live = _drop_mask(ids.astype(np.int64), ray.get(drop_ref))
+        ids, dls, urls = ids[live], dls[live], urls[live]
     order = np.argsort(ids, kind="stable")
     ids, dls, urls = ids[order], dls[order], urls[order]
     keep = np.concatenate(([True], np.diff(ids) != 0))
@@ -120,9 +157,10 @@ def _merge_docmeta(dirs: list[str], out_dir: str, cfg: EngineConfig,
 
 
 def _merge_postings(dirs: list[str], out_dir: str, cfg: EngineConfig,
-                    part: int, lookup_ref) -> PartMetrics:
+                    part: int, lookup_ref, drop_ref=None) -> PartMetrics:
     import os
     all_ids, all_dls = ray.get(lookup_ref)
+    drop = ray.get(drop_ref) if drop_ref is not None else None
     per_term: dict[str, list] = {}
     for d in dirs:
         pdir = index_io.part_dir(d, "postings", part)
@@ -156,6 +194,11 @@ def _merge_postings(dirs: list[str], out_dir: str, cfg: EngineConfig,
             starts = np.flatnonzero(new)
             tfs = np.add.reduceat(tfs, starts)
             ids = ids[starts]
+        if drop is not None and drop.size:
+            live = _drop_mask(ids, drop)
+            ids, tfs = ids[live], tfs[live]
+            if ids.size == 0:
+                continue  # term fully deleted: vanishes from the dict
         pos = np.searchsorted(all_ids, ids)
         dls = all_dls[pos]
         pb, sb = encode_postings(ids, tfs, dls, cfg.block_size)

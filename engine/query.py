@@ -54,7 +54,8 @@ class InvertedIndex:
 
     def __init__(self, index_dir: str, use_mmap: bool = True,
                  cache_budget_bytes: int = 1 << 30,
-                 doc_range: tuple[int, int] | None = None):
+                 doc_range: tuple[int, int] | None = None,
+                 deleted=None):
         self.index_dir = index_dir
         self.use_mmap = use_mmap  # serving default: page-cache-backed blobs
         # decoded-term cache budget in BYTES, not term count: one
@@ -81,6 +82,25 @@ class InvertedIndex:
         self._doc_ids = ids[order]                       # sorted for searchsorted
         self._doclens = dm.column("doclen").to_numpy()[order].astype(np.float64)
         self._urls = np.asarray(dm.column("url").to_pylist(), dtype=object)[order]
+        # Deletion overlay (Lucene-style tombstones): deleted docs are
+        # masked out of every decoded run BEFORE caching, so they never
+        # score — but N/avgdl/df stay the STALE stored values until
+        # engine.merge.compact_index rewrites the segments (documented
+        # semantics; a fresh build over the survivors re-bases stats).
+        # ``deleted`` overrides the on-disk ``_deletes.parquet`` (lets a
+        # caller query "as if deleted" without mutating a shared dir).
+        if deleted is None:
+            deleted = index_io.load_deletes(index_dir)
+        deleted = np.asarray(deleted, dtype=np.int64)
+        self._del_mask = None
+        if deleted.size and self._doc_ids.size:
+            p = np.searchsorted(self._doc_ids, deleted)
+            ok = p < self._doc_ids.size
+            p = p[ok]
+            p = p[self._doc_ids[p] == deleted[ok]]
+            if p.size:
+                self._del_mask = np.zeros(self._doc_ids.size, dtype=bool)
+                self._del_mask[p] = True
         self._term_cache: dict[int, dict] = {}
         self._blob_cache: dict[int, tuple[bytes, bytes]] = {}
         self._postings_cache: dict[tuple, tuple] = {}  # hot decoded terms
@@ -335,6 +355,10 @@ class InvertedIndex:
                                    self.cfg.block_size)
         ids = ids.astype(np.int64)
         pos = np.searchsorted(self._doc_ids, ids)
+        if self._del_mask is not None:
+            keep = ~self._del_mask[pos]
+            if not keep.all():
+                pos, tfs = pos[keep], tfs[keep]
         scores = self._term_score(tfs, self._doclens[pos],
                                   self.idf(df) if idf is None else idf)
         # cache the SLIM form: (position, score) is all scoring needs
@@ -399,6 +423,12 @@ class InvertedIndex:
         if ids.size == 0:
             return None
         pos = np.searchsorted(self._doc_ids, ids)
+        if self._del_mask is not None:
+            live = ~self._del_mask[pos]
+            if not live.all():
+                pos, ids, tfs = pos[live], ids[live], tfs[live]
+                if ids.size == 0:
+                    return None
         scores = self._term_score(tfs, self._doclens[pos], idf)
         if self._doc_ids.size < (1 << 31):
             pos = pos.astype(np.int32)
