@@ -12,7 +12,7 @@ buffered embed -> adapter upsert.  Ours (SURVEY.md §3.1):
                                               #   partial posting lists +
                                               #   docmeta rows (one shuffle
                                               #   payload, schema.SHUFFLE)
-      -> groupby("part").map_groups(writer)   # THE shuffle: merge partials,
+      -> repartition(keys=["part"]) -> writer  # THE shuffle: merge partials,
                                               #   docID-sort, delta+varbyte
                                               #   encode, atomic part commit
       -> finalize manifest
@@ -37,6 +37,7 @@ Design notes for 100 TB / 10^12-doc scale:
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Mapping
 from typing import Iterable
@@ -48,6 +49,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from engine import index_io as index_io_mod
 from engine.config import EngineConfig, DEFAULT_CONFIG
 from engine.extract import extract_batch
 from engine.metrics import PartMetrics, Timer, sha256_of
@@ -310,6 +312,33 @@ def make_part_writer(sink, cfg: EngineConfig,
             "sum_doclen": [m.sum_doclen], "checksum": [m.checksum],
         })
 
+    def write_parts(batch: pa.Table) -> pa.Table:
+        """One hash-shuffle partition -> its parts, written sequentially.
+
+        The shuffle is ``repartition(keys=["part"], sort=False)`` rather
+        than ``groupby("part").map_groups``: map_groups sorts each
+        aggregated partition by key inside the aggregator actor, and
+        Ray's hash shuffle broadcasts the schema to all aggregators only
+        with the FIRST input block — an empty block arriving first (an
+        all-empty map task from join-produced empty blocks bypasses the
+        UDF and is emitted with the upstream schema) loses the broadcast
+        and the zero-shard aggregators then crash sorting a schema-less
+        empty table (ArrowInvalid 'No match for FieldRef.Name(part)',
+        reproduced via update_index's anti-join under a 4-cpu session).
+        Without the sort the race is harmless: schema-less empties skip
+        this UDF and contribute no rows.  Grouping by part is one stable
+        argsort + run-boundary slices here instead."""
+        parts_col = batch.column("part").to_numpy()
+        order = np.argsort(parts_col, kind="stable")
+        batch = batch.take(pa.array(order))
+        ps = parts_col[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ps[1:] != ps[:-1])))
+        ends = np.concatenate((starts[1:], [ps.size]))
+        return pa.concat_tables(
+            [write_part(batch.slice(int(lo), int(hi - lo)))
+             for lo, hi in zip(starts, ends)])
+
     def _flat(g: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
         """large_list column -> (flat values, per-row counts), zero-copy."""
         arr = g.column(col)
@@ -425,7 +454,7 @@ def make_part_writer(sink, cfg: EngineConfig,
                                  postings_blob, skips_blob, m)
         return m
 
-    return write_part
+    return write_parts
 
 
 # --------------------------------------------------------------------------
@@ -571,11 +600,17 @@ def build_index(
             )
             writer = make_part_writer(sink, cfg, lineage,
                                       frozenset(fail_parts))
+            # keyed hash repartition, NOT groupby().map_groups — see
+            # write_parts' docstring for the empty-first-block schema
+            # race this sidesteps; each output partition holds all rows
+            # of its part-hash bucket, whole-block batches keep every
+            # part intact in one writer call
             metrics_rows = (
                 shuffle_payload
-                .groupby("part",
-                         num_partitions=cfg.num_parts + cfg.docmeta_parts)
-                .map_groups(writer, batch_format="pyarrow")
+                .repartition(cfg.num_parts + cfg.docmeta_parts,
+                             keys=["part"], sort=False)
+                .map_batches(writer, batch_format="pyarrow",
+                             batch_size=None)
                 .take_all()
             )
             lineage["n_parts_written"] = len(metrics_rows)
@@ -588,3 +623,67 @@ def build_index(
 
     lineage["wall_s"] = round(time.perf_counter() - t0, 3)
     return sink.finalize(cfg, lineage)
+
+
+def update_index(
+    source: "str | list[str] | ray.data.Dataset",
+    index_dir: str,
+    out_dir: str,
+    *,
+    mode: str = "webtext",
+    delta_dir: str | None = None,
+) -> dict:
+    """Incrementally add NEW documents to an existing index.
+
+    Three composed primitives, each already scale-tested on its own:
+      1. distributed anti-join of the source against the index's
+         docmeta key (url in webtext mode, doc_id in docs mode) — the
+         reference's ``get_files_to_index`` incremental rule
+         (/root/reference/rust/src/file_loader.rs:118-126) promoted to
+         a Ray left_anti join (no driver-side key set; the docmeta
+         parquet parts ARE the join's small side, read distributed);
+      2. a delta-segment build over only the new docs (same layout
+         config as the base index, so segments stay merge-compatible);
+      3. ``merge_indexes([index_dir, delta_dir], out_dir)`` — the
+         checksum-tested segment merge.
+
+    First-indexed wins: a source row whose key is already indexed is
+    skipped, NOT re-indexed (re-crawls don't churn the index; refresh
+    content via ``index_io.delete_docs`` + update, then
+    ``compact_index``).  The base index's deletion overlay is carried
+    into ``out_dir`` unchanged.  Returns the merged manifest.
+    """
+    import shutil
+
+    man = index_io_mod.load_manifest(index_dir)
+    cfg = EngineConfig.from_dict(man["config"])
+    key = "url" if mode == "webtext" else "doc_id"
+    meta_paths = [
+        os.path.join(index_io_mod.part_dir(index_dir, "docmeta", p),
+                     "docmeta.parquet")
+        for p in range(cfg.docmeta_parts)]
+    meta_paths = [p for p in meta_paths if os.path.exists(p)]
+    if isinstance(source, ray.data.Dataset):
+        ds = source
+    elif mode == "webtext":
+        ds = ray.data.read_parquet(source,
+                                   columns=["url", "warc_ts", "html"])
+    else:
+        ds = ray.data.read_parquet(source, columns=["doc_id", "text"])
+    if meta_paths:
+        existing = ray.data.read_parquet(meta_paths, columns=[key])
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        ds = ds.join(existing, "left_anti", on=(key,),
+                     num_partitions=max(4, min(cfg.dedup_partitions,
+                                               n_cpus * 2)))
+    if delta_dir is None:
+        delta_dir = out_dir + ".delta"
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    build_index(ds, delta_dir, cfg, mode=mode, resume=False)
+    from engine.merge import merge_indexes
+    manifest = merge_indexes([index_dir, delta_dir], out_dir)
+    overlay = os.path.join(index_dir, index_io_mod.DELETES)
+    if os.path.exists(overlay):
+        shutil.copy2(overlay, os.path.join(out_dir, index_io_mod.DELETES))
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    return manifest

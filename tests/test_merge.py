@@ -60,6 +60,47 @@ def test_merge_equals_full_build(ray_session, e2e_webtext, split_dirs,
         assert qm.search(q, k=10) == qf.search(q, k=10)
 
 
+def test_update_index_equals_full_build(ray_session, e2e_webtext,
+                                        split_dirs, tmp_path_factory):
+    """update_index(full corpus) onto a half-corpus index: the anti-join
+    skips every already-indexed url, the delta covers exactly the other
+    half, and the merged output is bit-identical to one build over the
+    whole corpus."""
+    from engine.build import update_index
+
+    out = tmp_path_factory.mktemp("upd")
+    m_full = build_index(e2e_webtext, str(out / "full"), CFG)
+    m_a = build_index(split_dirs[0], str(out / "a"), CFG)
+    assert m_a["stats"]["n_docs"] < m_full["stats"]["n_docs"]
+
+    m_upd = update_index(e2e_webtext, str(out / "a"), str(out / "upd"))
+    assert m_upd["stats"] == m_full["stats"]
+    cks_full = {k: v["checksum"] for k, v in m_full["parts"].items()}
+    cks_upd = {k: v["checksum"] for k, v in m_upd["parts"].items()}
+    assert cks_full == cks_upd
+
+    # idempotence: updating with an already-covered source adds nothing
+    m_again = update_index(e2e_webtext, str(out / "upd"),
+                           str(out / "again"))
+    assert m_again["stats"] == m_full["stats"]
+
+
+def test_update_index_carries_deletes(ray_session, split_dirs,
+                                      tmp_path_factory):
+    from engine import index_io
+    from engine.build import update_index
+
+    out = tmp_path_factory.mktemp("upd_del")
+    build_index(split_dirs[0], str(out / "a"), CFG)
+    idx = InvertedIndex(str(out / "a"))
+    victim = idx.search("the", k=1)[0][0]
+    index_io.delete_docs(str(out / "a"), [victim])
+    update_index(split_dirs[1], str(out / "a"), str(out / "upd"))
+    assert index_io.load_deletes(str(out / "upd")).tolist() == [victim]
+    merged = InvertedIndex(str(out / "upd"))
+    assert victim not in [d for d, _ in merged.search("the", k=10**6)]
+
+
 def test_merge_rejects_incompatible(ray_session, split_dirs,
                                     tmp_path_factory):
     out = tmp_path_factory.mktemp("incompat")
