@@ -53,10 +53,11 @@ from engine import index_io as index_io_mod
 from engine.config import EngineConfig, DEFAULT_CONFIG
 from engine.extract import extract_batch
 from engine.metrics import PartMetrics, Timer, sha256_of
-from engine.postings import encode_postings, encode_postings_many
+from engine.postings import (encode_postings, encode_postings_many,
+                             encode_positions_sized, gather_slices)
 from engine.tokenize import (HASH_FNS, count_terms, doc_ids_from_urls,
                              stable_hash64)
-from engine.schema import SHUFFLE
+from engine.schema import SHUFFLE, shuffle_schema
 
 
 # --------------------------------------------------------------------------
@@ -185,6 +186,7 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
                           id_remap: dict[str, int] | None = None):
     """Build the map_batches UDF producing the single-shuffle payload."""
     P, D = cfg.num_parts, cfg.docmeta_parts
+    SHUF = shuffle_schema(cfg.store_positions)
     if id_remap:
         remap_urls = pd.Index(np.asarray(list(id_remap.keys()),
                                          dtype=object))
@@ -199,7 +201,7 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
         # extract_batch's docstring).  pa.Table accepted for tests.
         if isinstance(batch, Mapping):
             if not batch:  # schema-less empty block from an upstream join
-                return SHUFFLE.empty_table()
+                return SHUF.empty_table()
             col = batch.__getitem__
         else:
             col = lambda name: batch.column(name).to_numpy(
@@ -215,7 +217,11 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
             doc_ids = np.asarray(col("doc_id"), dtype=np.int64)
             urls = doc_ids.astype(str).astype(object)
         texts = list(col("text"))
-        tf = count_terms(texts, doc_ids, cfg.cjk_unigrams)
+        if cfg.store_positions:
+            tf, pos_flat = count_terms(texts, doc_ids, cfg.cjk_unigrams,
+                                       positions=True)
+        else:
+            tf = count_terms(texts, doc_ids, cfg.cjk_unigrams)
 
         tables = []
         # postings partial rows: one per distinct term in the batch,
@@ -235,7 +241,7 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
             uniq_obj = np.asarray(uniq_terms, dtype=object)
             part_arr = (HASH_FNS[cfg.term_hash](uniq_obj)
                         % np.uint64(P)).astype(np.int32)
-            t_post = pa.table({
+            cols = {
                 "part": pa.array(part_arr),
                 "term": pa.array(uniq_obj, pa.large_string()),
                 "doc_ids": pa.LargeListArray.from_arrays(
@@ -244,7 +250,21 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
                 "doclens": pa.LargeListArray.from_arrays(
                     offsets, pa.array(dl_s)),
                 "url": pa.nulls(uniq_obj.size, pa.large_string()),
-            }, schema=SHUFFLE)
+            }
+            if cfg.store_positions:
+                # reorder the per-(doc, term) position slices into the
+                # same (term, doc) order as the posting entries; list
+                # offsets per term row = running occurrence totals
+                tf_rows = tf["tf"].to_numpy().astype(np.int64)
+                row_starts = np.concatenate(([0], np.cumsum(tf_rows)[:-1]))
+                pos_sorted = gather_slices(pos_flat, row_starts,
+                                            tf_rows, order)
+                per_term = np.add.reduceat(tf_rows[order], starts)
+                pos_offs = np.concatenate(
+                    ([0], np.cumsum(per_term))).astype(np.int64)
+                cols["positions"] = pa.LargeListArray.from_arrays(
+                    pos_offs, pa.array(pos_sorted))
+            t_post = pa.table(cols, schema=SHUF)
             if done_postings:  # resume: drop already-committed parts
                 keep = ~np.isin(part_arr,
                                 np.fromiter(done_postings, dtype=np.int32))
@@ -260,7 +280,7 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
         dparts = ((doc_ids % D) + P).astype(np.int32)
         n = len(doc_ids)
         unit_off = np.arange(n + 1, dtype=np.int64)
-        t_meta = pa.table({
+        meta_cols = {
             "part": pa.array(dparts),
             "term": pa.nulls(n, pa.large_string()),
             "doc_ids": pa.LargeListArray.from_arrays(
@@ -270,7 +290,11 @@ def make_tokenize_partial(cfg: EngineConfig, done_postings: frozenset[int],
             "doclens": pa.LargeListArray.from_arrays(
                 unit_off, pa.array(doclens)),
             "url": pa.array(urls.tolist(), pa.large_string()),
-        }, schema=SHUFFLE)
+        }
+        if cfg.store_positions:
+            meta_cols["positions"] = pa.LargeListArray.from_arrays(
+                np.zeros(n + 1, np.int64), pa.array([], pa.int32()))
+        t_meta = pa.table(meta_cols, schema=SHUF)
         if done_docmeta:
             keep = ~np.isin(dparts - np.int32(P),
                             np.fromiter(done_docmeta, dtype=np.int32))
@@ -386,6 +410,7 @@ def make_part_writer(sink, cfg: EngineConfig,
     def _write_postings(g: pa.Table, part: int) -> PartMetrics:
         # vectorized merge: explode every partial list (zero-copy), one
         # global lexsort by (term, doc_id), then per-term slices encode.
+        has_pos = "positions" in g.column_names
         terms = np.asarray(g.column("term").to_pylist(), dtype=object)
         id_flat, counts = _flat(g, "doc_ids")
         tf_flat, _ = _flat(g, "tfs")
@@ -397,11 +422,26 @@ def make_part_writer(sink, cfg: EngineConfig,
         d_s = id_flat[order].astype(np.int64)
         t_s = tf_flat[order].astype(np.int64)
         l_s = dl_flat[order].astype(np.int64)
+        if has_pos:
+            # per-entry occurrence counts == tfs, so the flat position
+            # stream reorders with the same variable-slice gather
+            pos_part, _ = _flat(g, "positions")
+            ent_lens = tf_flat.astype(np.int64)
+            ent_starts = np.concatenate(([0], np.cumsum(ent_lens)[:-1]))
+            pos_s = gather_slices(pos_part, ent_starts, ent_lens, order)
         # collapse duplicate (term, doc) runs: sum tfs, keep first doclen
         # (only possible on dirty input; tolerated for idempotent re-runs)
         new_run = np.concatenate(
             ([True], (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])))
         if not new_run.all():
+            if has_pos:
+                # a duplicated (term, doc) partial would interleave two
+                # occurrence streams for one posting — there is no right
+                # merge (upstream dedup guarantees each doc tokenizes
+                # exactly once), so fail loudly rather than corrupt
+                raise ValueError(
+                    f"part {part}: duplicate (term, doc) partials in a "
+                    "positional build — input contains a repeated doc")
             starts_r = np.flatnonzero(new_run)
             t_s = np.add.reduceat(t_s, starts_r)
             c_s, d_s, l_s = c_s[starts_r], d_s[starts_r], l_s[starts_r]
@@ -435,7 +475,7 @@ def make_part_writer(sink, cfg: EngineConfig,
             postings_blob = b"".join(post_blobs)
             skips_blob = b"".join(skip_blobs)
         cfs = np.add.reduceat(t_s, tstarts)
-        terms_table = pa.table({
+        tcols = {
             "term": pa.array(terms_out, pa.large_string()),
             "df": pa.array((tends - tstarts).astype(np.int64)),
             "cf": pa.array(cfs.astype(np.int64)),
@@ -443,15 +483,42 @@ def make_part_writer(sink, cfg: EngineConfig,
             "post_len": pa.array(lens, pa.int64()),
             "skip_off": pa.array(soffs, pa.int64()),
             "skip_len": pa.array(slens, pa.int64()),
-        })
+        }
+        positions_blob = None
+        if has_pos:
+            # one bulk varbyte pass over the whole part's position
+            # stream; per-term byte ranges from the per-value size array
+            # (a term's occurrence total is exactly its cf)
+            pb_arr, nb = encode_positions_sized(pos_s, t_s)
+            positions_blob = pb_arr.tobytes()
+            term_flat_starts = (np.concatenate(([0], np.cumsum(cfs)[:-1]))
+                                .astype(np.int64))
+            plens = np.add.reduceat(nb, term_flat_starts) \
+                if nb.size else np.zeros(len(terms_out), np.int64)
+            poffs = np.concatenate(([0], np.cumsum(plens)[:-1]))
+            tcols["pos_off"] = pa.array(poffs.astype(np.int64))
+            tcols["pos_len"] = pa.array(plens.astype(np.int64))
+        terms_table = pa.table(tcols)
         m = PartMetrics(part=part, kind="postings", n_terms=len(terms_out),
                         n_postings=n_postings,
                         postings_bytes=len(postings_blob),
                         skip_bytes=len(skips_blob),
-                        checksum=sha256_of(postings_blob, skips_blob),
+                        positions_bytes=(len(positions_blob)
+                                         if positions_blob else 0),
+                        checksum=(sha256_of(postings_blob, skips_blob,
+                                            positions_blob)
+                                  if positions_blob is not None else
+                                  sha256_of(postings_blob, skips_blob)),
                         lineage=lineage or {})
-        sink.write_postings_part(part, terms_table,
-                                 postings_blob, skips_blob, m)
+        if positions_blob is not None:
+            sink.write_postings_part(part, terms_table,
+                                     postings_blob, skips_blob, m,
+                                     positions_blob=positions_blob)
+        else:
+            # positional kwarg omitted so pre-positions custom
+            # IndexSink implementations keep working for plain builds
+            sink.write_postings_part(part, terms_table,
+                                     postings_blob, skips_blob, m)
         return m
 
     return write_parts

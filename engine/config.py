@@ -73,6 +73,20 @@ class EngineConfig:
     # warc_ts (FIXTURES.md §1, explicit stable rule).
     dedup_keep: str = "earliest"
 
+    # --- positional postings (phrase queries) ---
+    # True: the build also records every term OCCURRENCE position
+    # (token index within the document) — per posting, tf positions
+    # delta+varbyte encoded in a third segment blob (positions.bin),
+    # enabling exact phrase search (InvertedIndex.search_phrase).
+    # Additive: False-mode segments are bit-identical to pre-positions
+    # builds (no format version bump); positional indexes carry two
+    # extra term-dictionary columns (pos_off/pos_len) and the blob.
+    # Cost: the shuffle ships ~1 int32 per token instead of ~1 per
+    # distinct (doc, term), and the index grows by roughly the token
+    # count x ~1.1 bytes — the classic positional-index trade
+    # (Lucene's freqs-vs-positions distinction).
+    store_positions: bool = False
+
     # --- doc-id width ---
     # False: doc_id = hash64(url) & 2^63-1; a collision between two
     # DISTINCT urls aborts the build loudly (expected ~2.7% chance of

@@ -244,6 +244,26 @@ def q_bm25_topk_stop(sf_dir: str) -> pd.DataFrame:
     })
 
 
+# positional twin of DOCS_CFG: same layout plus per-occurrence token
+# positions (positions.bin), cached separately (the cfg is in the key)
+DOCS_POS_CFG = EngineConfig(num_parts=8, docmeta_parts=2,
+                            store_positions=True)
+PHRASE_QUERY = "table hash"
+
+
+def q_phrase_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact-phrase top-k over a POSITIONAL index: docs where the query
+    tokens appear consecutively, BM25-ranked over the phrase's distinct
+    terms (engine/query.py search_phrase; postings + delta+varbyte
+    position runs, Lucene .prx shape)."""
+    idx = docs_index(sf_dir, DOCS_POS_CFG)
+    hits = idx.search_phrase(PHRASE_QUERY, k=10)
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits], dtype=np.float64),
+    })
+
+
 LOOKUP_TERM = "hash"
 
 

@@ -101,10 +101,14 @@ def _atomic_write_dir(final_dir: str, files: dict[str, bytes],
 
 def write_postings_part(index_dir: str, part: int, terms: pa.Table,
                         postings_blob: bytes, skips_blob: bytes,
-                        metrics: PartMetrics) -> None:
+                        metrics: PartMetrics,
+                        positions_blob: bytes | None = None) -> None:
+    files = {"postings.bin": postings_blob, "skips.bin": skips_blob}
+    if positions_blob is not None:
+        files["positions.bin"] = positions_blob
     _atomic_write_dir(
         part_dir(index_dir, "postings", part),
-        files={"postings.bin": postings_blob, "skips.bin": skips_blob},
+        files=files,
         tables={"terms.parquet": terms},
         metrics=metrics,
     )
@@ -204,6 +208,21 @@ def read_postings_part(index_dir: str, part: int, use_mmap: bool = False):
     with open(os.path.join(d, "skips.bin"), "rb") as f:
         skips = f.read()
     return terms, postings, skips
+
+
+def read_positions_blob(index_dir: str, part: int,
+                        use_mmap: bool = False):
+    """positions.bin of one segment (b'' when the part is missing or
+    the index is non-positional) — loaded lazily by the phrase path so
+    BM25-only serving never touches it."""
+    path = os.path.join(part_dir(index_dir, "postings", part),
+                        "positions.bin")
+    if not os.path.exists(path):
+        return b""
+    if use_mmap:
+        return _mmap_readonly(path)
+    with open(path, "rb") as f:
+        return f.read()
 
 
 def read_docmeta(index_dir: str, cfg: EngineConfig,

@@ -32,12 +32,15 @@ import ray.data
 from engine import index_io
 from engine.config import EngineConfig
 from engine.metrics import PartMetrics, Timer, sha256_of
-from engine.postings import encode_postings, decode_postings, decode_skips
+from engine.postings import (encode_postings, decode_postings, decode_skips,
+                             decode_positions, encode_positions,
+                             gather_slices)
 
 
 def _check_compatible(manifests: list[dict]) -> EngineConfig:
     cfgs = [EngineConfig.from_dict(m["config"]) for m in manifests]
-    for f in ("num_parts", "docmeta_parts", "block_size", "cjk_unigrams"):
+    for f in ("num_parts", "docmeta_parts", "block_size", "cjk_unigrams",
+              "store_positions", "term_hash"):
         vals = {getattr(c, f) for c in cfgs}
         if len(vals) != 1:
             raise ValueError(f"incompatible indexes: {f} differs ({vals})")
@@ -161,41 +164,62 @@ def _merge_postings(dirs: list[str], out_dir: str, cfg: EngineConfig,
     import os
     all_ids, all_dls = ray.get(lookup_ref)
     drop = ray.get(drop_ref) if drop_ref is not None else None
+    with_pos = cfg.store_positions
     per_term: dict[str, list] = {}
     for d in dirs:
         pdir = index_io.part_dir(d, "postings", part)
         if not os.path.isdir(pdir):
             continue
         terms, postings, skips = index_io.read_postings_part(d, part)
+        posblob = (index_io.read_positions_blob(d, part)
+                   if with_pos else b"")
         cols = [terms.column(c).to_pylist()
                 for c in ("term", "df", "post_off", "post_len",
                           "skip_off", "skip_len")]
-        for t, df, po, pl, so, sl in zip(*cols):
+        pcols = ([terms.column(c).to_pylist()
+                  for c in ("pos_off", "pos_len")]
+                 if with_pos else [[0] * terms.num_rows] * 2)
+        for t, df, po, pl, so, sl, qo, ql in zip(*cols, *pcols):
             ids, tfs = decode_postings(
                 postings[po:po + pl],
                 skips[so:so + sl], df, cfg.block_size)
+            tfs = tfs.astype(np.int64)
+            occ = (decode_positions(posblob[qo:qo + ql], tfs)
+                   if with_pos else None)
             per_term.setdefault(t, []).append(
-                (ids.astype(np.int64), tfs.astype(np.int64)))
+                (ids.astype(np.int64), tfs, occ))
 
     terms_out, dfs, cfs = [], [], []
     offs, lens, soffs, slens = [], [], [], []
-    post_blobs, skip_blobs = [], []
-    post_off = skip_off = 0
+    qoffs, qlens = [], []
+    post_blobs, skip_blobs, pos_blobs = [], [], []
+    post_off = skip_off = qpos_off = 0
     n_postings = 0
     for term in sorted(per_term):
         runs = per_term[term]
         ids = np.concatenate([r[0] for r in runs])
         tfs = np.concatenate([r[1] for r in runs])
+        occ = np.concatenate([r[2] for r in runs]) if with_pos else None
         order = np.argsort(ids, kind="stable")
+        if with_pos:
+            starts_e = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            occ = gather_slices(occ, starts_e, tfs, order)
         ids, tfs = ids[order], tfs[order]
         # same doc in several inputs (rebuild overlap): sum tfs
         new = np.concatenate(([True], np.diff(ids) != 0))
         if not new.all():
+            if with_pos:
+                raise ValueError(
+                    f"part {part}: doc indexed in several inputs — a "
+                    "positional merge cannot reconcile its occurrence "
+                    "streams (deduplicate the builds first)")
             starts = np.flatnonzero(new)
             tfs = np.add.reduceat(tfs, starts)
             ids = ids[starts]
         if drop is not None and drop.size:
             live = _drop_mask(ids, drop)
+            if with_pos:
+                occ = occ[np.repeat(live, tfs)]
             ids, tfs = ids[live], tfs[live]
             if ids.size == 0:
                 continue  # term fully deleted: vanishes from the dict
@@ -209,10 +233,15 @@ def _merge_postings(dirs: list[str], out_dir: str, cfg: EngineConfig,
         soffs.append(skip_off); slens.append(len(sb))
         post_off += len(pb); skip_off += len(sb)
         post_blobs.append(pb); skip_blobs.append(sb)
+        if with_pos:
+            qb = encode_positions(occ, tfs)
+            qoffs.append(qpos_off); qlens.append(len(qb))
+            qpos_off += len(qb)
+            pos_blobs.append(qb)
         n_postings += ids.size
     postings_blob = b"".join(post_blobs)
     skips_blob = b"".join(skip_blobs)
-    terms_table = pa.table({
+    tcols = {
         "term": pa.array(terms_out, pa.large_string()),
         "df": pa.array(dfs, pa.int64()),
         "cf": pa.array(cfs, pa.int64()),
@@ -220,13 +249,25 @@ def _merge_postings(dirs: list[str], out_dir: str, cfg: EngineConfig,
         "post_len": pa.array(lens, pa.int64()),
         "skip_off": pa.array(soffs, pa.int64()),
         "skip_len": pa.array(slens, pa.int64()),
-    })
+    }
+    positions_blob = None
+    if with_pos:
+        positions_blob = b"".join(pos_blobs)
+        tcols["pos_off"] = pa.array(qoffs, pa.int64())
+        tcols["pos_len"] = pa.array(qlens, pa.int64())
+    terms_table = pa.table(tcols)
     m = PartMetrics(part=part, kind="postings", n_terms=len(terms_out),
                     n_postings=n_postings,
                     postings_bytes=len(postings_blob),
                     skip_bytes=len(skips_blob),
-                    checksum=sha256_of(postings_blob, skips_blob),
+                    positions_bytes=(len(positions_blob)
+                                     if positions_blob else 0),
+                    checksum=(sha256_of(postings_blob, skips_blob,
+                                        positions_blob)
+                              if positions_blob is not None else
+                              sha256_of(postings_blob, skips_blob)),
                     lineage={"merged_from": dirs})
     index_io.write_postings_part(out_dir, part, terms_table,
-                                 postings_blob, skips_blob, m)
+                                 postings_blob, skips_blob, m,
+                                 positions_blob=positions_blob)
     return m

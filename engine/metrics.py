@@ -26,6 +26,7 @@ class PartMetrics:
     sum_doclen: int = 0         # docmeta parts only
     postings_bytes: int = 0
     skip_bytes: int = 0
+    positions_bytes: int = 0    # positional builds only (store_positions)
     checksum: str = ""          # sha256 of segment payload
     wall_s: float = 0.0
     lineage: dict = field(default_factory=dict)  # input desc, row counts

@@ -295,3 +295,79 @@ def decode_postings(
     ids = np.cumsum(vals[delta_idx], dtype=np.uint64)
     tfs = vals[delta_idx + np.repeat(counts, counts)]
     return ids, tfs
+
+
+# --------------------------------------------------------------------------
+# positional postings (EngineConfig.store_positions; phrase queries)
+# --------------------------------------------------------------------------
+# Per posting (term, doc) the token positions of every occurrence —
+# ascending, ``tf`` of them — are delta-encoded (first absolute) and
+# varbyte-packed into a third segment blob.  Per-entry counts come from
+# the already-decoded tfs, so the positions stream needs NO offsets of
+# its own: cumsum(tfs) recovers the entry boundaries.  (Lucene .prx
+# shape; none in the reference — its index is an external vector DB,
+# /root/reference/python/python/embed_anything/vectordb.py:9-28.)
+
+def _pos_deltas(pos_flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Absolute per-entry-ascending positions -> delta stream (first of
+    each entry absolute).  Fails loudly on a non-ascending entry."""
+    p = np.asarray(pos_flat, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if p.size == 0:
+        return p.astype(np.uint64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    starts = starts[counts > 0]
+    d = p.copy()
+    d[1:] -= p[:-1]
+    d[starts] = p[starts]
+    if (d < 0).any():
+        raise ValueError("positions not ascending within a posting")
+    return d.astype(np.uint64)
+
+
+def encode_positions_sized(pos_flat: np.ndarray,
+                           counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Bulk encode -> (uint8 byte array, bytes-per-value array).
+
+    One vectorized varbyte pass over a whole part; callers split the
+    byte stream per term with ``np.add.reduceat`` over the size array."""
+    return _varbyte_encode_with_sizes(_pos_deltas(pos_flat, counts))
+
+
+def encode_positions(pos_flat: np.ndarray, counts: np.ndarray) -> bytes:
+    out, _ = encode_positions_sized(pos_flat, counts)
+    return out.tobytes()
+
+
+def decode_positions(buf: bytes | memoryview,
+                     tfs: np.ndarray) -> np.ndarray:
+    """One term's positions blob slice -> flat ABSOLUTE positions
+    (int64), entry boundaries given by ``tfs`` (the posting decode)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = int(tfs.sum())
+    if n == 0:
+        return np.array([], np.int64)
+    deltas = varbyte_decode(buf, count=n).astype(np.int64)
+    cs = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    starts = starts[tfs > 0]
+    # within-entry cumsum: subtract the running total just before each
+    # entry's first value (broadcast per entry, no Python loop)
+    base = cs[starts] - deltas[starts]
+    return cs - np.repeat(base, tfs[tfs > 0])
+
+
+def gather_slices(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                  order: np.ndarray) -> np.ndarray:
+    """Reorder variable-length slices of ``flat`` (slice i = ``flat[
+    starts[i]:starts[i]+lens[i]]``) into ``order`` — one vectorized
+    gather, no per-slice Python loop.  Used to carry per-posting
+    position runs through the build's (term, doc) lexsort and the
+    merge's docID argsort."""
+    lo, ln = starts[order], lens[order]
+    total = int(ln.sum())
+    if total == 0:
+        return flat[:0]
+    idx = (np.repeat(lo, ln) + np.arange(total, dtype=np.int64)
+           - np.repeat(np.concatenate(([0], np.cumsum(ln)[:-1])), ln))
+    return flat[idx]

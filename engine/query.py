@@ -38,7 +38,8 @@ import pyarrow.parquet as pq
 
 from engine import index_io
 from engine.config import EngineConfig
-from engine.postings import decode_postings, decode_skips, decode_block
+from engine.postings import (decode_postings, decode_skips, decode_block,
+                             decode_positions)
 from engine.tokenize import tokenize, stable_hash64
 
 
@@ -103,6 +104,7 @@ class InvertedIndex:
                 self._del_mask[p] = True
         self._term_cache: dict[int, dict] = {}
         self._blob_cache: dict[int, tuple[bytes, bytes]] = {}
+        self._posblob_cache: dict[int, bytes] = {}  # positional indexes
         self._postings_cache: dict[tuple, tuple] = {}  # hot decoded terms
         # distributed-serving hooks: a doc-range shard scores with GLOBAL
         # statistics so per-shard top-k merges are exact (classic
@@ -170,8 +172,10 @@ class InvertedIndex:
                         raise ValueError(
                             f"part {part}: term dictionary not sorted")
                 term_arr = ca.to_numpy(zero_copy_only=False)
-                nums = tuple(terms.column(c).to_numpy()
-                             for c in self._TERM_COLS)
+                cols = list(self._TERM_COLS)
+                if "pos_off" in terms.column_names:  # positional segment
+                    cols += ["pos_off", "pos_len"]
+                nums = tuple(terms.column(c).to_numpy() for c in cols)
                 self._term_cache[part] = (term_arr, nums)
                 self._blob_cache[part] = (postings, skips)
         return self._term_cache[part], *self._blob_cache[part]
@@ -192,8 +196,32 @@ class InvertedIndex:
         ent = self._term_row(entry, term)
         if ent is None:
             return None
-        df, cf, po, pl, so, sl = ent
+        df, cf, po, pl, so, sl = ent[:6]
         return df, postings[po:po + pl], decode_skips(skips[so:so + sl])
+
+    def _positions_blob(self, part: int):
+        """Lazy per-part positions.bin (phrase path only — BM25 serving
+        never touches it, so non-phrase memory cost is zero)."""
+        if part not in self._posblob_cache:
+            self._posblob_cache[part] = index_io.read_positions_blob(
+                self.index_dir, part, use_mmap=self.use_mmap)
+        return self._posblob_cache[part]
+
+    def lookup_positions(self, term: str):
+        """term -> (df, postings bytes, skips, positions bytes) or None.
+        Raises on an index built without ``store_positions=True``."""
+        part = self._part_of(term)
+        entry, postings, skips = self._load_part(part)
+        ent = self._term_row(entry, term)
+        if ent is None:
+            return None
+        if len(ent) < 8:
+            raise ValueError(
+                "phrase search needs a positional index — rebuild with "
+                "EngineConfig(store_positions=True)")
+        df, cf, po, pl, so, sl, qo, ql = ent
+        return (df, postings[po:po + pl], decode_skips(skips[so:so + sl]),
+                self._positions_blob(part)[qo:qo + ql])
 
     def df_of(self, term: str) -> int:
         """Local document frequency (0 if absent) — the term-dictionary
@@ -259,6 +287,80 @@ class InvertedIndex:
         if method == "dense":
             return self._search_dense(entries, k)
         return self._search_bmw(entries, k)
+
+    def search_phrase(self, query: str, k: int = 10):
+        """Exact-phrase top-k: documents containing the query's tokens
+        CONSECUTIVELY, ranked by BM25 over the phrase's distinct terms
+        (the classic phrase-filter + BM25-score rule).  Needs an index
+        built with ``EngineConfig(store_positions=True)``.
+
+        Matching is fully vectorized over composite occurrence keys
+        ``doc_slot << 32 | token_position``: a phrase start ``s`` in doc
+        ``d`` survives token ``i`` iff ``key(d, s) + i`` is present in
+        term i's sorted key run — so the whole verification is one
+        searchsorted membership test per phrase token over runs that
+        only shrink.  Candidate docs are pre-narrowed by the rarest-
+        first sorted intersection the AND path uses, so the occurrence
+        keys ever materialized are bounded by the rarest term's df.
+        """
+        if k <= 0:
+            return []
+        toks = tokenize(query, self.cfg.cjk_unigrams)
+        if not toks:
+            return []
+        uniq = list(dict.fromkeys(toks))
+        runs: dict[str, tuple] = {}
+        for t in uniq:
+            ent = self.lookup_positions(t)
+            if ent is None:
+                return []
+            df, pbytes, skips, pblob = ent
+            ids, tfs = decode_postings(pbytes, skips.tobytes(), df,
+                                       self.cfg.block_size)
+            pos = np.searchsorted(self._doc_ids, ids.astype(np.int64))
+            tfs = tfs.astype(np.int64)
+            tokpos = decode_positions(pblob, tfs)
+            if self._del_mask is not None:
+                keep = ~self._del_mask[pos]
+                if not keep.all():
+                    tokpos = tokpos[np.repeat(keep, tfs)]
+                    pos, tfs = pos[keep], tfs[keep]
+            keys = ((pos.astype(np.int64) << np.int64(32))
+                    .repeat(tfs) | tokpos)
+            runs[t] = (pos.astype(np.int64), keys)
+        inter = None
+        for t in sorted(uniq, key=lambda t: runs[t][0].size):
+            p = runs[t][0]
+            inter = p if inter is None else np.intersect1d(
+                inter, p, assume_unique=True)
+            if inter.size == 0:
+                return []
+
+        def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+            j = np.searchsorted(sorted_arr, vals)
+            ok = j < sorted_arr.size
+            ok[ok] &= sorted_arr[j[ok]] == vals[ok]
+            return ok
+
+        def _restrict(keys: np.ndarray) -> np.ndarray:
+            return keys[_member(inter, keys >> np.int64(32))]
+
+        starts = _restrict(runs[toks[0]][1])
+        for i, t in enumerate(toks[1:], start=1):
+            if starts.size == 0:
+                return []
+            starts = starts[_member(_restrict(runs[t][1]),
+                                    starts + np.int64(i))]
+        if starts.size == 0:
+            return []
+        hits = np.unique(starts >> np.int64(32))
+        acc = np.zeros(hits.size, dtype=np.float64)
+        for t in uniq:
+            df, pbytes, skips = self.lookup(t)
+            idf = self.idf(self._df_overrides.get(t, df))
+            pos, s = self._decode_term(t, df, pbytes, skips, idf)
+            acc += s[np.searchsorted(pos, hits)]
+        return self._topk(self._doc_ids[hits], acc, k)
 
     def _search_all(self, entries, k: int):
         """Conjunctive (AND) top-k: decode rarest term first and

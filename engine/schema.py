@@ -40,6 +40,16 @@ SHUFFLE = pa.schema([
     ("url", pa.large_string()),
 ])
 
+# positional variant (EngineConfig.store_positions): postings partial
+# rows additionally carry the flat token positions of every occurrence,
+# doc-major (per-doc counts == tfs, so no nested offsets are needed)
+SHUFFLE_POS = SHUFFLE.append(
+    pa.field("positions", pa.large_list(pa.int32())))
+
+
+def shuffle_schema(store_positions: bool) -> pa.Schema:
+    return SHUFFLE_POS if store_positions else SHUFFLE
+
 # per-part term dictionary (segment side table)
 TERMS = pa.schema([
     ("term", pa.large_string()),

@@ -44,7 +44,8 @@ class IndexSink(ABC):
     @abstractmethod
     def write_postings_part(self, part: int, terms: pa.Table,
                             postings_blob: bytes, skips_blob: bytes,
-                            metrics: PartMetrics) -> None: ...
+                            metrics: PartMetrics,
+                            positions_blob: bytes | None = None) -> None: ...
 
     @abstractmethod
     def write_docmeta_part(self, part: int, docmeta: pa.Table,
@@ -68,9 +69,10 @@ class LocalIndexSink(IndexSink):
         return index_io.committed_parts(self.index_dir)
 
     def write_postings_part(self, part, terms, postings_blob, skips_blob,
-                            metrics):
+                            metrics, positions_blob=None):
         index_io.write_postings_part(self.index_dir, part, terms,
-                                     postings_blob, skips_blob, metrics)
+                                     postings_blob, skips_blob, metrics,
+                                     positions_blob=positions_blob)
 
     def write_docmeta_part(self, part, docmeta, metrics):
         index_io.write_docmeta_part(self.index_dir, part, docmeta, metrics)

@@ -113,21 +113,32 @@ def count_terms(
     texts: Iterable[str],
     doc_ids: np.ndarray,
     cjk_unigrams: bool = True,
-) -> pd.DataFrame:
+    positions: bool = False,
+):
     """Per-(doc, term) tf for a batch -> DataFrame(doc_id, term, tf, doclen).
 
     The in-batch combiner (reference analog: SPLADE's per-doc max-pool
     reduce, /root/reference/rust/src/embeddings/local/bert.rs:386-388 —
     here the reduce is tf counting).  Counting is one pandas C groupby
     over the exploded token array, not a per-row Python Counter loop.
+
+    ``positions=True`` returns ``(df, pos_flat)`` where ``pos_flat``
+    holds the ascending within-doc token positions of every occurrence,
+    concatenated in the DataFrame's row order (row i owns the next
+    ``tf[i]`` values) — the positional-index build payload.  The rows
+    come out in the SAME order as the default path (ascending
+    (batch-row, first-seen-term-code) key): the stable sort groups the
+    identical keys np.unique would emit, so enabling positions never
+    changes posting bytes.
     """
     tok_lists = tokenize_batch(texts, cjk_unigrams)
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
     if lens.sum() == 0:
-        return pd.DataFrame(
+        df = pd.DataFrame(
             {"doc_id": np.array([], np.int64), "term": np.array([], object),
              "tf": np.array([], np.int32), "doclen": np.array([], np.int32)}
         )
+        return (df, np.array([], np.int32)) if positions else df
     all_tokens = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
     # integer-key counting: factorize terms once (C), then one
     # np.unique over (doc position, term code) int64 keys — ~3x faster
@@ -135,13 +146,29 @@ def count_terms(
     codes, uniq = pd.factorize(all_tokens, sort=False)
     doc_pos = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
     key = doc_pos * np.int64(uniq.size) + codes
-    uk, counts = np.unique(key, return_counts=True)
+    pos_flat = None
+    if positions:
+        # stable argsort groups identical keys while keeping token
+        # order inside each (doc, term) group — i.e. ascending
+        # within-doc positions, exactly what the codec requires
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        uk = ks[starts]
+        counts = np.diff(np.concatenate((starts, [ks.size])))
+        tok_pos = (np.arange(doc_pos.size, dtype=np.int64)
+                   - np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])),
+                               lens))
+        pos_flat = tok_pos[order].astype(np.int32)
+    else:
+        uk, counts = np.unique(key, return_counts=True)
     out_pos = uk // np.int64(uniq.size)
     out_code = uk % np.int64(uniq.size)
     ids_arr = np.asarray(doc_ids, dtype=np.int64)
-    return pd.DataFrame({
+    df = pd.DataFrame({
         "doc_id": ids_arr[out_pos],
         "term": np.asarray(uniq, dtype=object)[out_code],
         "tf": counts.astype(np.int32),
         "doclen": lens[out_pos].astype(np.int32),
     })
+    return (df, pos_flat) if positions else df
