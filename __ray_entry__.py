@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": d.q_bm25_topk_deleted,
         "bm25_topk_stop": d.q_bm25_topk_stop,
         "phrase_topk": d.q_phrase_topk,
+        "phrase_near_topk": d.q_phrase_near_topk,
         "term_top_docs": d.q_term_top_docs,
         "index_stats": d.q_index_stats,                   # rows-only (SipHash part split)
         "index_stats_md5": d.q_index_stats_md5,           # md5-routing oracle
@@ -872,6 +873,36 @@ def oracle_sql() -> dict[str, str]:
                     WHERE g = 'table hash'),
             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
                    WHERE term IN ('table','hash') GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * ({k1} + 1)
+                         / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))
+                     ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+              GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score
+            FROM sc JOIN hit USING (doc_id)
+            ORDER BY score DESC, doc_id LIMIT 10""",
+
+        # proximity (ordered window, slop=2): 'hash' before 'table'
+        # within total gap <= 2, i.e. position delta in [1, 3] — for a
+        # 2-term phrase the engine's greedy ordered-window rule is
+        # exactly this inequality join
+        "phrase_near_topk": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS term,
+                           generate_subscripts(toks, 1) AS i FROM t),
+            hit AS (SELECT DISTINCT a.doc_id
+                    FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+                     AND a.term = 'hash' AND b.term = 'table'
+                     AND b.i - a.i BETWEEN 1 AND 3),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IN ('hash','table') GROUP BY 1, 2),
             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
             st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

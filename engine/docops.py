@@ -264,6 +264,21 @@ def q_phrase_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
+NEAR_QUERY, NEAR_SLOP = "hash table", 2
+
+
+def q_phrase_near_topk(sf_dir: str) -> pd.DataFrame:
+    """Proximity top-k: 'hash' before 'table' with at most NEAR_SLOP
+    interleaving tokens (ordered-window semantics: total gap
+    p_n - p_1 - (n-1) <= slop), BM25-ranked like phrase_topk."""
+    idx = docs_index(sf_dir, DOCS_POS_CFG)
+    hits = idx.search_phrase(NEAR_QUERY, k=10, slop=NEAR_SLOP)
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits], dtype=np.float64),
+    })
+
+
 LOOKUP_TERM = "hash"
 
 

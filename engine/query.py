@@ -288,20 +288,28 @@ class InvertedIndex:
             return self._search_dense(entries, k)
         return self._search_bmw(entries, k)
 
-    def search_phrase(self, query: str, k: int = 10):
-        """Exact-phrase top-k: documents containing the query's tokens
-        CONSECUTIVELY, ranked by BM25 over the phrase's distinct terms
-        (the classic phrase-filter + BM25-score rule).  Needs an index
-        built with ``EngineConfig(store_positions=True)``.
+    def search_phrase(self, query: str, k: int = 10, slop: int = 0):
+        """Exact-phrase / proximity top-k: documents containing the
+        query's tokens in order with at most ``slop`` interleaving
+        non-query tokens in total (``slop=0`` = consecutive, the exact
+        phrase), ranked by BM25 over the phrase's distinct terms (the
+        classic phrase-filter + BM25-score rule).  Needs an index built
+        with ``EngineConfig(store_positions=True)``.
+
+        An ordered occurrence ``p_1 < ... < p_n`` has total gap
+        ``p_n - p_1 - (n-1)`` regardless of the interior choices, and
+        picking the EARLIEST valid next position minimizes ``p_n`` for
+        a fixed start — so greedy matching decides existence exactly.
 
         Matching is fully vectorized over composite occurrence keys
-        ``doc_slot << 32 | token_position``: a phrase start ``s`` in doc
-        ``d`` survives token ``i`` iff ``key(d, s) + i`` is present in
-        term i's sorted key run — so the whole verification is one
-        searchsorted membership test per phrase token over runs that
-        only shrink.  Candidate docs are pre-narrowed by the rarest-
-        first sorted intersection the AND path uses, so the occurrence
-        keys ever materialized are bounded by the rarest term's df.
+        ``doc_slot << 32 | token_position``: slop=0 tests ``key + i``
+        membership in term i's sorted key run (one searchsorted per
+        phrase token over runs that only shrink); slop>0 advances each
+        surviving start to the earliest same-doc successor and applies
+        the gap budget at the end.  Candidate docs are pre-narrowed by
+        the rarest-first sorted intersection the AND path uses, so the
+        occurrence keys ever materialized are bounded by the rarest
+        term's df.
         """
         if k <= 0:
             return []
@@ -346,11 +354,34 @@ class InvertedIndex:
             return keys[_member(inter, keys >> np.int64(32))]
 
         starts = _restrict(runs[toks[0]][1])
-        for i, t in enumerate(toks[1:], start=1):
-            if starts.size == 0:
-                return []
-            starts = starts[_member(_restrict(runs[t][1]),
-                                    starts + np.int64(i))]
+        if slop == 0:
+            for i, t in enumerate(toks[1:], start=1):
+                if starts.size == 0:
+                    return []
+                starts = starts[_member(_restrict(runs[t][1]),
+                                        starts + np.int64(i))]
+        else:
+            # greedy: advance each start's cursor to the earliest
+            # same-doc successor in the next term's run; the total-gap
+            # budget is checked once at the end (it depends only on
+            # the first and last positions)
+            cur = starts
+            for t in toks[1:]:
+                if starts.size == 0:
+                    return []
+                kt = _restrict(runs[t][1])
+                if kt.size == 0:
+                    return []
+                j = np.searchsorted(kt, cur + np.int64(1))
+                ok = j < kt.size
+                nxt = kt[np.minimum(j, max(kt.size - 1, 0))]
+                ok &= (nxt >> np.int64(32)) == (cur >> np.int64(32))
+                starts, cur = starts[ok], nxt[ok]
+            n = np.int64(len(toks))
+            ok = ((cur & np.int64(0xFFFFFFFF))
+                  - (starts & np.int64(0xFFFFFFFF))
+                  - (n - 1)) <= np.int64(slop)
+            starts = starts[ok]
         if starts.size == 0:
             return []
         hits = np.unique(starts >> np.int64(32))

@@ -269,3 +269,65 @@ def test_positional_webtext_build(ray_session, e2e_webtext,
     toks = next(t for t in (tokenize(x) for x in texts) if len(t) >= 2)
     hits = idx.search_phrase(" ".join(toks[:2]), k=10)
     assert hits, "phrase from a real page must match at least its own doc"
+
+
+def _brute_slop(phrase, slop, k=10):
+    """Independent proximity oracle: enumerate ALL monotone position
+    assignments (tiny docs) — exists one with total gap <= slop."""
+    from itertools import product
+    toks = tokenize(phrase)
+    if not toks:
+        return []
+    hits = []
+    for did, text in zip(IDS, DOCS):
+        dt = tokenize(text)
+        plists = [[i for i, t in enumerate(dt) if t == q] for q in toks]
+        if any(not p for p in plists):
+            continue
+        found = any(
+            all(b > a for a, b in zip(combo, combo[1:]))
+            and combo[-1] - combo[0] - (len(toks) - 1) <= slop
+            for combo in product(*plists))
+        if found:
+            hits.append(did)
+    if not hits:
+        return []
+    out = [(d, s) for d, s in _brute_phrase(" ".join(toks), k=len(DOCS))
+           if d in hits]
+    # _brute_phrase filters on exact adjacency; rescore from hits instead
+    import math
+    n = len(DOCS)
+    dls = {i: len(tokenize(t)) for i, t in zip(IDS, DOCS)}
+    avgdl = sum(dls.values()) / n
+    out = []
+    for did in hits:
+        dt = tokenize(DOCS[IDS.index(did)])
+        sc = 0.0
+        for t in dict.fromkeys(toks):
+            tf = dt.count(t)
+            df = sum(1 for x in DOCS if t in tokenize(x))
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            sc += (idf * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[did] / avgdl)))
+        out.append((did, sc))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_proximity_vs_brute(pos_index):
+    idx = InvertedIndex(pos_index[0])
+    cases = [(q, s) for q in PHRASES if q for s in (0, 1, 2, 5)]
+    cases += [("hash table", 1), ("hash scan", 1), ("hash scan", 2),
+              ("the mat", 1), ("the mat", 3), ("join scan join", 2),
+              ("one three", 1), ("one ten", 7), ("one ten", 8),
+              ("cat mat", 0), ("cat mat", 9)]
+    for q, s in cases:
+        got = [(d, round(sc, 9)) for d, sc in idx.search_phrase(q, slop=s)]
+        exp = [(d, round(sc, 9)) for d, sc in _brute_slop(q, s)]
+        assert got == exp, (q, s, got, exp)
+
+
+def test_slop_zero_equals_exact(pos_index):
+    idx = InvertedIndex(pos_index[0])
+    for q in PHRASES:
+        assert idx.search_phrase(q, slop=0) == idx.search_phrase(q)
