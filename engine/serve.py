@@ -381,6 +381,11 @@ class DocShardWorker:
         self.idx.add_df_overrides(dfs)
         return self.idx.search(query, k=k, method=method)
 
+    def search_phrase_topk(self, query: str, k: int, dfs: dict[str, int],
+                           slop: int = 0):
+        self.idx.add_df_overrides(dfs)
+        return self.idx.search_phrase(query, k=k, slop=slop)
+
 
 class DocShardedQueryService:
     """The QPS-optimal distributed layout (classic web-search design):
@@ -470,6 +475,25 @@ class DocShardedQueryService:
             return []
         futs = self._scatter(query, k)
         return [] if futs is None else self._merge(ray.get(futs), k)
+
+    def search_phrase(self, query: str, k: int = 10, slop: int = 0):
+        """Distributed phrase / proximity top-k (positional shard
+        indexes only).  Phrase matching is a PER-DOCUMENT predicate and
+        every doc lives whole on one shard, so scattering the phrase
+        and merging per-shard top-k is exact — the reason real engines
+        shard by document, not by term: a term-sharded layout would
+        have to ship position runs between shards for every multi-term
+        phrase.  Scores use the same global-stats exchange as search(),
+        so results are bit-identical to one global positional index."""
+        if k <= 0:
+            return []
+        terms = self._terms_of(query)
+        if not terms:
+            return []
+        dfs = self._global_dfs(terms)
+        futs = [w.search_phrase_topk.remote(query, k, dfs, slop)
+                for w in self.workers]
+        return self._merge(ray.get(futs), k)
 
     def search_many(self, queries: list[str], k: int = 10):
         """Pipelined: all queries' per-shard top-k futures are in flight

@@ -331,3 +331,28 @@ def test_slop_zero_equals_exact(pos_index):
     idx = InvertedIndex(pos_index[0])
     for q in PHRASES:
         assert idx.search_phrase(q, slop=0) == idx.search_phrase(q)
+
+
+def test_doc_sharded_phrase_bit_identical(pos_index, ray_session,
+                                          tmp_path_factory):
+    """Doc-sharded phrase serving == single positional index, bitwise
+    (per-doc predicate + global-stats exchange)."""
+    from engine.serve import DocShardedQueryService
+    pos_dir, _, src = pos_index
+    out = tmp_path_factory.mktemp("posshards")
+    tab = pq.read_table(src)
+    half = tab.column("doc_id").to_numpy() % 2 == 0
+    pq.write_table(tab.filter(pa.array(half)), str(out / "a.parquet"))
+    pq.write_table(tab.filter(pa.array(~half)), str(out / "b.parquet"))
+    build_index(str(out / "a.parquet"), str(out / "sa"), CFG, mode="docs")
+    build_index(str(out / "b.parquet"), str(out / "sb"), CFG, mode="docs")
+    svc = DocShardedQueryService([str(out / "sa"), str(out / "sb")])
+    try:
+        local = InvertedIndex(pos_dir)
+        for q in PHRASES:
+            for slop in (0, 2):
+                assert svc.search_phrase(q, slop=slop) == \
+                    local.search_phrase(q, slop=slop), (q, slop)
+        assert svc.search_phrase("the cat", k=0) == []
+    finally:
+        svc.shutdown()
