@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 from engine import index_io
 from engine.config import EngineConfig
 from engine.postings import (decode_postings, decode_skips, decode_block,
-                             decode_positions)
+                             decode_positions, gather_slices)
 from engine.tokenize import tokenize, stable_hash64
 
 
@@ -105,6 +105,8 @@ class InvertedIndex:
         self._term_cache: dict[int, dict] = {}
         self._blob_cache: dict[int, tuple[bytes, bytes]] = {}
         self._posblob_cache: dict[int, bytes] = {}  # positional indexes
+        self._positions_cache: dict[str, tuple] = {}  # decoded positions
+        self._pos_cache_bytes = 0
         self._postings_cache: dict[tuple, tuple] = {}  # hot decoded terms
         # distributed-serving hooks: a doc-range shard scores with GLOBAL
         # statistics so per-shard top-k merges are exact (classic
@@ -198,6 +200,45 @@ class InvertedIndex:
             return None
         df, cf, po, pl, so, sl = ent[:6]
         return df, postings[po:po + pl], decode_skips(skips[so:so + sl])
+
+    def _decode_term_positions(self, term: str):
+        """(docID-run positions, tfs, flat token positions) for phrase
+        matching, deletes masked out, cached in a byte-budget LRU of its
+        own (position streams are O(cf) — a stopword's decode is the
+        dominant phrase cost, so it must amortize exactly like the
+        score cache does for BM25)."""
+        hit = self._positions_cache.get(term)
+        if hit is not None:
+            self._positions_cache.pop(term)
+            self._positions_cache[term] = hit   # LRU touch
+            return hit
+        ent = self.lookup_positions(term)
+        if ent is None:
+            return None
+        df, pbytes, skips, pblob = ent
+        ids, tfs = decode_postings(pbytes, skips.tobytes(), df,
+                                   self.cfg.block_size)
+        pos = np.searchsorted(self._doc_ids, ids.astype(np.int64))
+        tfs = tfs.astype(np.int64)
+        tokpos = decode_positions(pblob, tfs)
+        if self._del_mask is not None:
+            keep = ~self._del_mask[pos]
+            if not keep.all():
+                tokpos = tokpos[np.repeat(keep, tfs)]
+                pos, tfs = pos[keep], tfs[keep]
+        if self._doc_ids.size < (1 << 31):
+            pos = pos.astype(np.int32)
+        out = (pos, tfs.astype(np.int32), tokpos.astype(np.int32))
+        size = sum(a.nbytes for a in out)
+        if size <= self.cache_budget_bytes:
+            while (self._pos_cache_bytes + size > self.cache_budget_bytes
+                   and self._positions_cache):
+                oldest = next(iter(self._positions_cache))
+                ev = self._positions_cache.pop(oldest)
+                self._pos_cache_bytes -= sum(a.nbytes for a in ev)
+            self._positions_cache[term] = out
+            self._pos_cache_bytes += size
+        return out
 
     def _positions_blob(self, part: int):
         """Lazy per-part positions.bin (phrase path only — BM25 serving
@@ -307,9 +348,12 @@ class InvertedIndex:
         phrase token over runs that only shrink); slop>0 advances each
         surviving start to the earliest same-doc successor and applies
         the gap budget at the end.  Candidate docs are pre-narrowed by
-        the rarest-first sorted intersection the AND path uses, so the
-        occurrence keys ever materialized are bounded by the rarest
-        term's df.
+        the rarest-first sorted intersection the AND path uses, and
+        occurrence keys are built ONLY for candidate docs (a
+        variable-slice gather out of the decoded position stream) — a
+        stopword in the phrase costs its one O(cf) position decode
+        (amortized by the byte-budget LRU) but never O(cf) key
+        construction or membership work.
         """
         if k <= 0:
             return []
@@ -319,23 +363,10 @@ class InvertedIndex:
         uniq = list(dict.fromkeys(toks))
         runs: dict[str, tuple] = {}
         for t in uniq:
-            ent = self.lookup_positions(t)
-            if ent is None:
+            dec = self._decode_term_positions(t)
+            if dec is None:
                 return []
-            df, pbytes, skips, pblob = ent
-            ids, tfs = decode_postings(pbytes, skips.tobytes(), df,
-                                       self.cfg.block_size)
-            pos = np.searchsorted(self._doc_ids, ids.astype(np.int64))
-            tfs = tfs.astype(np.int64)
-            tokpos = decode_positions(pblob, tfs)
-            if self._del_mask is not None:
-                keep = ~self._del_mask[pos]
-                if not keep.all():
-                    tokpos = tokpos[np.repeat(keep, tfs)]
-                    pos, tfs = pos[keep], tfs[keep]
-            keys = ((pos.astype(np.int64) << np.int64(32))
-                    .repeat(tfs) | tokpos)
-            runs[t] = (pos.astype(np.int64), keys)
+            runs[t] = dec                       # (pos run, tfs, tokpos)
         inter = None
         for t in sorted(uniq, key=lambda t: runs[t][0].size):
             p = runs[t][0]
@@ -344,21 +375,33 @@ class InvertedIndex:
             if inter.size == 0:
                 return []
 
+        # candidate-only composite keys: for each term, gather just the
+        # position slices of the docs in ``inter`` (entries located by
+        # one searchsorted into the term's docID-sorted run)
+        keyruns: dict[str, np.ndarray] = {}
+        for t in uniq:
+            pos, tfs, tokpos = runs[t]
+            e = np.searchsorted(pos, inter)
+            cums = np.concatenate(
+                ([0], np.cumsum(tfs, dtype=np.int64)[:-1]))
+            lens = tfs[e].astype(np.int64)
+            occ = gather_slices(tokpos, cums[e], lens,
+                                np.arange(e.size))
+            keyruns[t] = ((inter.astype(np.int64) << np.int64(32))
+                          .repeat(lens) | occ.astype(np.int64))
+
         def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
             j = np.searchsorted(sorted_arr, vals)
             ok = j < sorted_arr.size
             ok[ok] &= sorted_arr[j[ok]] == vals[ok]
             return ok
 
-        def _restrict(keys: np.ndarray) -> np.ndarray:
-            return keys[_member(inter, keys >> np.int64(32))]
-
-        starts = _restrict(runs[toks[0]][1])
+        starts = keyruns[toks[0]]
         if slop == 0:
             for i, t in enumerate(toks[1:], start=1):
                 if starts.size == 0:
                     return []
-                starts = starts[_member(_restrict(runs[t][1]),
+                starts = starts[_member(keyruns[t],
                                         starts + np.int64(i))]
         else:
             # greedy: advance each start's cursor to the earliest
@@ -369,7 +412,7 @@ class InvertedIndex:
             for t in toks[1:]:
                 if starts.size == 0:
                     return []
-                kt = _restrict(runs[t][1])
+                kt = keyruns[t]
                 if kt.size == 0:
                     return []
                 j = np.searchsorted(kt, cur + np.int64(1))
