@@ -196,6 +196,40 @@ def _query_qps_docsharded(n_shards: int = 2, batches: int = 40) -> float:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _phrase_latency(n_rows: int = 50000, k: int = 10) -> dict:
+    """Positional-index phrase probe: build a ``store_positions`` index
+    over a (smaller, cached) webtext fixture, then time ``search_phrase``
+    over 2-token phrases derived from the fixture query set.  Warm
+    latencies exercise the decoded-positions LRU (the production cache
+    path); the positional build wall is reported separately so the
+    headline build metric stays the plain-index number."""
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.query import InvertedIndex
+    src = _ensure_webtext(n_rows)
+    cfg = EngineConfig(num_parts=32, docmeta_parts=8, store_positions=True)
+    d = tempfile.mkdtemp(prefix="bench_pos_", dir="/tmp")
+    t0 = time.perf_counter()
+    build_index(src, d, cfg, mode="webtext", resume=False)
+    build_wall = time.perf_counter() - t0
+    with open(QUERIES_PATH) as f:
+        qset = json.load(f)
+    phrases = [" ".join(q.split()[:2]) for q in qset if len(q.split()) >= 2]
+    idx = InvertedIndex(d)
+    for q in phrases:                     # cold pass warms the LRUs
+        idx.search_phrase(q, k=k)
+    lat = []
+    for _ in range(5):
+        for q in phrases:
+            t0 = time.perf_counter()
+            idx.search_phrase(q, k=k)
+            lat.append(time.perf_counter() - t0)
+    lat.sort()
+    shutil.rmtree(d, ignore_errors=True)
+    return {"build_s": build_wall, "p50_s": statistics.median(lat),
+            "p95_s": lat[int(len(lat) * 0.95) - 1], "n": len(lat)}
+
+
 def run_default(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     queries: dict[str, float] = {}
@@ -211,6 +245,11 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     qps = _query_qps(idx_dir)
     qps_sharded = _query_qps_sharded(idx_dir)
     qps_docsharded = _query_qps_docsharded()
+
+    phr = _phrase_latency()
+    queries["positional_build_50k"] = round(phr["build_s"], 3)
+    queries["phrase_query_p50"] = round(phr["p50_s"], 6)
+    queries["phrase_query_p95"] = round(phr["p95_s"], 6)
 
     from engine import docops
     import __ray_entry__ as entrymod
