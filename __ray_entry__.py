@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": d.q_corpus_stats,
         # the flagship engine: BM25 top-k + postings lookup (3.2, J3, T1)
         "bm25_topk": d.q_bm25_topk,
+        "bm25_topk_filtered": d.q_bm25_topk_filtered,
         "bm25_topk_and": d.q_bm25_topk_and,
         "bm25_topk_deleted": d.q_bm25_topk_deleted,
         "bm25_topk_stop": d.q_bm25_topk_stop,
@@ -812,6 +813,31 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM sc
             ORDER BY score DESC, doc_id LIMIT 10""",
+
+        # doc-values filter: candidates restricted to lang='en', but
+        # every statistic (N, avgdl, df) stays corpus-global — the
+        # Lucene filter-query rule, so scores match unfiltered bm25_topk
+        "bm25_topk_filtered": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ('hash','join','table') GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * ({k1} + 1)
+                         / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))
+                     ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+              GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id
+            WHERE dd.lang = 'en'
+            ORDER BY score DESC, sc.doc_id LIMIT 10""",
 
         # tombstone overlay: doc_id % 7 == 0 deleted — excluded from
         # ranking but still counted in N/avgdl/df (stale-stats

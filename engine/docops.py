@@ -205,6 +205,30 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
+    """Metadata-filtered BM25 top-k: candidates restricted to lang='en'
+    via the doc-values sidecar (engine/docvalues.py attach_doc_values +
+    search(where=...)); scores/statistics stay global (Lucene
+    filter-query semantics), so each survivor's score equals its
+    unfiltered bm25_topk score."""
+    from engine.docvalues import SIDECAR, attach_doc_values
+    from engine import index_io
+    idx = docs_index(sf_dir)
+    missing = [p for p in range(DOCS_CFG.docmeta_parts)
+               if not os.path.exists(os.path.join(
+                   index_io.part_dir(idx.index_dir, "docmeta", p), SIDECAR))]
+    if missing:  # attach once per cached index (atomic per part)
+        attach_doc_values(
+            idx.index_dir,
+            os.path.join(sf_dir, "documents.parquet"), ["lang"])
+    hits = idx.search(BM25_QUERY, k=10, where=("lang", ("en",)))
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits],
+                           dtype=np.float64),
+    })
+
+
 def q_bm25_topk_and(sf_dir: str) -> pd.DataFrame:
     """Conjunctive (boolean-AND) BM25 top-k: only docs containing every
     query term rank; same scoring as bm25_topk over the survivors."""

@@ -1,0 +1,203 @@
+"""Sidecar doc-values columns + metadata-filtered search support.
+
+The Lucene-docvalues analog: per-document metadata columns (``lang``,
+``source``, a crawl label, ...) stored OUTSIDE the inverted index as one
+``docvalues.parquet`` per docmeta part, attached AFTER the build by a
+single narrow Ray Data shuffle.  The index core stays lean; filters are
+a query-time mask over the aligned value arrays (``InvertedIndex.search
+(..., where=(col, values))`` — engine/query.py), with corpus statistics
+(N, avgdl, df) unchanged, i.e. the standard search-engine filter
+semantics (a Lucene filter query does not re-weight idf).
+
+Why no join: the build's document identity is a pure function of the
+build key (``doc_ids_from_urls(url)`` in webtext mode, the ``doc_id``
+column in docs mode — engine/build.py make_tokenize_partial), and
+docmeta parts split by ``doc_id % docmeta_parts`` (engine/build.py).
+So attaching values to an existing index is map_batches (compute
+doc_id + part) -> one keyed repartition of just (part, doc_id, cols)
+-> one atomic parquet per part.  At 10^12 docs that is a shuffle of
+narrow columns only — no full-corpus join, no index rewrite.
+
+Reference parity note: EmbedAnything carries per-document metadata as
+string maps on every embedded chunk (rust/src/text_loader.rs:33-52,
+metadata on EmbedData); this module is that surface re-expressed for a
+shared index: metadata lives once per document beside docmeta, not
+copied into every posting.
+
+Scale/limits:
+- The sidecar source must have at most one row per document key;
+  duplicate doc_ids within a part fail loudly (the index build already
+  deduplicated its input, so duplicates mean the caller attached the
+  pre-dedup table).
+- Docs present in the index but absent from the sidecar simply never
+  match any ``where`` filter (mask False); extra sidecar rows for
+  unknown docs are dropped at load.
+- An index built with ``wide_doc_ids=True`` remaps colliding ids
+  (engine/build.py resolve_id_collisions); remapped docs (a ~0
+  fraction) are treated as absent from the sidecar.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from engine import index_io
+from engine.config import EngineConfig
+from engine.tokenize import doc_ids_from_urls
+
+SIDECAR = "docvalues.parquet"
+
+
+def _writer_for(index_dir: str, columns: list[str]):
+    """Per-bucket writer: slice the repartitioned batch by part, sort by
+    doc_id (deterministic bytes at any upstream parallelism), fail-loud
+    on duplicate keys, atomic tmp+rename into the existing docmeta part
+    dir."""
+
+    def write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        parts = batch.column("part").to_numpy()
+        out_p, out_n = [], []
+        for part in np.unique(parts):
+            sl = batch.filter(pa.array(parts == part))
+            ids = sl.column("doc_id").to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            if ids.size > 1 and (ids[1:] == ids[:-1]).any():
+                dup = int(ids[np.flatnonzero(ids[1:] == ids[:-1])[0]])
+                raise ValueError(
+                    f"attach_doc_values: duplicate doc_id {dup} in part "
+                    f"{int(part)} — the sidecar source must be unique "
+                    "per document key (attach the post-dedup table)")
+            cols = {"doc_id": pa.array(ids)}
+            for c in columns:
+                cols[c] = sl.column(c).take(pa.array(order))
+            d = index_io.part_dir(index_dir, "docmeta", int(part))
+            if not os.path.isdir(d):
+                raise FileNotFoundError(
+                    f"attach_doc_values: docmeta part dir missing: {d}")
+            tmp = os.path.join(d, SIDECAR + ".tmp")
+            pq.write_table(pa.table(cols), tmp)
+            os.replace(tmp, os.path.join(d, SIDECAR))
+            out_p.append(int(part))
+            out_n.append(int(ids.size))
+        return pa.table({"part": pa.array(out_p, pa.int32()),
+                         "rows": pa.array(out_n, pa.int64())})
+
+    return write
+
+
+def attach_doc_values(index_dir: str,
+                      source: "str | list[str] | ray.data.Dataset",
+                      columns: list[str] | tuple[str, ...],
+                      key: str | None = None) -> dict:
+    """Attach per-document metadata columns to an existing index.
+
+    ``source`` is the (post-dedup) document table — a parquet path/list
+    or a Dataset — carrying ``key`` plus ``columns``.  ``key`` defaults
+    to ``url`` for webtext-mode indexes and ``doc_id`` for docs-mode
+    ones (read from the index manifest).  Re-attaching REPLACES the
+    sidecar (one docvalues.parquet per docmeta part).
+
+    Returns {"parts": n_parts_written, "rows": total_rows}.
+    """
+    columns = list(columns)
+    manifest = index_io.load_manifest(index_dir)
+    cfg = EngineConfig.from_dict(manifest["config"])
+    D = cfg.docmeta_parts
+    if key is None:
+        mode = (manifest.get("lineage") or {}).get("mode", "webtext")
+        key = "url" if mode == "webtext" else "doc_id"
+
+    if isinstance(source, ray.data.Dataset):
+        ds = source
+    else:
+        ds = ray.data.read_parquet(source, columns=[key] + columns)
+
+    # keyed repartition requires the hash-shuffle strategy; Datasets
+    # capture a deepcopy of the ambient DataContext at creation (and a
+    # caller-supplied Dataset carries its own), so set + restore on both
+    # — same discipline as the build shuffle (engine/build.py).
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    # ds.context covers BOTH source kinds: a read_parquet Dataset has
+    # already captured its deepcopy by now, and a caller-supplied
+    # Dataset carries its own
+    ctxs = [DataContext.get_current(), ds.context]
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_aggr = max(2, min(D, n_cpus // 2))
+    ppa = -(-D // n_aggr)
+    prevs = [(c.shuffle_strategy, c.max_hash_shuffle_aggregators,
+              c.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+              c.min_hash_shuffle_aggregator_wait_time_in_s) for c in ctxs]
+    for c in ctxs:
+        c.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        c.max_hash_shuffle_aggregators = n_aggr
+        c.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+            0.5 / ppa
+        c.min_hash_shuffle_aggregator_wait_time_in_s = 30
+
+    def to_parted(batch: pa.Table) -> pa.Table:
+        if key == "doc_id":
+            ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        else:
+            urls = np.asarray(batch.column(key).to_pylist(), dtype=object)
+            ids = doc_ids_from_urls(urls)
+        cols = {"part": pa.array((ids % D).astype(np.int32)),
+                "doc_id": pa.array(ids)}
+        for c in columns:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    try:
+        metrics = (ds.map_batches(to_parted, batch_format="pyarrow")
+                   .repartition(D, keys=["part"], sort=False)
+                   .map_batches(_writer_for(index_dir, columns),
+                                batch_format="pyarrow", batch_size=None)
+                   .take_all())
+    finally:
+        for c, prev in zip(ctxs, prevs):
+            (c.shuffle_strategy, c.max_hash_shuffle_aggregators,
+             c.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+             c.min_hash_shuffle_aggregator_wait_time_in_s) = prev
+    return {"parts": len({m["part"] for m in metrics}),
+            "rows": int(sum(m["rows"] for m in metrics))}
+
+
+def read_doc_values(index_dir: str, cfg: EngineConfig, col: str,
+                    doc_range: tuple[int, int] | None = None) -> pa.Table:
+    """All sidecar parts' (doc_id, col), optionally doc-range filtered
+    per part BEFORE concat (same O(corpus / n_ranges) residency rule as
+    index_io.read_docmeta)."""
+    import pyarrow.compute as pc
+    tables = []
+    for p in range(cfg.docmeta_parts):
+        path = os.path.join(index_io.part_dir(index_dir, "docmeta", p),
+                            SIDECAR)
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["doc_id", col])
+        if doc_range is not None:
+            lo, hi = doc_range
+            ids = t.column("doc_id")
+            # doc ids are 63-bit positive; the last range's hi is 2^63,
+            # which overflows int64 — drop the upper test then (same
+            # rule as index_io.read_docmeta)
+            mask = pc.greater_equal(ids, pa.scalar(lo, pa.int64()))
+            if hi <= (1 << 63) - 1:
+                mask = pc.and_(mask, pc.less(ids, pa.scalar(hi, pa.int64())))
+            t = t.filter(mask)
+        tables.append(t)
+    if not tables:
+        raise FileNotFoundError(
+            f"no doc-values sidecar for column {col!r} under {index_dir} "
+            "— run engine.docvalues.attach_doc_values first")
+    return pa.concat_tables(tables)

@@ -108,6 +108,11 @@ class InvertedIndex:
         self._positions_cache: dict[str, tuple] = {}  # decoded positions
         self._pos_cache_bytes = 0
         self._postings_cache: dict[tuple, tuple] = {}  # hot decoded terms
+        # doc-values sidecars (engine/docvalues.py): per column, the
+        # factorized value codes aligned to _doc_ids (-1 = no sidecar
+        # row) + the unique value array; masks cached per (col, values)
+        self._dv_cache: dict[str, tuple] = {}
+        self._dv_mask_cache: dict[tuple, np.ndarray] = {}
         # distributed-serving hooks: a doc-range shard scores with GLOBAL
         # statistics so per-shard top-k merges are exact (classic
         # distributed-IDF exchange).  df overrides are per-term corpus
@@ -137,6 +142,51 @@ class InvertedIndex:
                 stale = self._postings_cache.pop(t, None)
                 if stale is not None:
                     self._cache_bytes -= sum(a.nbytes for a in stale)
+
+    # -- doc-values filters ---------------------------------------------------
+    def _load_doc_values(self, col: str):
+        """Sidecar column -> (codes aligned to ``_doc_ids``, uniques).
+        Values are FACTORIZED once at load so every later mask is pure
+        integer work (an object-dtype isin over multi-M docs would be a
+        per-query Python-level scan); docs without a sidecar row get
+        code -1.  Respects ``doc_range`` (per-part filter before concat,
+        like docmeta itself)."""
+        hit = self._dv_cache.get(col)
+        if hit is not None:
+            return hit
+        import pandas as pd
+        from engine.docvalues import read_doc_values
+        t = read_doc_values(self.index_dir, self.cfg, col,
+                            doc_range=self.doc_range)
+        ids = t.column("doc_id").to_numpy()
+        vals = np.asarray(t.column(col).to_pylist(), dtype=object)
+        codes, uniq = pd.factorize(vals)
+        aligned = np.full(self._doc_ids.size, -1, dtype=np.int64)
+        p = np.searchsorted(self._doc_ids, ids)
+        ok = p < self._doc_ids.size
+        ok[ok] &= self._doc_ids[p[ok]] == ids[ok]
+        aligned[p[ok]] = codes[ok]
+        out = (aligned, np.asarray(uniq, dtype=object))
+        self._dv_cache[col] = out
+        return out
+
+    def where_mask(self, col: str, values) -> np.ndarray:
+        """Boolean keep-mask over ``_doc_ids`` positions for
+        ``col IN values`` (``values`` may be a scalar).  A doc with no
+        sidecar row never matches.  Cached per (col, values)."""
+        if isinstance(values, (str, bytes, int, float)):
+            values = (values,)
+        key = (col, tuple(values))
+        hit = self._dv_mask_cache.get(key)
+        if hit is not None:
+            return hit
+        aligned, uniq = self._load_doc_values(col)
+        want = np.isin(uniq, np.asarray(list(values), dtype=object))
+        # lut[-1] stays False -> code -1 (missing) never matches
+        lut = np.concatenate((want, [False]))
+        mask = lut[aligned]
+        self._dv_mask_cache[key] = mask
+        return mask
 
     # -- segment access -----------------------------------------------------
     def _part_of(self, term: str) -> int:
@@ -292,7 +342,7 @@ class InvertedIndex:
         return out
 
     def search(self, query: str, k: int = 10, method: str = "bmw",
-               require_all: bool = False):
+               require_all: bool = False, where: tuple | None = None):
         """-> list of (doc_id, score) sorted score desc, doc_id asc.
 
         ``require_all=True`` switches to conjunctive (AND) semantics:
@@ -303,6 +353,17 @@ class InvertedIndex:
         ``method`` — block-max upper bounds prune by score, while AND
         prunes by membership, and the rarest-first intersection is the
         stronger cut.
+
+        ``where=(col, values)`` restricts candidates to documents whose
+        doc-values sidecar column (engine/docvalues.py) matches (scalar
+        or IN-list).  Corpus statistics stay GLOBAL — a filter narrows
+        the candidate set without re-weighting idf/avgdl, the standard
+        Lucene filter-query semantics, so a doc's score is identical
+        with and without the filter.  Filtered disjunctive queries
+        route to the exhaustive daat scorer: block-max upper bounds are
+        computed over UNFILTERED blocks, so under a selective filter
+        they stop pruning (a filter-aware WAND needs per-block filter
+        density, which the skip table does not store).
         """
         if k <= 0:
             return []
@@ -321,6 +382,11 @@ class InvertedIndex:
             entries.append((t, df, idf, pbytes, skips))
         if not entries:
             return []
+        if where is not None:
+            mask = self.where_mask(*where)
+            if require_all:
+                return self._search_all(entries, k, mask)
+            return self._search_daat(entries, k, mask)
         if require_all:
             return self._search_all(entries, k)
         if method == "daat":
@@ -329,7 +395,8 @@ class InvertedIndex:
             return self._search_dense(entries, k)
         return self._search_bmw(entries, k)
 
-    def search_phrase(self, query: str, k: int = 10, slop: int = 0):
+    def search_phrase(self, query: str, k: int = 10, slop: int = 0,
+                      where: tuple | None = None):
         """Exact-phrase / proximity top-k: documents containing the
         query's tokens in order with at most ``slop`` interleaving
         non-query tokens in total (``slop=0`` = consecutive, the exact
@@ -370,8 +437,14 @@ class InvertedIndex:
         inter = None
         for t in sorted(uniq, key=lambda t: runs[t][0].size):
             p = runs[t][0]
-            inter = p if inter is None else np.intersect1d(
-                inter, p, assume_unique=True)
+            if inter is None:
+                # doc-values filter (``where=(col, values)``, same
+                # semantics as search): applied to the rarest run so
+                # the candidate set only shrinks
+                inter = p if where is None else p[
+                    self.where_mask(*where)[p]]
+            else:
+                inter = np.intersect1d(inter, p, assume_unique=True)
             if inter.size == 0:
                 return []
 
@@ -436,22 +509,26 @@ class InvertedIndex:
             acc += s[np.searchsorted(pos, hits)]
         return self._topk(self._doc_ids[hits], acc, k)
 
-    def _search_all(self, entries, k: int):
+    def _search_all(self, entries, k: int, mask: np.ndarray | None = None):
         """Conjunctive (AND) top-k: decode rarest term first and
         intersect the docID-sorted position runs progressively (each
         run is sorted-unique, so ``np.intersect1d(assume_unique=True)``
         is a linear merge bounded by the RAREST term's df — the
         candidate set only shrinks, with an early exit on empty).
         Per-term scores for the survivors are gathered by searchsorted
-        into each term's own run, then summed in ascending-df order."""
+        into each term's own run, then summed in ascending-df order.
+        ``mask`` (doc-values filter) is applied to the rarest run before
+        the merge, so it only ever shrinks the candidate set."""
         entries = sorted(entries, key=lambda e: e[1])  # df asc
         decoded = []
         inter = None
         for term, df, idf, pbytes, skips in entries:
             pos, s = self._decode_term(term, df, pbytes, skips, idf)
             decoded.append((pos, s))
-            inter = pos if inter is None else np.intersect1d(
-                inter, pos, assume_unique=True)
+            if inter is None:
+                inter = pos if mask is None else pos[mask[pos]]
+            else:
+                inter = np.intersect1d(inter, pos, assume_unique=True)
             if inter.size == 0:
                 return []
         acc = np.zeros(inter.size, dtype=np.float64)
@@ -496,20 +573,24 @@ class InvertedIndex:
         order = np.lexsort((doc_ids, -scores))[:k]
         return [(int(doc_ids[i]), float(scores[i])) for i in order]
 
-    def _search_daat(self, entries, k: int):
+    def _search_daat(self, entries, k: int, mask: np.ndarray | None = None):
         """Exhaustive: decode every posting of every query term,
         accumulate into a DENSE per-position score array.  Positions are
         unique within a term (docID-sorted postings), so buffered fancy
         ``acc[pos] += s`` is exact — the earlier sparse np.unique +
         np.add.at merge cost seconds per stopword term at multi-M df
         (np.add.at is unbuffered); the dense array is O(n_docs) = 8
-        bytes/doc, bounded per doc-range shard when serving sharded."""
+        bytes/doc, bounded per doc-range shard when serving sharded.
+        ``mask`` (doc-values filter) drops non-matching candidates
+        before the top-k cut; scores are unchanged (global stats)."""
         acc = np.zeros(self._doc_ids.size, dtype=np.float64)
         touched = np.zeros(self._doc_ids.size, dtype=bool)
         for term, df, idf, pbytes, skips in entries:
             pos, s = self._decode_term(term, df, pbytes, skips, idf)
             acc[pos] += s
             touched[pos] = True
+        if mask is not None:
+            touched &= mask
         nz = np.flatnonzero(touched)
         return self._topk(self._doc_ids[nz], acc[nz], k)
 

@@ -1,0 +1,184 @@
+"""Doc-values sidecars + metadata-filtered search (engine/docvalues.py).
+
+Filter semantics under test (Lucene filter-query rules):
+- a filter restricts CANDIDATES; corpus statistics stay global, so a
+  doc's score is bit-identical with and without the filter;
+- filtered top-k == (exhaustive unfiltered scoring) -> keep matching
+  docs -> same (score desc, doc_id asc) cut — asserted against an
+  independent mask built straight from the fixture table;
+- docs with no sidecar row never match; duplicate sidecar keys fail
+  loudly; a doc-range loader's mask is the slice of the full mask.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from engine.build import build_index
+from engine.config import EngineConfig
+from engine.docvalues import attach_doc_values
+from engine.query import InvertedIndex
+from engine.tokenize import doc_ids_from_urls
+
+CFG = EngineConfig(num_parts=8, docmeta_parts=3, store_positions=True)
+QUERY = "the of data"
+
+
+def _fixture_df(src: str) -> pd.DataFrame:
+    files = sorted(os.path.join(src, f) for f in os.listdir(src)
+                   if f.endswith(".parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                   ignore_index=True)
+    # lang is consistent per url in the fixture, so any-dup-drop is a
+    # valid post-dedup sidecar source
+    return df.drop_duplicates(subset="url")
+
+
+@pytest.fixture(scope="module")
+def dv_index(unit_webtext, tmp_path_factory):
+    import ray.data
+    idx_dir = str(tmp_path_factory.mktemp("dvidx") / "idx")
+    build_index(unit_webtext, idx_dir, CFG)
+    df = _fixture_df(unit_webtext)
+    src = ray.data.from_pandas(df[["url", "lang"]].reset_index(drop=True))
+    m = attach_doc_values(idx_dir, src, ["lang"])
+    assert m["rows"] == len(df)
+    return idx_dir, df
+
+
+def _lang_mask(idx: InvertedIndex, df: pd.DataFrame, langs) -> np.ndarray:
+    """Independent keep-mask over idx._doc_ids from the fixture table."""
+    ids = doc_ids_from_urls(df["url"].to_numpy(dtype=object))
+    sel = df["lang"].isin(langs).to_numpy()
+    want = np.sort(ids[sel])
+    p = np.searchsorted(idx._doc_ids, want)
+    ok = p < idx._doc_ids.size
+    ok[ok] &= idx._doc_ids[p[ok]] == want[ok]
+    mask = np.zeros(idx._doc_ids.size, dtype=bool)
+    mask[p[ok]] = True
+    return mask
+
+
+def _filtered_oracle(idx: InvertedIndex, query: str, mask: np.ndarray,
+                     k: int = 10, require_all: bool = False):
+    """Exhaustive unfiltered scoring -> mask -> same tie-break cut."""
+    full = idx.search(query, k=idx.n_docs,
+                      method="daat", require_all=require_all)
+    keep = []
+    for d, s in full:
+        pos = int(np.searchsorted(idx._doc_ids, d))
+        if mask[pos]:
+            keep.append((d, s))
+    keep.sort(key=lambda t: (-t[1], t[0]))
+    return keep[:k]
+
+
+def test_filtered_search_matches_oracle(dv_index):
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    for langs in (("de",), ("de", "fr"), ("en",)):
+        mask = _lang_mask(idx, df, langs)
+        got = idx.search(QUERY, k=10, where=("lang", langs))
+        want = _filtered_oracle(idx, QUERY, mask)
+        assert [d for d, _ in got] == [d for d, _ in want], langs
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in want], rtol=1e-12)
+
+
+def test_filter_does_not_change_scores(dv_index):
+    idx_dir, _ = dv_index
+    idx = InvertedIndex(idx_dir)
+    unfiltered = dict(idx.search(QUERY, k=idx.n_docs, method="daat"))
+    got = idx.search(QUERY, k=10, where=("lang", "de"))
+    assert got, "filter produced no hits — fixture drifted"
+    for d, s in got:
+        assert s == unfiltered[d]
+
+
+def test_filtered_require_all(dv_index):
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    mask = _lang_mask(idx, df, ("en",))
+    got = idx.search("the of", k=10, require_all=True,
+                     where=("lang", ("en",)))
+    want = _filtered_oracle(idx, "the of", mask, require_all=True)
+    assert got == want
+
+
+def test_filtered_phrase(dv_index):
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    # phrase matching is a per-doc predicate, so filtered phrase top-k
+    # == unfiltered phrase hits restricted to the mask, re-cut
+    phrase = "the of"
+    mask = _lang_mask(idx, df, ("en",))
+    full = idx.search_phrase(phrase, k=idx.n_docs)
+    keep = [(d, s) for d, s in full
+            if mask[int(np.searchsorted(idx._doc_ids, d))]]
+    keep.sort(key=lambda t: (-t[1], t[0]))
+    got = idx.search_phrase(phrase, k=10, where=("lang", ("en",)))
+    assert got == keep[:10]
+
+
+def test_scalar_value_and_unknown_value(dv_index):
+    idx_dir, _ = dv_index
+    idx = InvertedIndex(idx_dir)
+    assert idx.search(QUERY, k=5, where=("lang", "de")) == \
+        idx.search(QUERY, k=5, where=("lang", ("de",)))
+    assert idx.search(QUERY, k=5, where=("lang", "xx")) == []
+
+
+def test_missing_sidecar_raises(unit_webtext, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("dvnone") / "idx")
+    build_index(unit_webtext, idx_dir,
+                EngineConfig(num_parts=4, docmeta_parts=2))
+    idx = InvertedIndex(idx_dir)
+    with pytest.raises(FileNotFoundError, match="doc-values sidecar"):
+        idx.search(QUERY, k=5, where=("lang", "en"))
+
+
+def test_partial_sidecar_docs_never_match(dv_index, unit_webtext,
+                                          tmp_path_factory):
+    import ray.data
+    idx_dir, df = dv_index
+    half_dir = str(tmp_path_factory.mktemp("dvhalf") / "idx")
+    build_index(unit_webtext, half_dir, CFG)
+    half = df.iloc[: len(df) // 2]
+    attach_doc_values(half_dir,
+                      ray.data.from_pandas(
+                          half[["url", "lang"]].reset_index(drop=True)),
+                      ["lang"])
+    idx = InvertedIndex(half_dir)
+    covered = set(doc_ids_from_urls(half["url"].to_numpy(dtype=object))
+                  .tolist())
+    hits = idx.search(QUERY, k=50, where=("lang", ("en", "de", "fr", "ja")))
+    assert hits and all(d in covered for d, _ in hits)
+
+
+def test_duplicate_keys_fail_loud(unit_webtext, tmp_path_factory, dv_index):
+    import ray.data
+    _, df = dv_index
+    idx_dir = str(tmp_path_factory.mktemp("dvdup") / "idx")
+    build_index(unit_webtext, idx_dir,
+                EngineConfig(num_parts=4, docmeta_parts=2))
+    dup = pd.concat([df, df.iloc[:3]], ignore_index=True)
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        attach_doc_values(idx_dir,
+                          ray.data.from_pandas(
+                              dup[["url", "lang"]].reset_index(drop=True)),
+                          ["lang"])
+
+
+def test_doc_range_mask_is_slice_of_full(dv_index):
+    idx_dir, _ = dv_index
+    full = InvertedIndex(idx_dir)
+    mid = int(full._doc_ids[full._doc_ids.size // 2])
+    lo_half = InvertedIndex(idx_dir, doc_range=(0, mid))
+    hi_half = InvertedIndex(idx_dir, doc_range=(mid, 1 << 63))
+    fm = full.where_mask("lang", ("en", "de"))
+    lm = lo_half.where_mask("lang", ("en", "de"))
+    hm = hi_half.where_mask("lang", ("en", "de"))
+    assert np.array_equal(np.concatenate([lm, hm]), fm)
