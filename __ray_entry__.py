@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the flagship engine: BM25 top-k + postings lookup (3.2, J3, T1)
         "bm25_topk": d.q_bm25_topk,
         "bm25_topk_filtered": d.q_bm25_topk_filtered,
+        "facet_lang_counts": d.q_facet_lang_counts,
         "bm25_topk_and": d.q_bm25_topk_and,
         "bm25_topk_deleted": d.q_bm25_topk_deleted,
         "bm25_topk_stop": d.q_bm25_topk_stop,
@@ -838,6 +839,18 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id
             WHERE dd.lang = 'en'
             ORDER BY score DESC, sc.doc_id LIMIT 10""",
+
+        # facet aggregation: per-lang doc counts over the disjunctive
+        # match set (docs containing >=1 query term)
+        "facet_lang_counts": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            hit AS (SELECT DISTINCT doc_id FROM toks
+                    WHERE term IN ('hash','join','table'))
+            SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM hit JOIN documents dd USING (doc_id)
+            GROUP BY dd.lang
+            ORDER BY n_docs DESC, dd.lang""",
 
         # tombstone overlay: doc_id % 7 == 0 deleted — excluded from
         # ranking but still counted in N/avgdl/df (stale-stats

@@ -229,6 +229,19 @@ def q_bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_facet_lang_counts(sf_dir: str) -> pd.DataFrame:
+    """Facet aggregation: per-lang document counts over the disjunctive
+    match set of the BM25 query (docs containing >=1 query term) —
+    engine/query.py facet_counts over the doc-values sidecar."""
+    q_bm25_topk_filtered(sf_dir)  # ensures the lang sidecar is attached
+    idx = docs_index(sf_dir)
+    rows = idx.facet_counts(BM25_QUERY, "lang")
+    return pd.DataFrame({
+        "lang": pd.Series([v for v, _ in rows], dtype=object),
+        "n_docs": pd.Series([n for _, n in rows], dtype=np.int64),
+    })
+
+
 def q_bm25_topk_and(sf_dir: str) -> pd.DataFrame:
     """Conjunctive (boolean-AND) BM25 top-k: only docs containing every
     query term rank; same scoring as bm25_topk over the survivors."""

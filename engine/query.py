@@ -341,6 +341,54 @@ class InvertedIndex:
                 seen.add(t); out.append(t)
         return out
 
+    def facet_counts(self, query: str, col: str,
+                     where: tuple | None = None,
+                     require_all: bool = False) -> list[tuple]:
+        """Facet aggregation over the query's match set: -> [(value,
+        n_docs)] sorted (count desc, value asc) for the doc-values
+        column ``col``, counting documents that contain >=1 query term
+        (the standard disjunctive facet base; ``require_all=True``
+        switches to the AND match set).  Docs without a sidecar row are
+        not counted under any facet value.  Deletes are already masked
+        out of decoded runs; ``where`` composes (facet within a
+        filter).  Pure integer work: the match mask indexes the
+        factorized code array once, then one bincount."""
+        terms = self.query_terms(query)
+        matched = np.zeros(self._doc_ids.size, dtype=bool)
+        first = True
+        for t in terms:
+            e = self.lookup(t)
+            if e is None:
+                if require_all:
+                    return []
+                continue
+            df, pbytes, skips = e
+            pos, _ = self._decode_term(t, df, pbytes, skips,
+                                       self.idf(df))
+            if require_all:
+                tm = np.zeros(self._doc_ids.size, dtype=bool)
+                tm[pos] = True
+                matched = tm if first else (matched & tm)
+                first = False
+            else:
+                matched[pos] = True
+                first = False
+        if first:
+            return []
+        if where is not None:
+            matched &= self.where_mask(*where)
+        codes, uniq = self._load_doc_values(col)
+        c = codes[matched]
+        c = c[c >= 0]
+        if c.size == 0:
+            return []
+        cnt = np.bincount(c, minlength=uniq.size)
+        nz = np.flatnonzero(cnt)
+        # nz is one entry per distinct facet value — tiny; Python sort
+        # avoids np.lexsort's lack of object-dtype (string) support
+        order = sorted(nz.tolist(), key=lambda i: (-int(cnt[i]), uniq[i]))
+        return [(uniq[i], int(cnt[i])) for i in order]
+
     def search(self, query: str, k: int = 10, method: str = "bmw",
                require_all: bool = False, where: tuple | None = None):
         """-> list of (doc_id, score) sorted score desc, doc_id asc.

@@ -32,9 +32,11 @@ def _fixture_df(src: str) -> pd.DataFrame:
                    if f.endswith(".parquet"))
     df = pd.concat([pq.read_table(f).to_pandas() for f in files],
                    ignore_index=True)
-    # lang is consistent per url in the fixture, so any-dup-drop is a
-    # valid post-dedup sidecar source
-    return df.drop_duplicates(subset="url")
+    # the build keeps the earliest-warc_ts row per url (engine/build.py
+    # duplicate_losers) — dedup the same way so the oracle's text rows
+    # are the ones actually indexed
+    return (df.sort_values(["url", "warc_ts"], kind="stable")
+            .drop_duplicates(subset="url", keep="first"))
 
 
 @pytest.fixture(scope="module")
@@ -170,6 +172,40 @@ def test_duplicate_keys_fail_loud(unit_webtext, tmp_path_factory, dv_index):
                           ray.data.from_pandas(
                               dup[["url", "lang"]].reset_index(drop=True)),
                           ["lang"])
+
+
+def _facet_oracle(idx: InvertedIndex, df: pd.DataFrame, query: str,
+                  require_all: bool = False, langs=None):
+    """Independent facet counts: per-doc token sets straight from the
+    fixture text via the engine tokenizer, then plain Python counting."""
+    from engine.tokenize import tokenize
+    terms = set(idx.query_terms(query))
+    from collections import Counter
+    cnt = Counter()
+    for _, row in df.iterrows():
+        if langs is not None and row["lang"] not in langs:
+            continue
+        toks = set(tokenize(row["text"]))
+        ok = terms <= toks if require_all else bool(terms & toks)
+        if ok:
+            cnt[row["lang"]] += 1
+    return sorted(cnt.items(), key=lambda t: (-t[1], t[0]))
+
+
+def test_facet_counts_matches_oracle(dv_index):
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    got = idx.facet_counts(QUERY, "lang")
+    assert got == _facet_oracle(idx, df, QUERY)
+
+
+def test_facet_counts_require_all_and_where(dv_index):
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    got = idx.facet_counts("the of", "lang", require_all=True)
+    assert got == _facet_oracle(idx, df, "the of", require_all=True)
+    got = idx.facet_counts(QUERY, "lang", where=("lang", ("de", "fr")))
+    assert got == _facet_oracle(idx, df, QUERY, langs=("de", "fr"))
 
 
 def test_doc_range_mask_is_slice_of_full(dv_index):
