@@ -363,8 +363,12 @@ class InvertedIndex:
                     return []
                 continue
             df, pbytes, skips = e
-            pos, _ = self._decode_term(t, df, pbytes, skips,
-                                       self.idf(df))
+            # same idf rule as search(): counting ignores scores, but
+            # the decode CACHES them — using the local df here would
+            # poison the cache for scored searches on a doc-range shard
+            pos, _ = self._decode_term(
+                t, df, pbytes, skips,
+                self.idf(self._df_overrides.get(t, df)))
             if require_all:
                 tm = np.zeros(self._doc_ids.size, dtype=bool)
                 tm[pos] = True

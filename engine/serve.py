@@ -50,12 +50,20 @@ class QueryWorker:
     def __init__(self, index_dir: str):
         self.idx = InvertedIndex(index_dir)
 
-    def search(self, query: str, k: int = 10, method: str = "bmw"):
-        return self.idx.search(query, k=k, method=method)
+    def search(self, query: str, k: int = 10, method: str = "bmw",
+               where: tuple | None = None):
+        return self.idx.search(query, k=k, method=method, where=where)
 
     def search_many(self, queries: list[str], k: int = 10,
-                    method: str = "bmw"):
-        return [self.idx.search(q, k=k, method=method) for q in queries]
+                    method: str = "bmw", where: tuple | None = None):
+        return [self.idx.search(q, k=k, method=method, where=where)
+                for q in queries]
+
+    def facet_counts(self, query: str, col: str,
+                     where: tuple | None = None,
+                     require_all: bool = False):
+        return self.idx.facet_counts(query, col, where=where,
+                                     require_all=require_all)
 
     def url_of(self, doc_ids):
         return self.idx.url_of(doc_ids)
@@ -73,16 +81,24 @@ class QueryService:
         # block until every replica is warm (index loaded)
         ray.get([w.search.remote("", 1) for w in self.workers])
 
-    def search(self, query: str, k: int = 10, method: str = "bmw"):
+    def search(self, query: str, k: int = 10, method: str = "bmw",
+               where: tuple | None = None):
         w = self.workers[hash(query) % len(self.workers)]
-        return ray.get(w.search.remote(query, k, method))
+        return ray.get(w.search.remote(query, k, method, where))
+
+    def facet_counts(self, query: str, col: str,
+                     where: tuple | None = None,
+                     require_all: bool = False):
+        w = self.workers[hash(query) % len(self.workers)]
+        return ray.get(w.facet_counts.remote(query, col, where,
+                                             require_all))
 
     def search_many(self, queries: list[str], k: int = 10,
-                    method: str = "bmw"):
+                    method: str = "bmw", where: tuple | None = None):
         """Fan a query batch across replicas; results in input order."""
         n = len(self.workers)
         shards = [queries[i::n] for i in range(n)]
-        parts = ray.get([w.search_many.remote(s, k, method)
+        parts = ray.get([w.search_many.remote(s, k, method, where)
                          for w, s in zip(self.workers, shards) if s])
         out = [None] * len(queries)
         for wi, res in enumerate(parts):
@@ -377,14 +393,21 @@ class DocShardWorker:
         return {t: self.idx.df_of(t) for t in terms}
 
     def search_topk(self, query: str, k: int, dfs: dict[str, int],
-                    method: str = "bmw"):
+                    method: str = "bmw", where: tuple | None = None):
         self.idx.add_df_overrides(dfs)
-        return self.idx.search(query, k=k, method=method)
+        return self.idx.search(query, k=k, method=method, where=where)
 
     def search_phrase_topk(self, query: str, k: int, dfs: dict[str, int],
-                           slop: int = 0):
+                           slop: int = 0, where: tuple | None = None):
         self.idx.add_df_overrides(dfs)
-        return self.idx.search_phrase(query, k=k, slop=slop)
+        return self.idx.search_phrase(query, k=k, slop=slop, where=where)
+
+    def facet_counts(self, query: str, col: str, dfs: dict[str, int],
+                     where: tuple | None = None,
+                     require_all: bool = False):
+        self.idx.add_df_overrides(dfs)
+        return self.idx.facet_counts(query, col, where=where,
+                                     require_all=require_all)
 
 
 class DocShardedQueryService:
@@ -455,12 +478,12 @@ class DocShardedQueryService:
             out[t] = v
         return out
 
-    def _scatter(self, query: str, k: int):
+    def _scatter(self, query: str, k: int, where: tuple | None = None):
         terms = self._terms_of(query)
         if not terms:
             return None
         dfs = self._global_dfs(terms)
-        return [w.search_topk.remote(query, k, dfs, self.method)
+        return [w.search_topk.remote(query, k, dfs, self.method, where)
                 for w in self.workers]
 
     @staticmethod
@@ -470,11 +493,37 @@ class DocShardedQueryService:
         merged.sort(key=lambda h: (-h[1], h[0]))
         return merged[:k]
 
-    def search(self, query: str, k: int = 10):
+    def search(self, query: str, k: int = 10,
+               where: tuple | None = None):
+        """``where=(col, values)`` filters on each shard's doc-values
+        sidecar (attach_doc_values must have run per SHARD index — the
+        shards are independent indexes).  Per-doc filters compose
+        exactly with doc sharding: every doc lives whole on one shard,
+        so filtered per-shard top-k merges are exact, same as phrases."""
         if k <= 0:
             return []
-        futs = self._scatter(query, k)
+        futs = self._scatter(query, k, where)
         return [] if futs is None else self._merge(ray.get(futs), k)
+
+    def facet_counts(self, query: str, col: str,
+                     where: tuple | None = None,
+                     require_all: bool = False):
+        """Distributed facet aggregation: shards count locally over
+        their disjoint doc ranges, the front sums per value — exact
+        (counts are additive over a doc partition), O(S x n_values)
+        network."""
+        terms = self._terms_of(query)
+        if not terms:
+            return []
+        dfs = self._global_dfs(terms)
+        parts = ray.get([w.facet_counts.remote(query, col, dfs, where,
+                                               require_all)
+                         for w in self.workers])
+        tot: dict = {}
+        for p in parts:
+            for v, n in p:
+                tot[v] = tot.get(v, 0) + n
+        return sorted(tot.items(), key=lambda t: (-t[1], t[0]))
 
     def search_phrase(self, query: str, k: int = 10, slop: int = 0):
         """Distributed phrase / proximity top-k (positional shard

@@ -208,6 +208,72 @@ def test_facet_counts_require_all_and_where(dv_index):
     assert got == _facet_oracle(idx, df, QUERY, langs=("de", "fr"))
 
 
+def test_doc_sharded_filtered_and_facets(dv_index, unit_webtext,
+                                         tmp_path_factory):
+    """Doc-sharded serving with where/facets == one global index:
+    per-doc filters compose exactly with doc sharding (every doc lives
+    whole on one shard), facet counts are additive over the partition."""
+    import pyarrow as pa
+    import ray.data
+    from engine.serve import DocShardedQueryService
+    from engine.tokenize import stable_hash64
+
+    out = tmp_path_factory.mktemp("dvshards")
+    idx_dir, df = dv_index
+    shard_dirs = []
+    for si in range(2):
+        def keep(batch: pa.Table, _si=si) -> pa.Table:
+            urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+            m = (stable_hash64(urls) % np.uint64(2)) == np.uint64(_si)
+            return batch.filter(pa.array(m))
+        src = (ray.data.read_parquet(unit_webtext,
+                                     columns=["url", "warc_ts", "html"])
+               .map_batches(keep, batch_format="pyarrow"))
+        d = str(out / f"s{si}")
+        build_index(src, d, CFG)
+        half = df[(stable_hash64(df["url"].to_numpy(dtype=object))
+                   % np.uint64(2)) == np.uint64(si)]
+        attach_doc_values(d, ray.data.from_pandas(
+            half[["url", "lang"]].reset_index(drop=True)), ["lang"])
+        shard_dirs.append(d)
+
+    local = InvertedIndex(idx_dir)
+    svc = DocShardedQueryService(shard_dirs, method="daat")
+    try:
+        for langs in (("en",), ("de", "fr")):
+            assert svc.search(QUERY, k=10, where=("lang", langs)) == \
+                local.search(QUERY, k=10, where=("lang", langs))
+            assert svc.facet_counts(QUERY, "lang") == \
+                local.facet_counts(QUERY, "lang")
+            assert svc.facet_counts(QUERY, "lang",
+                                    where=("lang", langs)) == \
+                local.facet_counts(QUERY, "lang", where=("lang", langs))
+        # unfiltered scored search still exact after facet calls (the
+        # decode cache must hold override-idf scores, not local-df ones)
+        assert svc.search(QUERY, k=10) == \
+            local.search(QUERY, k=10, method="daat")
+    finally:
+        svc.shutdown()
+
+
+def test_replicated_service_where_and_facets(dv_index):
+    from engine.serve import QueryService
+    idx_dir, _ = dv_index
+    local = InvertedIndex(idx_dir)
+    svc = QueryService(idx_dir, replicas=2, num_cpus=0.5)
+    try:
+        assert svc.search(QUERY, k=10, where=("lang", ("de",))) == \
+            local.search(QUERY, k=10, where=("lang", ("de",)))
+        got = svc.search_many([QUERY, "the of"], k=5,
+                              where=("lang", ("en",)))
+        assert got == [local.search(QUERY, k=5, where=("lang", ("en",))),
+                       local.search("the of", k=5, where=("lang", ("en",)))]
+        assert svc.facet_counts(QUERY, "lang") == \
+            local.facet_counts(QUERY, "lang")
+    finally:
+        svc.shutdown()
+
+
 def test_doc_range_mask_is_slice_of_full(dv_index):
     idx_dir, _ = dv_index
     full = InvertedIndex(idx_dir)
