@@ -170,16 +170,52 @@ class EngineHttpServer:
                                "no_index")
         query = req.get("query", "")
         k = int(req.get("k", 10))
-        if self.service is not None:
-            hits = self.service.search(query, k=k)
-            return 200, {"hits": [
-                {"doc_id": int(d), "score": float(s)} for d, s in hits]}
-        with self._search_lock:
-            hits = self.index.search(query, k=k)
-            urls = self.index.url_of([d for d, _ in hits]) if hits else []
-        return 200, {"hits": [
+        # doc-values filter/facets: {"filter": {"col": ..., "values":
+        # [...]}, "facet": "col"} — engine/docvalues.py semantics
+        where = None
+        flt = req.get("filter")
+        if flt:
+            vals = flt.get("values", flt.get("value"))
+            if not isinstance(vals, (list, tuple)):
+                vals = [vals]
+            where = (flt["col"], tuple(vals))
+        facet_col = req.get("facet")
+        kwargs = {"where": where} if where is not None else {}
+        try:
+            if self.service is not None:
+                hits = self.service.search(query, k=k, **kwargs)
+                out = {"hits": [
+                    {"doc_id": int(d), "score": float(s)}
+                    for d, s in hits]}
+                if facet_col:
+                    out["facets"] = [
+                        {"value": v, "n_docs": int(n)} for v, n in
+                        self.service.facet_counts(query, facet_col,
+                                                  where=where)]
+                return 200, out
+            with self._search_lock:
+                hits = self.index.search(query, k=k, where=where)
+                urls = (self.index.url_of([d for d, _ in hits])
+                        if hits else [])
+                facets = (self.index.facet_counts(query, facet_col,
+                                                  where=where)
+                          if facet_col else None)
+        except FileNotFoundError as e:   # no doc-values sidecar
+            return 400, _error(str(e), "invalid_request_error",
+                               "no_doc_values")
+        except (TypeError, AttributeError):
+            # serving tier without filter/facet support (term-sharded
+            # fronts hold no per-doc data)
+            return 400, _error(
+                "filter/facet not supported by this serving tier",
+                "invalid_request_error", "unsupported_filter")
+        out = {"hits": [
             {"doc_id": int(d), "score": float(s), "url": u}
             for (d, s), u in zip(hits, urls)]}
+        if facets is not None:
+            out["facets"] = [{"value": v, "n_docs": int(n)}
+                             for v, n in facets]
+        return 200, out
 
     # -- lifecycle --------------------------------------------------------
     def start(self) -> int:

@@ -128,6 +128,41 @@ def test_openai_embeddings_errors(http_engine):
     assert resp["error"]["type"] == "invalid_request_error"
 
 
+def test_search_filter_and_facets(http_engine, e2e_webtext):
+    """/v1/search with {"filter": ..., "facet": ...}: missing sidecar ->
+    400 no_doc_values; after attach_doc_values, filtered hits + facet
+    counts match the local engine exactly."""
+    import ray.data
+    import pandas as pd
+    import pyarrow.parquet as pq
+    srv, base = http_engine
+    payload = {"query": "the house", "k": 5,
+               "filter": {"col": "lang", "values": ["en", "de"]},
+               "facet": "lang"}
+    status, resp = _post(f"{base}/v1/search", payload)
+    assert status == 400 and resp["error"]["code"] == "no_doc_values"
+
+    from engine.docvalues import attach_doc_values
+    files = sorted(os.path.join(e2e_webtext, f)
+                   for f in os.listdir(e2e_webtext) if f.endswith(".parquet"))
+    df = (pd.concat([pq.read_table(f).to_pandas() for f in files])
+          .sort_values(["url", "warc_ts"], kind="stable")
+          .drop_duplicates(subset="url", keep="first"))
+    attach_doc_values(srv.index.index_dir,
+                      ray.data.from_pandas(
+                          df[["url", "lang"]].reset_index(drop=True)),
+                      ["lang"])
+    status, resp = _post(f"{base}/v1/search", payload)
+    assert status == 200
+    want = srv.index.search("the house", k=5,
+                            where=("lang", ("en", "de")))
+    assert [(h["doc_id"], h["score"]) for h in resp["hits"]] == \
+        [(d, s) for d, s in want]
+    wantf = srv.index.facet_counts("the house", "lang",
+                                   where=("lang", ("en", "de")))
+    assert [(f["value"], f["n_docs"]) for f in resp["facets"]] == wantf
+
+
 def test_search_endpoint_matches_local(http_engine):
     srv, base = http_engine
     status, resp = _post(f"{base}/v1/search", {"query": "the house", "k": 5})
