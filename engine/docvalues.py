@@ -98,14 +98,22 @@ def _writer_for(index_dir: str, columns: list[str]):
 def attach_doc_values(index_dir: str,
                       source: "str | list[str] | ray.data.Dataset",
                       columns: list[str] | tuple[str, ...],
-                      key: str | None = None) -> dict:
+                      key: str | None = None,
+                      dedup: str | None = None) -> dict:
     """Attach per-document metadata columns to an existing index.
 
-    ``source`` is the (post-dedup) document table — a parquet path/list
-    or a Dataset — carrying ``key`` plus ``columns``.  ``key`` defaults
-    to ``url`` for webtext-mode indexes and ``doc_id`` for docs-mode
-    ones (read from the index manifest).  Re-attaching REPLACES the
-    sidecar (one docvalues.parquet per docmeta part).
+    ``source`` is the document table — a parquet path/list or a Dataset
+    — carrying ``key`` plus ``columns``.  ``key`` defaults to ``url``
+    for webtext-mode indexes and ``doc_id`` for docs-mode ones (read
+    from the index manifest).  Re-attaching REPLACES the sidecar (one
+    docvalues.parquet per docmeta part).
+
+    ``dedup="earliest"`` lets the RAW (pre-dedup) build input be the
+    sidecar source: duplicate urls are resolved to the earliest-warc_ts
+    row with the build's own winner rule (engine/build.py
+    duplicate_losers + make_dedup_filter), so the attached values are
+    the indexed documents'.  Requires ``key="url"`` and a ``warc_ts``
+    column.  Default (None) fail-louds on duplicates instead.
 
     Returns {"parts": n_parts_written, "rows": total_rows}.
     """
@@ -120,21 +128,32 @@ def attach_doc_values(index_dir: str,
     if isinstance(source, ray.data.Dataset):
         ds = source
     else:
-        ds = ray.data.read_parquet(source, columns=[key] + columns)
+        cols = [key] + columns
+        if dedup == "earliest":
+            cols.append("warc_ts")
+        ds = ray.data.read_parquet(source, columns=cols)
 
-    # keyed repartition requires the hash-shuffle strategy; Datasets
-    # capture a deepcopy of the ambient DataContext at creation (and a
-    # caller-supplied Dataset carries its own), so set + restore on both
-    # — same discipline as the build shuffle (engine/build.py).
+    if dedup is not None and dedup != "earliest":
+        raise ValueError(f"unknown dedup mode {dedup!r}")
+    if dedup == "earliest" and key != "url":
+        raise ValueError("dedup='earliest' needs key='url' "
+                         "(the webtext winner rule is per url)")
+
+    # keyed repartition (and the dedup groupby) require the hash-shuffle
+    # strategy; Datasets capture a deepcopy of the ambient DataContext
+    # at creation (and a caller-supplied Dataset carries its own), so
+    # set + restore on both — same discipline as the build shuffle
+    # (engine/build.py).  ds.context covers BOTH source kinds: a
+    # read_parquet Dataset has already captured its deepcopy by now, and
+    # datasets derived below inherit the mutated copy.
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
-    # ds.context covers BOTH source kinds: a read_parquet Dataset has
-    # already captured its deepcopy by now, and a caller-supplied
-    # Dataset carries its own
     ctxs = [DataContext.get_current(), ds.context]
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_aggr = max(2, min(D, n_cpus // 2))
-    ppa = -(-D // n_aggr)
+    dedup_parts = min(cfg.dedup_partitions, max(4, n_cpus * 2))
+    max_parts = max(D, dedup_parts if dedup else 0)
+    n_aggr = max(2, min(max_parts, n_cpus // 2))
+    ppa = -(-max_parts // n_aggr)
     prevs = [(c.shuffle_strategy, c.max_hash_shuffle_aggregators,
               c.hash_shuffle_operator_actor_num_cpus_per_partition_override,
               c.min_hash_shuffle_aggregator_wait_time_in_s) for c in ctxs]
@@ -158,6 +177,12 @@ def attach_doc_values(index_dir: str,
         return pa.table(cols)
 
     try:
+        if dedup == "earliest":
+            from engine.build import duplicate_losers, make_dedup_filter
+            losers = duplicate_losers(
+                ds.select_columns(["url", "warc_ts"]), dedup_parts)
+            ds = ds.map_batches(make_dedup_filter(losers),
+                                batch_format="pyarrow")
         metrics = (ds.map_batches(to_parted, batch_format="pyarrow")
                    .repartition(D, keys=["part"], sort=False)
                    .map_batches(_writer_for(index_dir, columns),

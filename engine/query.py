@@ -161,7 +161,10 @@ class InvertedIndex:
         ids = t.column("doc_id").to_numpy()
         vals = np.asarray(t.column(col).to_pylist(), dtype=object)
         codes, uniq = pd.factorize(vals)
-        aligned = np.full(self._doc_ids.size, -1, dtype=np.int64)
+        # int32 codes: 4 B/doc resident per column (a 100M-doc shard's
+        # column costs 400 MB at int64 — half that matters; cardinality
+        # beyond 2^31 values would overflow doc memory long before this)
+        aligned = np.full(self._doc_ids.size, -1, dtype=np.int32)
         p = np.searchsorted(self._doc_ids, ids)
         ok = p < self._doc_ids.size
         ok[ok] &= self._doc_ids[p[ok]] == ids[ok]

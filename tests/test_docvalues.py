@@ -274,6 +274,31 @@ def test_replicated_service_where_and_facets(dv_index):
         svc.shutdown()
 
 
+def test_attach_dedup_earliest_equals_manual(dv_index, unit_webtext,
+                                             tmp_path_factory):
+    """dedup='earliest' on the RAW build input (dup urls included) must
+    produce byte-identical sidecars to attaching the manually deduped
+    table — the build's own winner rule, reused."""
+    import hashlib
+    idx_dir, _ = dv_index
+    raw_dir = str(tmp_path_factory.mktemp("dvraw") / "idx")
+    build_index(unit_webtext, raw_dir, CFG)
+    m = attach_doc_values(raw_dir, unit_webtext, ["lang"],
+                          dedup="earliest")
+    assert m["rows"] == InvertedIndex(raw_dir).n_docs
+
+    def sidecar_hash(d):
+        from engine.docvalues import SIDECAR
+        from engine import index_io
+        h = hashlib.sha256()
+        for p in range(CFG.docmeta_parts):
+            path = os.path.join(index_io.part_dir(d, "docmeta", p), SIDECAR)
+            h.update(open(path, "rb").read())
+        return h.hexdigest()
+
+    assert sidecar_hash(raw_dir) == sidecar_hash(idx_dir)
+
+
 def test_doc_range_mask_is_slice_of_full(dv_index):
     idx_dir, _ = dv_index
     full = InvertedIndex(idx_dir)
