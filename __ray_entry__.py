@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": d.q_bm25_topk,
         "bm25_topk_filtered": d.q_bm25_topk_filtered,
         "facet_lang_counts": d.q_facet_lang_counts,
+        "suggest_terms": d.q_suggest_terms,
         "bm25_topk_and": d.q_bm25_topk_and,
         "bm25_topk_deleted": d.q_bm25_topk_deleted,
         "bm25_topk_stop": d.q_bm25_topk_stop,
@@ -839,6 +840,16 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id
             WHERE dd.lang = 'en'
             ORDER BY score DESC, sc.doc_id LIMIT 10""",
+
+        # prefix suggestion: top-20 dictionary terms LIKE 'ha%' by
+        # (df desc, term asc)
+        "suggest_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                   WHERE term LIKE 'ha%' GROUP BY term)
+            SELECT term, CAST(df AS BIGINT) AS df FROM df
+            ORDER BY df DESC, term LIMIT 20""",
 
         # facet aggregation: per-lang doc counts over the disjunctive
         # match set (docs containing >=1 query term)

@@ -229,6 +229,19 @@ def q_bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_suggest_terms(sf_dir: str) -> pd.DataFrame:
+    """Prefix term suggestion over the index dictionary: top-20 terms
+    starting with 'ha' ranked (df desc, term asc) — one binary-search
+    range per sorted part dictionary + per-part tie-keeping top-k prune
+    (engine/query.py suggest)."""
+    idx = docs_index(sf_dir)
+    rows = idx.suggest("ha", k=20)
+    return pd.DataFrame({
+        "term": pd.Series([t for t, _ in rows], dtype=object),
+        "df": pd.Series([d for _, d in rows], dtype=np.int64),
+    })
+
+
 def q_facet_lang_counts(sf_dir: str) -> pd.DataFrame:
     """Facet aggregation: per-lang document counts over the disjunctive
     match set of the BM25 query (docs containing >=1 query term) —

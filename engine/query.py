@@ -344,6 +344,45 @@ class InvertedIndex:
                 seen.add(t); out.append(t)
         return out
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Prefix term suggestion (the autocomplete / did-you-mean
+        base): -> [(term, df)] of the top-k index terms starting with
+        ``prefix``, ranked (df desc, term asc).
+
+        Each part's term dictionary is SORTED (build factorize
+        sort=True, merge keeps order), so a prefix is one binary-search
+        range per part: [prefix, prefix + U+10FFFF).  U+10FFFF is a
+        Unicode noncharacter (category Cn) the tokenizer can never emit
+        — terms are word-segmented \\w runs — so the upper bound is
+        exact.  Within a part the range is pruned to its own top-k by
+        df (keeping ALL ties at the kth value, so the global cut with
+        the term-asc tie-break stays exact); the merge sees at most
+        parts x (k + ties) rows.  df is the STORED value — stale under
+        a tombstone overlay until compaction, like idf (documented
+        deletion semantics)."""
+        if k <= 0 or not prefix:
+            return []
+        hi_key = prefix + "\U0010FFFF"
+        cand: list[tuple[int, str]] = []
+        for part in range(self.cfg.num_parts):
+            entry, _, _ = self._load_part(part)
+            if entry is None:
+                continue
+            term_arr, nums = entry
+            lo = int(np.searchsorted(term_arr, prefix))
+            hi = int(np.searchsorted(term_arr, hi_key))
+            if hi <= lo:
+                continue
+            dfs = nums[0][lo:hi]
+            terms = term_arr[lo:hi]
+            if dfs.size > k:
+                kth = np.partition(dfs, dfs.size - k)[dfs.size - k]
+                sel = dfs >= kth
+                terms, dfs = terms[sel], dfs[sel]
+            cand.extend(zip(dfs.tolist(), terms.tolist()))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        return [(t, int(df)) for df, t in cand[:k]]
+
     def facet_counts(self, query: str, col: str,
                      where: tuple | None = None,
                      require_all: bool = False) -> list[tuple]:

@@ -145,3 +145,43 @@ def test_dense_equals_daat(index, frozen):
         assert [d for d, _ in a] == [d for d, _ in b], q
         for (_, sa), (_, sb) in zip(a, b):
             assert sa == pytest.approx(sb, rel=1e-9)
+
+
+def test_suggest_matches_brute_force(index, e2e_webtext):
+    """Prefix suggestion == tokenizing the deduped fixture and counting
+    distinct docs per prefixed term (independent oracle)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from engine.extract import extract_batch
+    from engine.tokenize import tokenize
+
+    files = sorted(os.path.join(e2e_webtext, f)
+                   for f in os.listdir(e2e_webtext) if f.endswith(".parquet"))
+    df = (pd.concat([pq.read_table(f).to_pandas() for f in files])
+          .sort_values(["url", "warc_ts"], kind="stable")
+          .drop_duplicates(subset="url", keep="first"))
+    ex = extract_batch({"url": df["url"].to_numpy(dtype=object),
+                        "warc_ts": df["warc_ts"].to_numpy(),
+                        "html": df["html"].to_numpy(dtype=object)})
+    texts = ex["text"]
+    if not isinstance(texts, (list, np.ndarray)):
+        texts = texts.to_pylist()
+    dfs = Counter()
+    for text in texts:
+        for t in set(tokenize(text)):
+            dfs[t] += 1
+
+    for prefix in ("th", "a", "wh", "zz"):
+        want = sorted(((t, n) for t, n in dfs.items()
+                       if t.startswith(prefix)),
+                      key=lambda x: (-x[1], x[0]))[:10]
+        assert index.suggest(prefix, k=10) == want, prefix
+
+    assert index.suggest("", k=10) == []
+    assert index.suggest("th", k=0) == []
+    # a huge k returns every prefixed term, still fully ordered
+    allth = index.suggest("th", k=1 << 20)
+    wantall = sorted(((t, n) for t, n in dfs.items()
+                      if t.startswith("th")), key=lambda x: (-x[1], x[0]))
+    assert allth == wantall
