@@ -229,6 +229,20 @@ def q_bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_bm25_topk_not(sf_dir: str) -> pd.DataFrame:
+    """Boolean MUST_NOT: docs containing 'sort' are excluded from the
+    candidate set; survivors keep their exact unexcluded BM25 scores
+    (the excluded term contributes nothing — Lucene BooleanQuery
+    semantics, engine/query.py search(exclude=...))."""
+    idx = docs_index(sf_dir)
+    hits = idx.search(BM25_QUERY, k=10, exclude="sort")
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits],
+                           dtype=np.float64),
+    })
+
+
 def q_suggest_terms(sf_dir: str) -> pd.DataFrame:
     """Prefix term suggestion over the index dictionary: top-20 terms
     starting with 'ha' ranked (df desc, term asc) — one binary-search

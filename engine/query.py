@@ -436,7 +436,8 @@ class InvertedIndex:
         return [(uniq[i], int(cnt[i])) for i in order]
 
     def search(self, query: str, k: int = 10, method: str = "bmw",
-               require_all: bool = False, where: tuple | None = None):
+               require_all: bool = False, where: tuple | None = None,
+               exclude: str | None = None):
         """-> list of (doc_id, score) sorted score desc, doc_id asc.
 
         ``require_all=True`` switches to conjunctive (AND) semantics:
@@ -458,9 +459,21 @@ class InvertedIndex:
         computed over UNFILTERED blocks, so under a selective filter
         they stop pruning (a filter-aware WAND needs per-block filter
         density, which the skip table does not store).
+
+        ``exclude`` is the boolean MUST_NOT clause (Lucene BooleanQuery
+        third connective): documents containing ANY excluded term are
+        dropped from the candidate set; excluded terms contribute
+        nothing to scores (survivors keep their exact unexcluded
+        scores).  An excluded term absent from the index excludes
+        nothing.  Internally it is one more candidate mask, so it
+        composes with ``where`` and ``require_all`` and shares the
+        daat routing rationale.
         """
         if k <= 0:
             return []
+        ex_mask = None
+        if exclude:
+            ex_mask = self._exclude_mask(exclude)
         terms = self.query_terms(query)
         entries = []
         for t in terms:
@@ -476,8 +489,12 @@ class InvertedIndex:
             entries.append((t, df, idf, pbytes, skips))
         if not entries:
             return []
-        if where is not None:
-            mask = self.where_mask(*where)
+        if where is not None or ex_mask is not None:
+            mask = self.where_mask(*where) if where is not None else None
+            if mask is not None and ex_mask is not None:
+                mask = mask & ex_mask
+            elif mask is None:
+                mask = ex_mask
             if require_all:
                 return self._search_all(entries, k, mask)
             return self._search_daat(entries, k, mask)
@@ -488,6 +505,22 @@ class InvertedIndex:
         if method == "dense":
             return self._search_dense(entries, k)
         return self._search_bmw(entries, k)
+
+    def _exclude_mask(self, exclude: str) -> np.ndarray:
+        """Keep-mask that is False for documents containing ANY of the
+        excluded query's terms (decoded through the same score cache —
+        positions are what the mask needs; scores along for the ride)."""
+        keep = np.ones(self._doc_ids.size, dtype=bool)
+        for t in self.query_terms(exclude):
+            e = self.lookup(t)
+            if e is None:
+                continue
+            df, pbytes, skips = e
+            pos, _ = self._decode_term(
+                t, df, pbytes, skips,
+                self.idf(self._df_overrides.get(t, df)))
+            keep[pos] = False
+        return keep
 
     def search_phrase(self, query: str, k: int = 10, slop: int = 0,
                       where: tuple | None = None):

@@ -185,3 +185,28 @@ def test_suggest_matches_brute_force(index, e2e_webtext):
     wantall = sorted(((t, n) for t, n in dfs.items()
                       if t.startswith("th")), key=lambda x: (-x[1], x[0]))
     assert allth == wantall
+
+
+def test_exclude_matches_brute_force(index):
+    """MUST_NOT == exhaustive unfiltered scoring with excluded-term
+    docs dropped, same tie cut; survivors keep exact scores."""
+    q, ex = "the house", "of"
+    full = index.search(q, k=index.n_docs, method="daat")
+    ex_hits = {d for d, _ in index.search(ex, k=index.n_docs,
+                                          method="daat")}
+    want = [(d, s) for d, s in full if d not in ex_hits]
+    want.sort(key=lambda t: (-t[1], t[0]))
+    got = index.search(q, k=10, exclude=ex)
+    assert got == want[:10]
+    # survivors' scores identical to the unexcluded run
+    full_map = dict(full)
+    assert all(s == full_map[d] for d, s in got)
+    # unknown excluded term excludes nothing
+    assert index.search(q, k=10, exclude="zzzznope") == \
+        index.search(q, k=10, method="daat")
+    # composes with require_all
+    fa = index.search(q, k=index.n_docs, method="daat", require_all=True)
+    want_all = [(d, s) for d, s in fa if d not in ex_hits]
+    want_all.sort(key=lambda t: (-t[1], t[0]))
+    assert index.search(q, k=10, require_all=True, exclude=ex) == \
+        want_all[:10]
