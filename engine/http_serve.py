@@ -180,7 +180,10 @@ class EngineHttpServer:
                 vals = [vals]
             where = (flt["col"], tuple(vals))
         facet_col = req.get("facet")
+        exclude = req.get("exclude")
         kwargs = {"where": where} if where is not None else {}
+        if exclude:
+            kwargs["exclude"] = str(exclude)
         try:
             if self.service is not None:
                 hits = self.service.search(query, k=k, **kwargs)
@@ -194,7 +197,7 @@ class EngineHttpServer:
                                                   where=where)]
                 return 200, out
             with self._search_lock:
-                hits = self.index.search(query, k=k, where=where)
+                hits = self.index.search(query, k=k, **kwargs)
                 urls = (self.index.url_of([d for d, _ in hits])
                         if hits else [])
                 facets = (self.index.facet_counts(query, facet_col,

@@ -51,12 +51,15 @@ class QueryWorker:
         self.idx = InvertedIndex(index_dir)
 
     def search(self, query: str, k: int = 10, method: str = "bmw",
-               where: tuple | None = None):
-        return self.idx.search(query, k=k, method=method, where=where)
+               where: tuple | None = None, exclude: str | None = None):
+        return self.idx.search(query, k=k, method=method, where=where,
+                               exclude=exclude)
 
     def search_many(self, queries: list[str], k: int = 10,
-                    method: str = "bmw", where: tuple | None = None):
-        return [self.idx.search(q, k=k, method=method, where=where)
+                    method: str = "bmw", where: tuple | None = None,
+                    exclude: str | None = None):
+        return [self.idx.search(q, k=k, method=method, where=where,
+                                exclude=exclude)
                 for q in queries]
 
     def facet_counts(self, query: str, col: str,
@@ -82,9 +85,9 @@ class QueryService:
         ray.get([w.search.remote("", 1) for w in self.workers])
 
     def search(self, query: str, k: int = 10, method: str = "bmw",
-               where: tuple | None = None):
+               where: tuple | None = None, exclude: str | None = None):
         w = self.workers[hash(query) % len(self.workers)]
-        return ray.get(w.search.remote(query, k, method, where))
+        return ray.get(w.search.remote(query, k, method, where, exclude))
 
     def facet_counts(self, query: str, col: str,
                      where: tuple | None = None,
@@ -94,11 +97,12 @@ class QueryService:
                                              require_all))
 
     def search_many(self, queries: list[str], k: int = 10,
-                    method: str = "bmw", where: tuple | None = None):
+                    method: str = "bmw", where: tuple | None = None,
+                    exclude: str | None = None):
         """Fan a query batch across replicas; results in input order."""
         n = len(self.workers)
         shards = [queries[i::n] for i in range(n)]
-        parts = ray.get([w.search_many.remote(s, k, method, where)
+        parts = ray.get([w.search_many.remote(s, k, method, where, exclude)
                          for w, s in zip(self.workers, shards) if s])
         out = [None] * len(queries)
         for wi, res in enumerate(parts):
@@ -393,9 +397,11 @@ class DocShardWorker:
         return {t: self.idx.df_of(t) for t in terms}
 
     def search_topk(self, query: str, k: int, dfs: dict[str, int],
-                    method: str = "bmw", where: tuple | None = None):
+                    method: str = "bmw", where: tuple | None = None,
+                    exclude: str | None = None):
         self.idx.add_df_overrides(dfs)
-        return self.idx.search(query, k=k, method=method, where=where)
+        return self.idx.search(query, k=k, method=method, where=where,
+                               exclude=exclude)
 
     def search_phrase_topk(self, query: str, k: int, dfs: dict[str, int],
                            slop: int = 0, where: tuple | None = None):
@@ -478,12 +484,16 @@ class DocShardedQueryService:
             out[t] = v
         return out
 
-    def _scatter(self, query: str, k: int, where: tuple | None = None):
+    def _scatter(self, query: str, k: int, where: tuple | None = None,
+                 exclude: str | None = None):
         terms = self._terms_of(query)
         if not terms:
             return None
+        # exclusion terms need GLOBAL dfs too? No — exclusion is a
+        # membership mask, df-independent; only scored terms exchange.
         dfs = self._global_dfs(terms)
-        return [w.search_topk.remote(query, k, dfs, self.method, where)
+        return [w.search_topk.remote(query, k, dfs, self.method, where,
+                                     exclude)
                 for w in self.workers]
 
     @staticmethod
@@ -494,7 +504,7 @@ class DocShardedQueryService:
         return merged[:k]
 
     def search(self, query: str, k: int = 10,
-               where: tuple | None = None):
+               where: tuple | None = None, exclude: str | None = None):
         """``where=(col, values)`` filters on each shard's doc-values
         sidecar (attach_doc_values must have run per SHARD index — the
         shards are independent indexes).  Per-doc filters compose
@@ -502,7 +512,7 @@ class DocShardedQueryService:
         so filtered per-shard top-k merges are exact, same as phrases."""
         if k <= 0:
             return []
-        futs = self._scatter(query, k, where)
+        futs = self._scatter(query, k, where, exclude)
         return [] if futs is None else self._merge(ray.get(futs), k)
 
     def facet_counts(self, query: str, col: str,

@@ -252,6 +252,9 @@ def test_doc_sharded_filtered_and_facets(dv_index, unit_webtext,
         # decode cache must hold override-idf scores, not local-df ones)
         assert svc.search(QUERY, k=10) == \
             local.search(QUERY, k=10, method="daat")
+        # MUST_NOT exclusion is a per-doc predicate too — exact sharded
+        assert svc.search(QUERY, k=10, exclude="house") == \
+            local.search(QUERY, k=10, method="daat", exclude="house")
     finally:
         svc.shutdown()
 

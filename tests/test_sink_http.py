@@ -162,6 +162,13 @@ def test_search_filter_and_facets(http_engine, e2e_webtext):
                                    where=("lang", ("en", "de")))
     assert [(f["value"], f["n_docs"]) for f in resp["facets"]] == wantf
 
+    status, resp = _post(f"{base}/v1/search",
+                         {"query": "the house", "k": 5, "exclude": "of"})
+    assert status == 200
+    wantx = srv.index.search("the house", k=5, exclude="of")
+    assert [(h["doc_id"], h["score"]) for h in resp["hits"]] == \
+        [(d, s) for d, s in wantx]
+
 
 def test_search_endpoint_matches_local(http_engine):
     srv, base = http_engine
