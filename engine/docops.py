@@ -205,23 +205,57 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
+DOCVALUE_COLS = ["lang", "n_chars"]
+
+
+def _ensure_docvalues(idx: InvertedIndex, sf_dir: str) -> None:
+    """Attach the contract's doc-values columns once per cached index.
+    attach REPLACES the sidecar, so every entry shares ONE attach of
+    the full column set (a partial attach would drop the other
+    entries' columns)."""
+    from engine.docvalues import SIDECAR, attach_doc_values
+    from engine import index_io
+    import pyarrow.parquet as pq_mod
+    for p in range(DOCS_CFG.docmeta_parts):
+        path = os.path.join(
+            index_io.part_dir(idx.index_dir, "docmeta", p), SIDECAR)
+        if not os.path.exists(path):
+            break
+        have = set(pq_mod.read_schema(path).names)
+        if not set(DOCVALUE_COLS) <= have:
+            break
+    else:
+        return
+    attach_doc_values(idx.index_dir,
+                      os.path.join(sf_dir, "documents.parquet"),
+                      DOCVALUE_COLS)
+
+
 def q_bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
     """Metadata-filtered BM25 top-k: candidates restricted to lang='en'
     via the doc-values sidecar (engine/docvalues.py attach_doc_values +
     search(where=...)); scores/statistics stay global (Lucene
     filter-query semantics), so each survivor's score equals its
     unfiltered bm25_topk score."""
-    from engine.docvalues import SIDECAR, attach_doc_values
-    from engine import index_io
     idx = docs_index(sf_dir)
-    missing = [p for p in range(DOCS_CFG.docmeta_parts)
-               if not os.path.exists(os.path.join(
-                   index_io.part_dir(idx.index_dir, "docmeta", p), SIDECAR))]
-    if missing:  # attach once per cached index (atomic per part)
-        attach_doc_values(
-            idx.index_dir,
-            os.path.join(sf_dir, "documents.parquet"), ["lang"])
+    _ensure_docvalues(idx, sf_dir)
     hits = idx.search(BM25_QUERY, k=10, where=("lang", ("en",)))
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits],
+                           dtype=np.float64),
+    })
+
+
+def q_bm25_topk_range(sf_dir: str) -> pd.DataFrame:
+    """Numeric-range-filtered BM25 top-k: candidates restricted to
+    500 <= n_chars <= 2500 (BETWEEN-inclusive) via the doc-values
+    range mask (engine/query.py range_mask — O(distinct) compares over
+    the factorized dictionary); statistics stay global."""
+    idx = docs_index(sf_dir)
+    _ensure_docvalues(idx, sf_dir)
+    hits = idx.search(BM25_QUERY, k=10,
+                      where_range=("n_chars", 500, 2500))
     return pd.DataFrame({
         "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
         "score": pd.Series([round(s, 6) for _, s in hits],
@@ -260,8 +294,8 @@ def q_facet_lang_counts(sf_dir: str) -> pd.DataFrame:
     """Facet aggregation: per-lang document counts over the disjunctive
     match set of the BM25 query (docs containing >=1 query term) —
     engine/query.py facet_counts over the doc-values sidecar."""
-    q_bm25_topk_filtered(sf_dir)  # ensures the lang sidecar is attached
     idx = docs_index(sf_dir)
+    _ensure_docvalues(idx, sf_dir)
     rows = idx.facet_counts(BM25_QUERY, "lang")
     return pd.DataFrame({
         "lang": pd.Series([v for v, _ in rows], dtype=object),

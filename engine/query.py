@@ -173,6 +173,31 @@ class InvertedIndex:
         self._dv_cache[col] = out
         return out
 
+    def range_mask(self, col: str, lo, hi) -> np.ndarray:
+        """Boolean keep-mask for ``lo <= col <= hi`` (inclusive both
+        ends, the BETWEEN rule) over a NUMERIC doc-values column.  The
+        compare runs over the column's UNIQUE values (the factorized
+        dictionary), then one lut gather — O(distinct) compares even
+        when n_docs is huge; missing docs never match."""
+        key = (col, "__range__", lo, hi)
+        hit = self._dv_mask_cache.get(key)
+        if hit is not None:
+            return hit
+        aligned, uniq = self._load_doc_values(col)
+        try:
+            # exact for ints up to 2^53 (epoch-us timestamps included)
+            u = uniq.astype(np.float64)
+            want = (u >= lo) & (u <= hi)
+        except (TypeError, ValueError):
+            # non-castable values: exact Python compare, still only
+            # O(distinct) — never O(n_docs)
+            want = np.array([v is not None and lo <= v <= hi
+                             for v in uniq.tolist()], dtype=bool)
+        lut = np.concatenate((want, [False]))
+        mask = lut[aligned]
+        self._dv_mask_cache[key] = mask
+        return mask
+
     def where_mask(self, col: str, values) -> np.ndarray:
         """Boolean keep-mask over ``_doc_ids`` positions for
         ``col IN values`` (``values`` may be a scalar).  A doc with no
@@ -437,7 +462,8 @@ class InvertedIndex:
 
     def search(self, query: str, k: int = 10, method: str = "bmw",
                require_all: bool = False, where: tuple | None = None,
-               exclude: str | None = None):
+               exclude: str | None = None,
+               where_range: tuple | None = None):
         """-> list of (doc_id, score) sorted score desc, doc_id asc.
 
         ``require_all=True`` switches to conjunctive (AND) semantics:
@@ -459,6 +485,11 @@ class InvertedIndex:
         computed over UNFILTERED blocks, so under a selective filter
         they stop pruning (a filter-aware WAND needs per-block filter
         density, which the skip table does not store).
+
+        ``where_range=(col, lo, hi)`` is the numeric-range filter
+        (``lo <= col <= hi``, BETWEEN-inclusive) over a doc-values
+        column — crawl-date windows, length bands.  Same global-stats
+        semantics as ``where``; the two compose (AND).
 
         ``exclude`` is the boolean MUST_NOT clause (Lucene BooleanQuery
         third connective): documents containing ANY excluded term are
@@ -489,12 +520,16 @@ class InvertedIndex:
             entries.append((t, df, idf, pbytes, skips))
         if not entries:
             return []
-        if where is not None or ex_mask is not None:
-            mask = self.where_mask(*where) if where is not None else None
-            if mask is not None and ex_mask is not None:
-                mask = mask & ex_mask
-            elif mask is None:
-                mask = ex_mask
+        if where is not None or ex_mask is not None \
+                or where_range is not None:
+            mask = None
+            for m in ((self.where_mask(*where)
+                       if where is not None else None),
+                      (self.range_mask(*where_range)
+                       if where_range is not None else None),
+                      ex_mask):
+                if m is not None:
+                    mask = m if mask is None else (mask & m)
             if require_all:
                 return self._search_all(entries, k, mask)
             return self._search_daat(entries, k, mask)

@@ -44,9 +44,11 @@ def dv_index(unit_webtext, tmp_path_factory):
     import ray.data
     idx_dir = str(tmp_path_factory.mktemp("dvidx") / "idx")
     build_index(unit_webtext, idx_dir, CFG)
-    df = _fixture_df(unit_webtext)
-    src = ray.data.from_pandas(df[["url", "lang"]].reset_index(drop=True))
-    m = attach_doc_values(idx_dir, src, ["lang"])
+    df = _fixture_df(unit_webtext).copy()
+    df["nlen"] = df["text"].str.len().astype("int64")
+    src = ray.data.from_pandas(
+        df[["url", "lang", "nlen"]].reset_index(drop=True))
+    m = attach_doc_values(idx_dir, src, ["lang", "nlen"])
     assert m["rows"] == len(df)
     return idx_dir, df
 
@@ -123,6 +125,31 @@ def test_filtered_phrase(dv_index):
     keep.sort(key=lambda t: (-t[1], t[0]))
     got = idx.search_phrase(phrase, k=10, where=("lang", ("en",)))
     assert got == keep[:10]
+
+
+def test_range_filter_matches_oracle(dv_index):
+    """where_range == BETWEEN-inclusive mask built straight from the
+    fixture lengths; composes with where and exclude."""
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    ids = doc_ids_from_urls(df["url"].to_numpy(dtype=object))
+    nlen = dict(zip(ids.tolist(), df["nlen"].tolist()))
+    for lo, hi in ((100, 400), (0, 50), (250, 10**9)):
+        full = idx.search(QUERY, k=idx.n_docs, method="daat")
+        want = [(d, s) for d, s in full if lo <= nlen[d] <= hi]
+        want.sort(key=lambda t: (-t[1], t[0]))
+        got = idx.search(QUERY, k=10, where_range=("nlen", lo, hi))
+        assert got == want[:10], (lo, hi)
+    # composes: range AND lang AND exclusion
+    got = idx.search(QUERY, k=10, where=("lang", ("en",)),
+                     where_range=("nlen", 100, 400), exclude="house")
+    ex = {d for d, _ in idx.search("house", k=idx.n_docs, method="daat")}
+    lang_ok = dict(zip(ids.tolist(), (df["lang"] == "en").tolist()))
+    want = [(d, s) for d, s in idx.search(QUERY, k=idx.n_docs,
+                                          method="daat")
+            if 100 <= nlen[d] <= 400 and lang_ok[d] and d not in ex]
+    want.sort(key=lambda t: (-t[1], t[0]))
+    assert got == want[:10]
 
 
 def test_scalar_value_and_unknown_value(dv_index):
@@ -290,16 +317,18 @@ def test_attach_dedup_earliest_equals_manual(dv_index, unit_webtext,
                           dedup="earliest")
     assert m["rows"] == InvertedIndex(raw_dir).n_docs
 
-    def sidecar_hash(d):
+    def sidecar_rows(d):
         from engine.docvalues import SIDECAR
         from engine import index_io
-        h = hashlib.sha256()
+        out = []
         for p in range(CFG.docmeta_parts):
             path = os.path.join(index_io.part_dir(d, "docmeta", p), SIDECAR)
-            h.update(open(path, "rb").read())
-        return h.hexdigest()
+            t = pq.read_table(path, columns=["doc_id", "lang"])
+            out.append((p, t.column("doc_id").to_pylist(),
+                        t.column("lang").to_pylist()))
+        return out
 
-    assert sidecar_hash(raw_dir) == sidecar_hash(idx_dir)
+    assert sidecar_rows(raw_dir) == sidecar_rows(idx_dir)
 
 
 def test_doc_range_mask_is_slice_of_full(dv_index):
