@@ -105,7 +105,8 @@ class InvertedIndex:
         self._term_cache: dict[int, dict] = {}
         self._blob_cache: dict[int, tuple[bytes, bytes]] = {}
         self._posblob_cache: dict[int, bytes] = {}  # positional indexes
-        self._positions_cache: dict[str, tuple] = {}  # decoded positions
+        self._positions_cache: dict[str, tuple] = {}  # phrase-term state
+        self._pos_cache_sizes: dict[str, int] = {}
         self._pos_cache_bytes = 0
         self._postings_cache: dict[tuple, tuple] = {}  # hot decoded terms
         # doc-values sidecars (engine/docvalues.py): per column, the
@@ -280,11 +281,20 @@ class InvertedIndex:
         return df, postings[po:po + pl], decode_skips(skips[so:so + sl])
 
     def _decode_term_positions(self, term: str):
-        """(docID-run positions, tfs, flat token positions) for phrase
-        matching, deletes masked out, cached in a byte-budget LRU of its
-        own (position streams are O(cf) — a stopword's decode is the
-        dominant phrase cost, so it must amortize exactly like the
-        score cache does for BM25)."""
+        """Phrase-match state for one term -> (docID-run positions,
+        tfs, raw varbyte positions blob, per-entry byte offsets, eidx),
+        cached in a byte-budget LRU of its own.
+
+        The position VALUES are NOT decoded here: one boundary scan
+        over the blob (the varbyte terminator bitmap) yields each
+        posting entry's byte range, and ``_phrase_verify`` decodes only
+        the candidate entries it actually inspects.  A stopword's cold
+        cost drops from the full O(cf) value decode (~10 s at 20M+
+        occurrences) to the boundary scan, and the cached footprint is
+        the ~1.2 B/occurrence blob instead of 4 B/occurrence int32
+        positions — more phrase terms stay resident in the same budget.
+        ``eidx`` maps kept entries to original entry indices when a
+        tombstone overlay dropped some (None otherwise)."""
         hit = self._positions_cache.get(term)
         if hit is not None:
             self._positions_cache.pop(term)
@@ -298,23 +308,33 @@ class InvertedIndex:
                                    self.cfg.block_size)
         pos = np.searchsorted(self._doc_ids, ids.astype(np.int64))
         tfs = tfs.astype(np.int64)
-        tokpos = decode_positions(pblob, tfs)
+        # entry byte boundaries: value v ends at the v-th clear
+        # continuation bit; entry i spans values [vc[i], vc[i+1])
+        blob = np.frombuffer(pblob, dtype=np.uint8)
+        ends = np.flatnonzero((blob & 0x80) == 0)
+        vc = np.concatenate(([0], np.cumsum(tfs)))
+        offs = np.empty(tfs.size + 1, dtype=np.int64)
+        offs[0] = 0
+        offs[1:] = ends[vc[1:] - 1] + 1
+        eidx = None
         if self._del_mask is not None:
             keep = ~self._del_mask[pos]
             if not keep.all():
-                tokpos = tokpos[np.repeat(keep, tfs)]
+                eidx = np.flatnonzero(keep)
                 pos, tfs = pos[keep], tfs[keep]
         if self._doc_ids.size < (1 << 31):
             pos = pos.astype(np.int32)
-        out = (pos, tfs.astype(np.int32), tokpos.astype(np.int32))
-        size = sum(a.nbytes for a in out)
+        out = (pos, tfs.astype(np.int32), blob, offs, eidx)
+        size = (pos.nbytes + tfs.nbytes * 2 + blob.nbytes + offs.nbytes
+                + (0 if eidx is None else eidx.nbytes))
         if size <= self.cache_budget_bytes:
             while (self._pos_cache_bytes + size > self.cache_budget_bytes
                    and self._positions_cache):
                 oldest = next(iter(self._positions_cache))
-                ev = self._positions_cache.pop(oldest)
-                self._pos_cache_bytes -= sum(a.nbytes for a in ev)
+                self._positions_cache.pop(oldest)
+                self._pos_cache_bytes -= self._pos_cache_sizes.pop(oldest)
             self._positions_cache[term] = out
+            self._pos_cache_sizes[term] = size
             self._pos_cache_bytes += size
         return out
 
@@ -571,18 +591,18 @@ class InvertedIndex:
         picking the EARLIEST valid next position minimizes ``p_n`` for
         a fixed start — so greedy matching decides existence exactly.
 
-        Matching is fully vectorized over composite occurrence keys
-        ``doc_slot << 32 | token_position``: slop=0 tests ``key + i``
-        membership in term i's sorted key run (one searchsorted per
-        phrase token over runs that only shrink); slop>0 advances each
-        surviving start to the earliest same-doc successor and applies
-        the gap budget at the end.  Candidate docs are pre-narrowed by
-        the rarest-first sorted intersection the AND path uses, and
-        occurrence keys are built ONLY for candidate docs (a
-        variable-slice gather out of the decoded position stream) — a
-        stopword in the phrase costs its one O(cf) position decode
-        (amortized by the byte-budget LRU) but never O(cf) key
-        construction or membership work.
+        Execution: candidate docs are pre-narrowed by the rarest-first
+        sorted intersection the AND path uses (plus the optional
+        ``where`` doc-values filter), every candidate is BM25-scored
+        from the byte-budget score cache, and the positional predicate
+        (``_phrase_verify`` — vectorized composite-key matching) runs
+        over candidates in (score desc, doc asc) rank order in
+        exponentially growing chunks with EXACT early termination at k
+        verified hits: verification only filters, so the first k
+        survivors in rank order are the global top-k.  A stopword in
+        the phrase costs its one O(cf) position decode (amortized by
+        the positions LRU) but occurrence keys are gathered only for
+        the verified prefix of the candidate ranking.
         """
         if k <= 0:
             return []
@@ -610,20 +630,65 @@ class InvertedIndex:
             if inter.size == 0:
                 return []
 
-        # candidate-only composite keys: for each term, gather just the
-        # position slices of the docs in ``inter`` (entries located by
-        # one searchsorted into the term's docID-sorted run)
+        # rank-ordered early termination (exact): score EVERY candidate
+        # first (cheap — decoded scores are byte-budget-cached), walk
+        # candidates in (score desc, doc asc) order — the same total
+        # order _topk uses — and verify the positional predicate in
+        # exponentially growing chunks, stopping at k verified hits.
+        # Verification only FILTERS, so the first k survivors in rank
+        # order ARE the global top-k.  A stopword x stopword phrase at
+        # multi-M df goes from gathering every candidate's occurrences
+        # (seconds) to a few chunks; a never-matching phrase degrades
+        # to <=2x the all-at-once gather (geometric chunk sum).
+        cscores = np.zeros(inter.size, dtype=np.float64)
+        for t in uniq:
+            df, pbytes, skips = self.lookup(t)
+            idf = self.idf(self._df_overrides.get(t, df))
+            pos, s = self._decode_term(t, df, pbytes, skips, idf)
+            cscores += s[np.searchsorted(pos, inter)]
+        order = np.lexsort((inter, -cscores))
+        out: list[tuple[int, float]] = []
+        lo, chunk = 0, max(1024, 4 * k)
+        while lo < order.size and len(out) < k:
+            sel = order[lo:lo + chunk]
+            lo += sel.size
+            chunk *= 2
+            cand_idx = np.sort(sel)          # ascending candidate rows
+            ok = self._phrase_verify(runs, toks, uniq,
+                                     inter[cand_idx], slop)
+            if ok.any():
+                vi = cand_idx[ok]
+                o = np.lexsort((inter[vi], -cscores[vi]))  # rank order
+                for j in o:
+                    out.append((int(self._doc_ids[inter[vi[j]]]),
+                                float(cscores[vi[j]])))
+        return out[:k]
+
+    def _phrase_verify(self, runs: dict, toks: list[str],
+                       uniq: list[str], cand: np.ndarray,
+                       slop: int) -> np.ndarray:
+        """Positional predicate for a candidate-doc batch -> bool mask
+        over ``cand`` (ascending docmeta positions, each present in
+        every phrase term's run).  Composite occurrence keys
+        ``doc_slot << 32 | token_position`` are gathered ONLY for the
+        batch (variable-slice gather out of the cached position
+        streams); slop=0 tests ``key + i`` membership per phrase token,
+        slop>0 runs the greedy earliest-successor advance with the gap
+        budget applied once at the end."""
         keyruns: dict[str, np.ndarray] = {}
         for t in uniq:
-            pos, tfs, tokpos = runs[t]
-            e = np.searchsorted(pos, inter)
-            cums = np.concatenate(
-                ([0], np.cumsum(tfs, dtype=np.int64)[:-1]))
-            lens = tfs[e].astype(np.int64)
-            occ = gather_slices(tokpos, cums[e], lens,
-                                np.arange(e.size))
-            keyruns[t] = ((inter.astype(np.int64) << np.int64(32))
-                          .repeat(lens) | occ.astype(np.int64))
+            pos, tfs, blob, offs, eidx = runs[t]
+            e = np.searchsorted(pos, cand)
+            counts = tfs[e].astype(np.int64)
+            oe = e if eidx is None else eidx[e]
+            # gather ONLY the candidate entries' byte slices out of the
+            # raw varbyte stream, then decode just those values
+            bb = gather_slices(blob, offs[oe],
+                               offs[oe + 1] - offs[oe],
+                               np.arange(oe.size))
+            occ = decode_positions(bb, counts)
+            keyruns[t] = ((cand.astype(np.int64) << np.int64(32))
+                          .repeat(counts) | occ.astype(np.int64))
 
         def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
             j = np.searchsorted(sorted_arr, vals)
@@ -632,10 +697,11 @@ class InvertedIndex:
             return ok
 
         starts = keyruns[toks[0]]
+        empty = np.zeros(cand.size, dtype=bool)
         if slop == 0:
             for i, t in enumerate(toks[1:], start=1):
                 if starts.size == 0:
-                    return []
+                    return empty
                 starts = starts[_member(keyruns[t],
                                         starts + np.int64(i))]
         else:
@@ -646,10 +712,10 @@ class InvertedIndex:
             cur = starts
             for t in toks[1:]:
                 if starts.size == 0:
-                    return []
+                    return empty
                 kt = keyruns[t]
                 if kt.size == 0:
-                    return []
+                    return empty
                 j = np.searchsorted(kt, cur + np.int64(1))
                 ok = j < kt.size
                 nxt = kt[np.minimum(j, max(kt.size - 1, 0))]
@@ -661,15 +727,11 @@ class InvertedIndex:
                   - (n - 1)) <= np.int64(slop)
             starts = starts[ok]
         if starts.size == 0:
-            return []
-        hits = np.unique(starts >> np.int64(32))
-        acc = np.zeros(hits.size, dtype=np.float64)
-        for t in uniq:
-            df, pbytes, skips = self.lookup(t)
-            idf = self.idf(self._df_overrides.get(t, df))
-            pos, s = self._decode_term(t, df, pbytes, skips, idf)
-            acc += s[np.searchsorted(pos, hits)]
-        return self._topk(self._doc_ids[hits], acc, k)
+            return empty
+        matched = np.unique(starts >> np.int64(32))
+        mask = np.zeros(cand.size, dtype=bool)
+        mask[np.searchsorted(cand, matched)] = True
+        return mask
 
     def _search_all(self, entries, k: int, mask: np.ndarray | None = None):
         """Conjunctive (AND) top-k: decode rarest term first and
