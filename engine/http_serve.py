@@ -118,6 +118,8 @@ class EngineHttpServer:
                     self._send(*outer._embeddings(req))
                 elif self.path == "/v1/search":
                     self._send(*outer._search(req))
+                elif self.path == "/v1/suggest":
+                    self._send(*outer._suggest(req))
                 else:
                     self._send(404, _error("not found", "invalid_request_error",
                                            "unknown_route"))
@@ -219,6 +221,28 @@ class EngineHttpServer:
             out["facets"] = [{"value": v, "n_docs": int(n)}
                              for v, n in facets]
         return 200, out
+
+    def _suggest(self, req: dict) -> tuple[int, dict]:
+        """Prefix autocomplete: {"prefix": ..., "k": 10} ->
+        {"suggestions": [{"term", "df"}]} (engine/query.py suggest)."""
+        backend = self.service if self.service is not None else self.index
+        if backend is None:
+            return 400, _error("no index mounted", "invalid_request_error",
+                               "no_index")
+        prefix = str(req.get("prefix", ""))
+        k = int(req.get("k", 10))
+        try:
+            if self.service is not None:
+                rows = self.service.suggest(prefix, k=k)
+            else:
+                with self._search_lock:
+                    rows = self.index.suggest(prefix, k=k)
+        except AttributeError:
+            return 400, _error(
+                "suggest not supported by this serving tier",
+                "invalid_request_error", "unsupported_suggest")
+        return 200, {"suggestions": [
+            {"term": t, "df": int(df)} for t, df in rows]}
 
     # -- lifecycle --------------------------------------------------------
     def start(self) -> int:

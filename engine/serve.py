@@ -68,6 +68,9 @@ class QueryWorker:
         return self.idx.facet_counts(query, col, where=where,
                                      require_all=require_all)
 
+    def suggest(self, prefix: str, k: int = 10):
+        return self.idx.suggest(prefix, k=k)
+
     def url_of(self, doc_ids):
         return self.idx.url_of(doc_ids)
 
@@ -95,6 +98,10 @@ class QueryService:
         w = self.workers[hash(query) % len(self.workers)]
         return ray.get(w.facet_counts.remote(query, col, where,
                                              require_all))
+
+    def suggest(self, prefix: str, k: int = 10):
+        w = self.workers[hash(prefix) % len(self.workers)]
+        return ray.get(w.suggest.remote(prefix, k))
 
     def search_many(self, queries: list[str], k: int = 10,
                     method: str = "bmw", where: tuple | None = None,
@@ -415,6 +422,12 @@ class DocShardWorker:
         return self.idx.facet_counts(query, col, where=where,
                                      require_all=require_all)
 
+    def suggest_all(self, prefix: str):
+        """EVERY prefixed term with its local df (distributed suggest
+        needs full per-shard enumeration: a term outside one shard's
+        local top-k can still win on the SUMMED df)."""
+        return self.idx.suggest(prefix, k=1 << 62)
+
 
 class DocShardedQueryService:
     """The QPS-optimal distributed layout (classic web-search design):
@@ -534,6 +547,25 @@ class DocShardedQueryService:
             for v, n in p:
                 tot[v] = tot.get(v, 0) + n
         return sorted(tot.items(), key=lambda t: (-t[1], t[0]))
+
+    def suggest(self, prefix: str, k: int = 10):
+        """Distributed prefix suggestion: shards enumerate their
+        prefixed dictionary ranges in full (a term outside one shard's
+        local top-k can still win on the SUMMED df — the same reason
+        distributed top-k-by-sum needs either full exchange or a
+        threshold algorithm; dictionary ranges are tiny next to
+        postings, so full exchange is the honest simple choice), the
+        front sums df per term and cuts (df desc, term asc)."""
+        if k <= 0 or not prefix:
+            return []
+        parts = ray.get([w.suggest_all.remote(prefix)
+                         for w in self.workers])
+        tot: dict[str, int] = {}
+        for p in parts:
+            for t, df in p:
+                tot[t] = tot.get(t, 0) + df
+        out = sorted(tot.items(), key=lambda x: (-x[1], x[0]))
+        return out[:k]
 
     def search_phrase(self, query: str, k: int = 10, slop: int = 0):
         """Distributed phrase / proximity top-k (positional shard

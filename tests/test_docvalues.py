@@ -282,6 +282,10 @@ def test_doc_sharded_filtered_and_facets(dv_index, unit_webtext,
         # MUST_NOT exclusion is a per-doc predicate too — exact sharded
         assert svc.search(QUERY, k=10, exclude="house") == \
             local.search(QUERY, k=10, method="daat", exclude="house")
+        # distributed suggest: summed per-shard dfs == one global index
+        for prefix in ("th", "a", "zz"):
+            assert svc.suggest(prefix, k=10) == \
+                local.suggest(prefix, k=10), prefix
     finally:
         svc.shutdown()
 

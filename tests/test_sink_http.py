@@ -169,6 +169,11 @@ def test_search_filter_and_facets(http_engine, e2e_webtext):
     assert [(h["doc_id"], h["score"]) for h in resp["hits"]] == \
         [(d, s) for d, s in wantx]
 
+    status, resp = _post(f"{base}/v1/suggest", {"prefix": "th", "k": 5})
+    assert status == 200
+    assert [(r["term"], r["df"]) for r in resp["suggestions"]] == \
+        srv.index.suggest("th", k=5)
+
 
 def test_search_endpoint_matches_local(http_engine):
     srv, base = http_engine
