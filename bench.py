@@ -196,6 +196,42 @@ def _query_qps_docsharded(n_shards: int = 2, batches: int = 40) -> float:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _docvalues_latency(index_dir: str, k: int = 10) -> dict:
+    """Doc-values feature probes on the main bench index: attach lang
+    from the RAW fixture (build winner rule), then warm filtered-search
+    / facet / suggest latencies."""
+    import statistics as st
+    from engine.docvalues import attach_doc_values
+    from engine.query import InvertedIndex
+    t0 = time.perf_counter()
+    attach_doc_values(index_dir, WEBTEXT_DIR, ["lang"], dedup="earliest")
+    attach_s = time.perf_counter() - t0
+    idx = InvertedIndex(index_dir)
+    with open(QUERIES_PATH) as f:
+        qset = json.load(f)
+    for q in qset:
+        idx.search(q, k=k, where=("lang", ("de",)))
+        idx.facet_counts(q, "lang")
+    flat, fac, sug = [], [], []
+    for _ in range(3):
+        for q in qset:
+            t0 = time.perf_counter()
+            idx.search(q, k=k, where=("lang", ("de",)))
+            flat.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            idx.facet_counts(q, "lang")
+            fac.append(time.perf_counter() - t0)
+    idx.suggest("th", k=10)
+    for pre in ("th", "a", "wh", "qu", "de") * 10:
+        t0 = time.perf_counter()
+        idx.suggest(pre, k=10)
+        sug.append(time.perf_counter() - t0)
+    return {"attach_s": attach_s,
+            "filtered_p50_s": st.median(flat),
+            "facet_p50_s": st.median(fac),
+            "suggest_p50_s": st.median(sug)}
+
+
 def _phrase_latency(n_rows: int = 50000, k: int = 10) -> dict:
     """Positional-index phrase probe: build a ``store_positions`` index
     over a (smaller, cached) webtext fixture, then time ``search_phrase``
@@ -250,6 +286,12 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     queries["positional_build_50k"] = round(phr["build_s"], 3)
     queries["phrase_query_p50"] = round(phr["p50_s"], 6)
     queries["phrase_query_p95"] = round(phr["p95_s"], 6)
+
+    dv = _docvalues_latency(idx_dir)
+    queries["docvalues_attach"] = round(dv["attach_s"], 3)
+    queries["filtered_query_p50"] = round(dv["filtered_p50_s"], 6)
+    queries["facet_query_p50"] = round(dv["facet_p50_s"], 6)
+    queries["suggest_p50"] = round(dv["suggest_p50_s"], 6)
 
     from engine import docops
     import __ray_entry__ as entrymod
