@@ -197,6 +197,77 @@ def attach_doc_values(index_dir: str,
             "rows": int(sum(m["rows"] for m in metrics))}
 
 
+def carry_doc_values(src_dirs: "str | list[str]", out_dir: str) -> dict:
+    """Carry sidecars into a merged / compacted / updated index.
+
+    ``engine.merge.merge_indexes`` / ``compact_index`` /
+    ``build.update_index`` rewrite docmeta parts and do NOT copy
+    sidecars (doc values derive from the source table, not the index).
+    This helper re-derives them from the INPUT indexes' sidecars
+    instead of a re-attach: per docmeta part (the ``doc_id % D`` split
+    is preserved by merge/compact when configs match, which
+    ``_check_compatible`` already enforces), concatenate the source
+    sidecars' rows, keep only doc_ids present in the OUTPUT part's
+    docmeta (drops compacted-away docs), sort, write atomically.
+
+    Sources with NO sidecar contribute nothing (their docs simply
+    never match a filter — the standard missing-row rule); duplicate
+    doc_ids across sources fail loudly (merge inputs are disjoint doc
+    sets); mismatched column sets across source sidecars fail loudly.
+    Runs as a driver loop over D parts with O(part) memory — the same
+    residency class as read_docmeta; at extreme D wrap it in a Ray
+    task per part.
+
+    Returns {"parts": n_written, "rows": total}.
+    """
+    if isinstance(src_dirs, str):
+        src_dirs = [src_dirs]
+    cfg = EngineConfig.from_dict(
+        index_io.load_manifest(out_dir)["config"])
+    n_parts = n_rows = 0
+    for p in range(cfg.docmeta_parts):
+        srcs = []
+        for d in src_dirs:
+            path = os.path.join(index_io.part_dir(d, "docmeta", p),
+                                SIDECAR)
+            if os.path.exists(path):
+                srcs.append(pq.read_table(path))
+        if not srcs:
+            continue
+        names = [tuple(sorted(t.column_names)) for t in srcs]
+        if len(set(names)) > 1:
+            raise ValueError(
+                f"carry_doc_values: source sidecars disagree on "
+                f"columns in part {p}: {sorted(set(names))}")
+        t = pa.concat_tables(srcs)
+        out_part = os.path.join(index_io.part_dir(out_dir, "docmeta", p),
+                                "docmeta.parquet")
+        keep_ids = pq.read_table(out_part, columns=["doc_id"]) \
+            .column("doc_id").to_numpy()
+        keep_ids = np.sort(keep_ids)
+        ids = t.column("doc_id").to_numpy()
+        j = np.searchsorted(keep_ids, ids)
+        ok = j < keep_ids.size
+        ok[ok] &= keep_ids[j[ok]] == ids[ok]
+        t = t.filter(pa.array(ok))
+        ids = t.column("doc_id").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        if ids.size > 1 and (ids[1:] == ids[:-1]).any():
+            dup = int(ids[np.flatnonzero(ids[1:] == ids[:-1])[0]])
+            raise ValueError(
+                f"carry_doc_values: doc_id {dup} present in more than "
+                "one source sidecar (merge inputs must be disjoint)")
+        t = t.take(pa.array(order))
+        d = index_io.part_dir(out_dir, "docmeta", p)
+        tmp = os.path.join(d, SIDECAR + ".tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(d, SIDECAR))
+        n_parts += 1
+        n_rows += t.num_rows
+    return {"parts": n_parts, "rows": n_rows}
+
+
 def read_doc_values(index_dir: str, cfg: EngineConfig, col: str,
                     doc_range: tuple[int, int] | None = None) -> pa.Table:
     """All sidecar parts' (doc_id, col), optionally doc-range filtered

@@ -335,6 +335,64 @@ def test_attach_dedup_earliest_equals_manual(dv_index, unit_webtext,
     assert sidecar_rows(raw_dir) == sidecar_rows(idx_dir)
 
 
+def test_carry_through_merge_and_compact(dv_index, unit_webtext,
+                                         tmp_path_factory):
+    """carry_doc_values re-derives sidecars after merge/compact:
+    merged filtered search == the attached single index; compaction
+    drops the tombstoned docs' sidecar rows."""
+    import pyarrow as pa
+    import ray.data
+    from engine import index_io
+    from engine.docvalues import carry_doc_values
+    from engine.merge import compact_index, merge_indexes
+    from engine.tokenize import stable_hash64
+
+    idx_dir, df = dv_index
+    out = tmp_path_factory.mktemp("dvcarry")
+    # two disjoint halves, attach each, merge, carry
+    halves = []
+    for si in range(2):
+        sel = (stable_hash64(df["url"].to_numpy(dtype=object))
+               % np.uint64(2)) == np.uint64(si)
+        half = df[sel]
+        files = sorted(os.path.join(unit_webtext, f)
+                       for f in os.listdir(unit_webtext)
+                       if f.endswith(".parquet"))
+        raw = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        raw = raw[(stable_hash64(raw["url"].to_numpy(dtype=object))
+                   % np.uint64(2)) == np.uint64(si)]
+        src_pq = str(out / f"half{si}.parquet")
+        pq.write_table(pa.Table.from_pandas(raw.reset_index(drop=True)),
+                       src_pq)
+        d = str(out / f"h{si}")
+        build_index(src_pq, d, CFG)
+        attach_doc_values(d, ray.data.from_pandas(
+            half[["url", "lang", "nlen"]].reset_index(drop=True)),
+            ["lang", "nlen"])
+        halves.append(d)
+    merged = str(out / "merged")
+    merge_indexes(halves, merged)
+    m = carry_doc_values(halves, merged)
+    assert m["rows"] == len(df)
+    want = InvertedIndex(idx_dir).search(QUERY, k=10,
+                                         where=("lang", ("en",)))
+    assert InvertedIndex(merged).search(QUERY, k=10,
+                                        where=("lang", ("en",))) == want
+
+    # compact: delete some docs, carry drops their sidecar rows
+    full = InvertedIndex(merged)
+    deleted = full._doc_ids[full._doc_ids % 5 == 0]
+    index_io.delete_docs(merged, deleted.tolist())
+    compacted = str(out / "compacted")
+    compact_index(merged, compacted)
+    c = carry_doc_values(merged, compacted)
+    assert c["rows"] == full.n_docs - deleted.size
+    got = InvertedIndex(compacted).search(QUERY, k=10,
+                                          where=("lang", ("en",)))
+    assert all(d not in set(deleted.tolist()) for d, _ in got)
+    assert got  # filter still matches the surviving docs
+
+
 def test_doc_range_mask_is_slice_of_full(dv_index):
     idx_dir, _ = dv_index
     full = InvertedIndex(idx_dir)
