@@ -407,6 +407,7 @@ class InvertedIndex:
         deletion semantics)."""
         if k <= 0 or not prefix:
             return []
+        prefix = prefix.lower()   # dictionary terms are lowercased
         hi_key = prefix + "\U0010FFFF"
         cand: list[tuple[int, str]] = []
         for part in range(self.cfg.num_parts):

@@ -210,3 +210,7 @@ def test_exclude_matches_brute_force(index):
     want_all.sort(key=lambda t: (-t[1], t[0]))
     assert index.search(q, k=10, require_all=True, exclude=ex) == \
         want_all[:10]
+
+
+def test_suggest_case_normalized(index):
+    assert index.suggest("TH", k=5) == index.suggest("th", k=5)
