@@ -268,6 +268,34 @@ def carry_doc_values(src_dirs: "str | list[str]", out_dir: str) -> dict:
     return {"parts": n_parts, "rows": n_rows}
 
 
+def get_doc_values(index_dir: str, cfg: EngineConfig, doc_ids,
+                   col: str) -> list:
+    """Point lookups of a sidecar column for a FEW doc_ids (result
+    hydration) -> values in input order, None where absent.
+
+    Each doc lives in part ``doc_id % D``; the per-part read pushes a
+    doc_id IN-filter down to parquet (sidecars are sorted by doc_id, so
+    row-group statistics prune), keeping the cost proportional to the
+    touched row groups, not the corpus.  For filtering/faceting use the
+    resident factorized codes instead (InvertedIndex.where_mask)."""
+    ids = np.asarray(list(doc_ids), dtype=np.int64)
+    out: dict[int, object] = {}
+    D = cfg.docmeta_parts
+    for p in np.unique(ids % D):
+        path = os.path.join(index_io.part_dir(index_dir, "docmeta",
+                                              int(p)), SIDECAR)
+        if not os.path.exists(path):
+            continue
+        want = ids[ids % D == p]
+        t = pq.read_table(
+            path, columns=["doc_id", col],
+            filters=[("doc_id", "in", want.tolist())])
+        for d, v in zip(t.column("doc_id").to_pylist(),
+                        t.column(col).to_pylist()):
+            out[d] = v
+    return [out.get(int(d)) for d in ids]
+
+
 def read_doc_values(index_dir: str, cfg: EngineConfig, col: str,
                     doc_range: tuple[int, int] | None = None) -> pa.Table:
     """All sidecar parts' (doc_id, col), optionally doc-range filtered

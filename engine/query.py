@@ -389,6 +389,17 @@ class InvertedIndex:
                 seen.add(t); out.append(t)
         return out
 
+    def values_of(self, doc_ids, col: str) -> list:
+        """Per-hit stored-field hydration (Lucene stored-fields read):
+        sidecar column values for a FEW doc_ids (top-k results), read
+        lazily with parquet predicate pushdown — sidecars are written
+        sorted by doc_id, so row-group stats prune the scan; nothing is
+        held resident (unlike the filter path's factorized codes, which
+        are per-column O(n_docs) and only justified for filtering).
+        Docs without a sidecar row hydrate as None."""
+        from engine.docvalues import get_doc_values
+        return get_doc_values(self.index_dir, self.cfg, doc_ids, col)
+
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """Prefix term suggestion (the autocomplete / did-you-mean
         base): -> [(term, df)] of the top-k index terms starting with

@@ -335,6 +335,22 @@ def test_attach_dedup_earliest_equals_manual(dv_index, unit_webtext,
     assert sidecar_rows(raw_dir) == sidecar_rows(idx_dir)
 
 
+def test_values_of_hydration(dv_index):
+    """values_of == the fixture's per-url values, None for unknown ids."""
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    hits = idx.search(QUERY, k=8)
+    ids = doc_ids_from_urls(df["url"].to_numpy(dtype=object))
+    lang_by_id = dict(zip(ids.tolist(), df["lang"].tolist()))
+    nlen_by_id = dict(zip(ids.tolist(), df["nlen"].tolist()))
+    got_lang = idx.values_of([d for d, _ in hits], "lang")
+    got_nlen = idx.values_of([d for d, _ in hits], "nlen")
+    assert got_lang == [lang_by_id[d] for d, _ in hits]
+    assert got_nlen == [nlen_by_id[d] for d, _ in hits]
+    assert idx.values_of([123456789], "lang") == [None]
+    assert idx.values_of([], "lang") == []
+
+
 def test_carry_through_merge_and_compact(dv_index, unit_webtext,
                                          tmp_path_factory):
     """carry_doc_values re-derives sidecars after merge/compact:
