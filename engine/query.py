@@ -590,7 +590,8 @@ class InvertedIndex:
         return keep
 
     def search_phrase(self, query: str, k: int = 10, slop: int = 0,
-                      where: tuple | None = None):
+                      where: tuple | None = None,
+                      exclude: str | None = None):
         """Exact-phrase / proximity top-k: documents containing the
         query's tokens in order with at most ``slop`` interleaving
         non-query tokens in total (``slop=0`` = consecutive, the exact
@@ -632,11 +633,14 @@ class InvertedIndex:
         for t in sorted(uniq, key=lambda t: runs[t][0].size):
             p = runs[t][0]
             if inter is None:
-                # doc-values filter (``where=(col, values)``, same
+                # doc-values filter / MUST_NOT exclusion (same
                 # semantics as search): applied to the rarest run so
                 # the candidate set only shrinks
-                inter = p if where is None else p[
-                    self.where_mask(*where)[p]]
+                inter = p
+                if where is not None:
+                    inter = inter[self.where_mask(*where)[inter]]
+                if exclude:
+                    inter = inter[self._exclude_mask(exclude)[inter]]
             else:
                 inter = np.intersect1d(inter, p, assume_unique=True)
             if inter.size == 0:

@@ -125,6 +125,15 @@ def test_filtered_phrase(dv_index):
     keep.sort(key=lambda t: (-t[1], t[0]))
     got = idx.search_phrase(phrase, k=10, where=("lang", ("en",)))
     assert got == keep[:10]
+    # MUST_NOT on the phrase path: drop docs containing 'data'
+    ex = {d for d, _ in idx.search("data", k=idx.n_docs, method="daat")}
+    keep2 = [(d, s) for d, s in full
+             if mask[int(np.searchsorted(idx._doc_ids, d))]
+             and d not in ex]
+    keep2.sort(key=lambda t: (-t[1], t[0]))
+    got = idx.search_phrase(phrase, k=10, where=("lang", ("en",)),
+                            exclude="data")
+    assert got == keep2[:10]
 
 
 def test_range_filter_matches_oracle(dv_index):
