@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": d.q_suggest_terms,
         "bm25_topk_not": d.q_bm25_topk_not,
         "bm25_topk_range": d.q_bm25_topk_range,
+        "bm25_topk_must": d.q_bm25_topk_must,
         "bm25_topk_and": d.q_bm25_topk_and,
         "bm25_topk_deleted": d.q_bm25_topk_deleted,
         "bm25_topk_stop": d.q_bm25_topk_stop,
@@ -866,6 +867,30 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id
             WHERE dd.n_chars BETWEEN 500 AND 2500
             ORDER BY score DESC, sc.doc_id LIMIT 10""",
+
+        # mixed boolean MUST ('+merge'): candidates must contain
+        # 'merge'; scores still sum the query terms only
+        "bm25_topk_must": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ('hash','join','table') GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * ({k1} + 1)
+                         / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))
+                     ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+              GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM sc
+            WHERE doc_id IN (
+              SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+            ORDER BY score DESC, doc_id LIMIT 10""",
 
         # boolean MUST_NOT: docs containing 'sort' never rank; the
         # survivors' scores are the plain BM25 sums (exclusion adds no

@@ -277,6 +277,19 @@ def q_bm25_topk_not(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_bm25_topk_must(sf_dir: str) -> pd.DataFrame:
+    """Mixed boolean MUST (Lucene '+term'): candidates must contain
+    'merge', scores still sum all of the query's matching terms
+    (engine/query.py search(must=...))."""
+    idx = docs_index(sf_dir)
+    hits = idx.search(BM25_QUERY, k=10, must="merge")
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits],
+                           dtype=np.float64),
+    })
+
+
 def q_suggest_terms(sf_dir: str) -> pd.DataFrame:
     """Prefix term suggestion over the index dictionary: top-20 terms
     starting with 'ha' ranked (df desc, term asc) — one binary-search

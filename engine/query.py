@@ -495,7 +495,8 @@ class InvertedIndex:
     def search(self, query: str, k: int = 10, method: str = "bmw",
                require_all: bool = False, where: tuple | None = None,
                exclude: str | None = None,
-               where_range: tuple | None = None):
+               where_range: tuple | None = None,
+               must: str | None = None):
         """-> list of (doc_id, score) sorted score desc, doc_id asc.
 
         ``require_all=True`` switches to conjunctive (AND) semantics:
@@ -531,12 +532,24 @@ class InvertedIndex:
         nothing.  Internally it is one more candidate mask, so it
         composes with ``where`` and ``require_all`` and shares the
         daat routing rationale.
+
+        ``must`` is the mixed boolean MUST clause (Lucene ``+term``):
+        candidates must contain EVERY must-term, but scoring still
+        sums ALL of ``query``'s matching terms (the
+        required-plus-optional query shape — ``require_all=True`` is
+        the special case where every query term is required).  A
+        must-term absent from the index empties the result.
         """
         if k <= 0:
             return []
         ex_mask = None
         if exclude:
             ex_mask = self._exclude_mask(exclude)
+        must_mask = None
+        if must:
+            must_mask = self._must_mask(must)
+            if must_mask is None:
+                return []
         terms = self.query_terms(query)
         entries = []
         for t in terms:
@@ -553,13 +566,13 @@ class InvertedIndex:
         if not entries:
             return []
         if where is not None or ex_mask is not None \
-                or where_range is not None:
+                or where_range is not None or must_mask is not None:
             mask = None
             for m in ((self.where_mask(*where)
                        if where is not None else None),
                       (self.range_mask(*where_range)
                        if where_range is not None else None),
-                      ex_mask):
+                      ex_mask, must_mask):
                 if m is not None:
                     mask = m if mask is None else (mask & m)
             if require_all:
@@ -572,6 +585,25 @@ class InvertedIndex:
         if method == "dense":
             return self._search_dense(entries, k)
         return self._search_bmw(entries, k)
+
+    def _must_mask(self, must: str) -> np.ndarray | None:
+        """Keep-mask that is True only for documents containing EVERY
+        must-term; None when a must-term is absent from the index (the
+        boolean-AND empty rule)."""
+        mask = None
+        for t in self.query_terms(must):
+            e = self.lookup(t)
+            if e is None:
+                return None
+            df, pbytes, skips = e
+            pos, _ = self._decode_term(
+                t, df, pbytes, skips,
+                self.idf(self._df_overrides.get(t, df)))
+            tm = np.zeros(self._doc_ids.size, dtype=bool)
+            tm[pos] = True
+            mask = tm if mask is None else (mask & tm)
+        return (np.ones(self._doc_ids.size, dtype=bool)
+                if mask is None else mask)
 
     def _exclude_mask(self, exclude: str) -> np.ndarray:
         """Keep-mask that is False for documents containing ANY of the

@@ -214,3 +214,22 @@ def test_exclude_matches_brute_force(index):
 
 def test_suggest_case_normalized(index):
     assert index.suggest("TH", k=5) == index.suggest("th", k=5)
+
+
+def test_must_matches_brute_force(index):
+    """Mixed boolean MUST: candidates contain every must-term, scores
+    still sum all query terms."""
+    q, must = "the house", "of"
+    full = index.search(q, k=index.n_docs, method="daat")
+    musts = [set(d for d, _ in index.search(t, k=index.n_docs))
+             for t in index.query_terms(must)]
+    req = set.intersection(*musts)
+    want = [(d, s) for d, s in full if d in req]
+    want.sort(key=lambda t: (-t[1], t[0]))
+    got = index.search(q, k=10, must=must)
+    assert got == want[:10]
+    assert got, "must produced no hits — fixture drifted"
+    # unknown must-term empties; empty must is a no-op
+    assert index.search(q, k=10, must="zzqqneverthere") == []
+    assert index.search(q, k=10, must="...") == \
+        index.search(q, k=10, method="daat")
