@@ -179,8 +179,19 @@ def attach_doc_values(index_dir: str,
     try:
         if dedup == "earliest":
             from engine.build import duplicate_losers, make_dedup_filter
+            # keys from their own 2-column read when possible, and
+            # n_keys estimated from the manifest's post-dedup doc count
+            # (it only routes driver-vs-distributed resolution; raw
+            # rows exceed it by the duplicate fraction) — both avoid a
+            # full extra pipeline execution inside duplicate_losers
+            keys = (ds.select_columns(["url", "warc_ts"])
+                    if isinstance(source, ray.data.Dataset)
+                    else ray.data.read_parquet(
+                        source, columns=["url", "warc_ts"]))
+            keys.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
             losers = duplicate_losers(
-                ds.select_columns(["url", "warc_ts"]), dedup_parts)
+                keys, dedup_parts,
+                n_keys=int(manifest["stats"]["n_docs"]))
             ds = ds.map_batches(make_dedup_filter(losers),
                                 batch_format="pyarrow")
         metrics = (ds.map_batches(to_parted, batch_format="pyarrow")
