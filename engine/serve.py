@@ -151,20 +151,37 @@ class ShardWorker:
         """Resident docmeta rows (the memory assertion hook)."""
         return int(self.idx._doc_ids.size)
 
-    def score_terms(self, terms: list[str]) -> dict:
+    def score_terms(self, terms: list[str],
+                    where: tuple | None = None) -> dict:
         """term -> (doc_ids int64, bm25 scores float64) or None,
         restricted to this worker's doc range.  Decoding + scoring
-        happen shard-side; only scored arrays move."""
-        return {t: self.idx.score_term_range(t) for t in terms}
+        happen shard-side; only scored arrays move.  ``where`` filters
+        each term's entries by the worker's OWN doc-values mask (each
+        doc-range worker holds its range's sidecar slice) BEFORE
+        shipping — per-doc masks commute with per-term accumulation,
+        so the front's filtered result is bit-identical to local
+        daat-with-mask, and selective filters also shrink the bytes on
+        the wire."""
+        out = {}
+        mask = self.idx.where_mask(*where) if where is not None else None
+        for t in terms:
+            ent = self.idx.score_term_range(t)
+            if ent is not None and mask is not None:
+                ids, scores = ent
+                pos = np.searchsorted(self.idx._doc_ids, ids)
+                keep = mask[pos]
+                ent = (ids[keep], scores[keep]) if keep.any() else None
+            out[t] = ent
+        return out
 
-    def search(self, query: str, k: int):
+    def search(self, query: str, k: int, where: tuple | None = None):
         """Whole-query top-k on the shard (the single-shard routing
         fast path): when every query term lives on this shard, the
         exhaustive-daat accumulate runs HERE and only k rows cross the
         network instead of the terms' full decoded postings.  daat =
         the same decode order + float accumulation as the front's
         scatter-gather, so results stay bit-identical."""
-        return self.idx.search(query, k=k, method="daat")
+        return self.idx.search(query, k=k, method="daat", where=where)
 
 
 class _Front:
@@ -198,7 +215,7 @@ class _Front:
                    % np.uint64(self.cfg.num_parts))
         return part % self.n_shards
 
-    def _scatter(self, query: str):
+    def _scatter(self, query: str, where: tuple | None = None):
         """Submit score_terms futures for one query (no blocking) ->
         (terms, {(shard, range): future}) or None for empty queries."""
         terms = self._terms_of(query)
@@ -214,13 +231,13 @@ class _Front:
             (si, _ts), = by_shard.items()
             replicas = self.shards[si][0]
             return "local", (replicas[self._rr % len(replicas)]
-                             .search.remote(query, self._k_hint))
+                             .search.remote(query, self._k_hint, where))
         futs = {}
         for si, ts in by_shard.items():
             for ri in range(self.n_ranges):
                 replicas = self.shards[si][ri]
                 futs[(si, ri)] = (replicas[self._rr % len(replicas)]
-                                  .score_terms.remote(ts))
+                                  .score_terms.remote(ts, where))
         return terms, futs
 
     def _gather(self, plan, k: int):
@@ -260,20 +277,22 @@ class _Front:
         acc = np.bincount(inv, weights=scores, minlength=uniq.size)
         return InvertedIndex._topk(uniq, acc, k)
 
-    def search(self, query: str, k: int = 10):
+    def search(self, query: str, k: int = 10,
+               where: tuple | None = None):
         if k <= 0:
             return []
         self._k_hint = k
-        return self._gather(self._scatter(query), k)
+        return self._gather(self._scatter(query, where), k)
 
-    def search_many(self, queries: list[str], k: int = 10):
+    def search_many(self, queries: list[str], k: int = 10,
+                    where: tuple | None = None):
         """Pipelined scatter-gather: every query's shard futures are in
         flight before the first gather, so shard work for query i+1
         overlaps the front's accumulate for query i."""
         if k <= 0:
             return [[] for _ in queries]
         self._k_hint = k
-        plans = [self._scatter(q) for q in queries]
+        plans = [self._scatter(q, where) for q in queries]
         return [self._gather(p, k) for p in plans]
 
 
@@ -287,8 +306,9 @@ class FrontWorker:
     def __init__(self, cfg_dict: dict, shards: list):
         self.front = _Front(EngineConfig.from_dict(cfg_dict), shards)
 
-    def search_many(self, queries: list[str], k: int = 10):
-        return self.front.search_many(queries, k)
+    def search_many(self, queries: list[str], k: int = 10,
+                    where: tuple | None = None):
+        return self.front.search_many(queries, k, where)
 
 
 class ShardedQueryService:
@@ -346,17 +366,25 @@ class ShardedQueryService:
             for _ in range(n_fronts)
         ]
 
-    def search(self, query: str, k: int = 10):
-        return self._local.search(query, k)
+    def search(self, query: str, k: int = 10,
+               where: tuple | None = None):
+        """``where=(col, values)`` is applied SHARD-SIDE: each
+        doc-range worker masks its scored fragments with its own
+        sidecar slice before shipping, so filtered results stay
+        bit-identical to local daat-with-mask and selective filters
+        shrink the wire bytes.  (MUST_NOT/must are not offered on this
+        tier: their terms can live on other shards.)"""
+        return self._local.search(query, k, where)
 
-    def search_many(self, queries: list[str], k: int = 10):
+    def search_many(self, queries: list[str], k: int = 10,
+                    where: tuple | None = None):
         """With fronts: interleave the batch across the front pool
         (results in input order); without: local pipelined front."""
         if not self.fronts:
-            return self._local.search_many(queries, k)
+            return self._local.search_many(queries, k, where)
         n = len(self.fronts)
         batches = [queries[i::n] for i in range(n)]
-        parts = ray.get([f.search_many.remote(b, k)
+        parts = ray.get([f.search_many.remote(b, k, where)
                          for f, b in zip(self.fronts, batches) if b])
         out = [None] * len(queries)
         for fi, res in enumerate(parts):

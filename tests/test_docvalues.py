@@ -299,6 +299,35 @@ def test_doc_sharded_filtered_and_facets(dv_index, unit_webtext,
         svc.shutdown()
 
 
+def test_term_sharded_filtered(dv_index):
+    """Term-sharded filtered search == local daat-with-mask, with the
+    mask applied shard-side from each doc-range worker's own sidecar
+    slice (incl. the single-shard routing fast path and n_doc_ranges>1
+    range slicing)."""
+    from engine.serve import ShardedQueryService
+    idx_dir, _ = dv_index
+    local = InvertedIndex(idx_dir)
+    svc = ShardedQueryService(idx_dir, n_shards=2, replicas_per_shard=1,
+                              n_fronts=0, n_doc_ranges=2)
+    try:
+        for q in (QUERY, "the", "data of the house"):
+            for langs in (("en",), ("de", "fr")):
+                assert svc.search(q, k=10, where=("lang", langs)) == \
+                    local.search(q, k=10, method="daat",
+                                 where=("lang", langs)), (q, langs)
+        assert svc.search_many([QUERY, "the"], k=5,
+                               where=("lang", ("en",))) == \
+            [local.search(QUERY, k=5, method="daat",
+                          where=("lang", ("en",))),
+             local.search("the", k=5, method="daat",
+                          where=("lang", ("en",)))]
+        # unfiltered still bit-identical after filtered calls
+        assert svc.search(QUERY, k=10) == \
+            local.search(QUERY, k=10, method="daat")
+    finally:
+        svc.shutdown()
+
+
 def test_replicated_service_where_and_facets(dv_index):
     from engine.serve import QueryService
     idx_dir, _ = dv_index
