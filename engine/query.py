@@ -203,9 +203,14 @@ class InvertedIndex:
         """Boolean keep-mask over ``_doc_ids`` positions for
         ``col IN values`` (``values`` may be a scalar).  A doc with no
         sidecar row never matches.  Cached per (col, values)."""
-        if isinstance(values, (str, bytes, int, float)):
+        if isinstance(values, (str, bytes)):
             values = (values,)
-        key = (col, tuple(values))
+        else:
+            try:
+                values = tuple(values)
+            except TypeError:      # scalar (int/float/np number)
+                values = (values,)
+        key = (col, values)
         hit = self._dv_mask_cache.get(key)
         if hit is not None:
             return hit

@@ -447,6 +447,53 @@ def test_carry_through_merge_and_compact(dv_index, unit_webtext,
     assert got  # filter still matches the surviving docs
 
 
+def test_random_clause_compositions(dv_index):
+    """Property: any composition of (where, where_range, must, exclude,
+    require_all) == brute-force full daat + independent masks + the
+    (score desc, doc_id asc) cut (40 random seeded combinations)."""
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    rng = np.random.default_rng(99)
+    ids = doc_ids_from_urls(df["url"].to_numpy(dtype=object))
+    lang_of = dict(zip(ids.tolist(), df["lang"].tolist()))
+    nlen_of = dict(zip(ids.tolist(), df["nlen"].tolist()))
+    vocab = ["the", "of", "data", "house", "garden", "a"]
+    langsets = [("en",), ("de",), ("en", "de", "fr"), ("ja",)]
+    checked = 0
+    for _ in range(40):
+        q = " ".join(rng.choice(vocab, size=int(rng.integers(1, 4))))
+        kw, pred = {}, []
+        if rng.random() < 0.6:
+            langs = langsets[int(rng.integers(0, len(langsets)))]
+            kw["where"] = ("lang", langs)
+            pred.append(lambda d, L=langs: lang_of[d] in L)
+        if rng.random() < 0.5:
+            lo, hi = sorted(rng.integers(0, 500, size=2).tolist())
+            kw["where_range"] = ("nlen", lo, hi)
+            pred.append(lambda d, lo=lo, hi=hi: lo <= nlen_of[d] <= hi)
+        if rng.random() < 0.4:
+            ex = str(rng.choice(vocab))
+            kw["exclude"] = ex
+            exd = {d for d, _ in idx.search(ex, k=idx.n_docs,
+                                            method="daat")}
+            pred.append(lambda d, E=exd: d not in E)
+        if rng.random() < 0.4:
+            mu = str(rng.choice(vocab))
+            kw["must"] = mu
+            mud = {d for d, _ in idx.search(mu, k=idx.n_docs,
+                                            method="daat")}
+            pred.append(lambda d, M=mud: d in M)
+        require_all = bool(rng.random() < 0.3)
+        full = idx.search(q, k=idx.n_docs, method="daat",
+                          require_all=require_all)
+        want = [(d, s) for d, s in full if all(p(d) for p in pred)]
+        want.sort(key=lambda t: (-t[1], t[0]))
+        got = idx.search(q, k=10, require_all=require_all, **kw)
+        assert got == want[:10], (q, kw, require_all)
+        checked += len(got)
+    assert checked > 50  # compositions did produce hits
+
+
 def test_doc_range_mask_is_slice_of_full(dv_index):
     idx_dir, _ = dv_index
     full = InvertedIndex(idx_dir)
