@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_not": d.q_bm25_topk_not,
         "bm25_topk_range": d.q_bm25_topk_range,
         "bm25_topk_must": d.q_bm25_topk_must,
+        "facet_nchars_hist": d.q_facet_nchars_hist,
         "bm25_topk_and": d.q_bm25_topk_and,
         "bm25_topk_deleted": d.q_bm25_topk_deleted,
         "bm25_topk_stop": d.q_bm25_topk_stop,
@@ -926,6 +927,24 @@ def oracle_sql() -> dict[str, str]:
                    WHERE term LIKE 'ha%' GROUP BY term)
             SELECT term, CAST(df AS BIGINT) AS df FROM df
             ORDER BY df DESC, term LIMIT 20""",
+
+        # histogram facet: matched docs per [150i, 150(i+1)) n_chars
+        # bucket, empty buckets included (half-open floor-division
+        # binning == the engine's np.digitize rule)
+        "facet_nchars_hist": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            hit AS (SELECT DISTINCT doc_id FROM toks
+                    WHERE term IN ('hash','join','table')),
+            b AS (SELECT CAST(floor(dd.n_chars / 150.0) AS BIGINT) AS wb
+                  FROM hit JOIN documents dd USING (doc_id)
+                  WHERE dd.n_chars >= 0 AND dd.n_chars < 600),
+            g AS (SELECT wb, count(*) AS n FROM b GROUP BY wb)
+            SELECT CAST(r.range * 150 AS DOUBLE) AS lo,
+                   CAST((r.range + 1) * 150 AS DOUBLE) AS hi,
+                   CAST(coalesce(g.n, 0) AS BIGINT) AS n_docs
+            FROM range(0, 4) r LEFT JOIN g ON g.wb = r.range
+            ORDER BY lo""",
 
         # facet aggregation: per-lang doc counts over the disjunctive
         # match set (docs containing >=1 query term)

@@ -277,6 +277,22 @@ def q_bm25_topk_not(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_facet_nchars_hist(sf_dir: str) -> pd.DataFrame:
+    """Histogram facet (date-histogram analog): matched-doc counts per
+    n_chars bucket [150i, 150(i+1)), empty buckets included
+    (engine/query.py facet_histogram — np.digitize over the factorized
+    value dictionary, O(distinct) compares)."""
+    idx = docs_index(sf_dir)
+    _ensure_docvalues(idx, sf_dir)
+    rows = idx.facet_histogram(BM25_QUERY, "n_chars",
+                               edges=[0, 150, 300, 450, 600])
+    return pd.DataFrame({
+        "lo": pd.Series([r[0] for r in rows], dtype=np.float64),
+        "hi": pd.Series([r[1] for r in rows], dtype=np.float64),
+        "n_docs": pd.Series([r[2] for r in rows], dtype=np.int64),
+    })
+
+
 def q_bm25_topk_must(sf_dir: str) -> pd.DataFrame:
     """Mixed boolean MUST (Lucene '+term'): candidates must contain
     'merge', scores still sum all of the query's matching terms

@@ -457,6 +457,28 @@ class InvertedIndex:
         out of decoded runs; ``where`` composes (facet within a
         filter).  Pure integer work: the match mask indexes the
         factorized code array once, then one bincount."""
+        matched = self._match_mask(query, require_all)
+        if matched is None:
+            return []
+        if where is not None:
+            matched = matched & self.where_mask(*where)
+        codes, uniq = self._load_doc_values(col)
+        c = codes[matched]
+        c = c[c >= 0]
+        if c.size == 0:
+            return []
+        cnt = np.bincount(c, minlength=uniq.size)
+        nz = np.flatnonzero(cnt)
+        # nz is one entry per distinct facet value — tiny; Python sort
+        # avoids np.lexsort's lack of object-dtype (string) support
+        order = sorted(nz.tolist(), key=lambda i: (-int(cnt[i]), uniq[i]))
+        return [(uniq[i], int(cnt[i])) for i in order]
+
+    def _match_mask(self, query: str,
+                    require_all: bool = False) -> np.ndarray | None:
+        """Boolean match set of a query (>=1 term by default, every
+        term under ``require_all``) over ``_doc_ids`` positions; None
+        when nothing can match.  A fresh array — callers may mutate."""
         terms = self.query_terms(query)
         matched = np.zeros(self._doc_ids.size, dtype=bool)
         first = True
@@ -464,10 +486,10 @@ class InvertedIndex:
             e = self.lookup(t)
             if e is None:
                 if require_all:
-                    return []
+                    return None
                 continue
             df, pbytes, skips = e
-            # same idf rule as search(): counting ignores scores, but
+            # same idf rule as search(): the mask ignores scores, but
             # the decode CACHES them — using the local df here would
             # poison the cache for scored searches on a doc-range shard
             pos, _ = self._decode_term(
@@ -481,21 +503,39 @@ class InvertedIndex:
             else:
                 matched[pos] = True
                 first = False
-        if first:
+        return None if first else matched
+
+    def facet_histogram(self, query: str, col: str, edges,
+                        where: tuple | None = None,
+                        require_all: bool = False) -> list[tuple]:
+        """Histogram facet over a NUMERIC doc-values column (the
+        date-histogram analog): -> [(lo, hi, n_docs)] per half-open
+        bucket ``[edges[i], edges[i+1])`` counting matched documents,
+        empty buckets included (the UI contract).  Values outside
+        [edges[0], edges[-1]) and docs without a sidecar row are not
+        counted.  Same match set as facet_counts; the binning runs on
+        the column's UNIQUE values (np.digitize over the factorized
+        dictionary), then one lut gather + bincount — O(distinct)
+        compares, never O(n_docs)."""
+        edges = np.asarray(list(edges), dtype=np.float64)
+        if edges.size < 2:
             return []
-        if where is not None:
-            matched &= self.where_mask(*where)
-        codes, uniq = self._load_doc_values(col)
-        c = codes[matched]
-        c = c[c >= 0]
-        if c.size == 0:
-            return []
-        cnt = np.bincount(c, minlength=uniq.size)
-        nz = np.flatnonzero(cnt)
-        # nz is one entry per distinct facet value — tiny; Python sort
-        # avoids np.lexsort's lack of object-dtype (string) support
-        order = sorted(nz.tolist(), key=lambda i: (-int(cnt[i]), uniq[i]))
-        return [(uniq[i], int(cnt[i])) for i in order]
+        matched = self._match_mask(query, require_all)
+        if matched is None:
+            counts = np.zeros(edges.size - 1, dtype=np.int64)
+        else:
+            if where is not None:
+                matched &= self.where_mask(*where)
+            codes, uniq = self._load_doc_values(col)
+            c = codes[matched]
+            c = c[c >= 0]
+            per_val = np.bincount(c, minlength=uniq.size)
+            bucket = np.digitize(uniq.astype(np.float64), edges) - 1
+            ok = (bucket >= 0) & (bucket < edges.size - 1)
+            counts = np.bincount(bucket[ok], weights=per_val[ok],
+                                 minlength=edges.size - 1).astype(np.int64)
+        return [(float(edges[i]), float(edges[i + 1]), int(counts[i]))
+                for i in range(counts.size)]
 
     def search(self, query: str, k: int = 10, method: str = "bmw",
                require_all: bool = False, where: tuple | None = None,

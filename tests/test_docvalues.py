@@ -504,3 +504,39 @@ def test_doc_range_mask_is_slice_of_full(dv_index):
     lm = lo_half.where_mask("lang", ("en", "de"))
     hm = hi_half.where_mask("lang", ("en", "de"))
     assert np.array_equal(np.concatenate([lm, hm]), fm)
+
+
+def test_facet_histogram_matches_oracle(dv_index):
+    """facet_histogram == per-doc brute-force binning over the fixture
+    lengths (half-open buckets, empty buckets included); composes with
+    where."""
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    ids = doc_ids_from_urls(df["url"].to_numpy(dtype=object))
+    nlen = dict(zip(ids.tolist(), df["nlen"].tolist()))
+    lang = dict(zip(ids.tolist(), df["lang"].tolist()))
+    edges = [0, 100, 200, 300, 10**9]
+    hits = {d for d, _ in idx.search(QUERY, k=idx.n_docs, method="daat")}
+
+    def oracle(pred=lambda d: True):
+        counts = [0] * (len(edges) - 1)
+        for d in hits:
+            if not pred(d):
+                continue
+            v = nlen[d]
+            for i in range(len(edges) - 1):
+                if edges[i] <= v < edges[i + 1]:
+                    counts[i] += 1
+        return [(float(edges[i]), float(edges[i + 1]), counts[i])
+                for i in range(len(edges) - 1)]
+
+    assert idx.facet_histogram(QUERY, "nlen", edges) == oracle()
+    assert idx.facet_histogram(QUERY, "nlen", edges,
+                               where=("lang", ("en",))) == \
+        oracle(lambda d: lang[d] == "en")
+    assert idx.facet_histogram(QUERY, "nlen", [0]) == []
+    # a no-match query still emits every (zero) bucket — the UI
+    # contract, and what the SQL LEFT JOIN oracle produces
+    assert idx.facet_histogram("zzqqnever", "nlen", edges) == \
+        [(float(edges[i]), float(edges[i + 1]), 0)
+         for i in range(len(edges) - 1)]
