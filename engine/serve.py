@@ -68,6 +68,12 @@ class QueryWorker:
         return self.idx.facet_counts(query, col, where=where,
                                      require_all=require_all)
 
+    def facet_histogram(self, query: str, col: str, edges,
+                        where: tuple | None = None,
+                        require_all: bool = False):
+        return self.idx.facet_histogram(query, col, edges, where=where,
+                                        require_all=require_all)
+
     def suggest(self, prefix: str, k: int = 10):
         return self.idx.suggest(prefix, k=k)
 
@@ -98,6 +104,13 @@ class QueryService:
         w = self.workers[hash(query) % len(self.workers)]
         return ray.get(w.facet_counts.remote(query, col, where,
                                              require_all))
+
+    def facet_histogram(self, query: str, col: str, edges,
+                        where: tuple | None = None,
+                        require_all: bool = False):
+        w = self.workers[hash(query) % len(self.workers)]
+        return ray.get(w.facet_histogram.remote(query, col, edges,
+                                                where, require_all))
 
     def suggest(self, prefix: str, k: int = 10):
         w = self.workers[hash(prefix) % len(self.workers)]
@@ -450,6 +463,14 @@ class DocShardWorker:
         return self.idx.facet_counts(query, col, where=where,
                                      require_all=require_all)
 
+    def facet_histogram(self, query: str, col: str, edges,
+                        dfs: dict[str, int],
+                        where: tuple | None = None,
+                        require_all: bool = False):
+        self.idx.add_df_overrides(dfs)
+        return self.idx.facet_histogram(query, col, edges, where=where,
+                                        require_all=require_all)
+
     def suggest_all(self, prefix: str):
         """EVERY prefixed term with its local df (distributed suggest
         needs full per-shard enumeration: a term outside one shard's
@@ -575,6 +596,26 @@ class DocShardedQueryService:
             for v, n in p:
                 tot[v] = tot.get(v, 0) + n
         return sorted(tot.items(), key=lambda t: (-t[1], t[0]))
+
+    def facet_histogram(self, query: str, col: str, edges,
+                        where: tuple | None = None,
+                        require_all: bool = False):
+        """Distributed histogram facet: per-shard bucket counts sum
+        exactly (buckets are fixed, shards partition docs)."""
+        terms = self._terms_of(query)
+        if not terms:
+            return []
+        dfs = self._global_dfs(terms)
+        parts = ray.get([w.facet_histogram.remote(query, col, list(edges),
+                                                  dfs, where, require_all)
+                         for w in self.workers])
+        if not parts or not parts[0]:
+            return []
+        out = [list(b) for b in parts[0]]
+        for p in parts[1:]:
+            for i, (_, _, n) in enumerate(p):
+                out[i][2] += n
+        return [tuple(b) for b in out]
 
     def suggest(self, prefix: str, k: int = 10):
         """Distributed prefix suggestion: shards enumerate their

@@ -270,7 +270,8 @@ def test_doc_sharded_filtered_and_facets(dv_index, unit_webtext,
         half = df[(stable_hash64(df["url"].to_numpy(dtype=object))
                    % np.uint64(2)) == np.uint64(si)]
         attach_doc_values(d, ray.data.from_pandas(
-            half[["url", "lang"]].reset_index(drop=True)), ["lang"])
+            half[["url", "lang", "nlen"]].reset_index(drop=True)),
+            ["lang", "nlen"])
         shard_dirs.append(d)
 
     local = InvertedIndex(idx_dir)
@@ -295,6 +296,14 @@ def test_doc_sharded_filtered_and_facets(dv_index, unit_webtext,
         for prefix in ("th", "a", "zz"):
             assert svc.suggest(prefix, k=10) == \
                 local.suggest(prefix, k=10), prefix
+        # distributed histogram facet: per-shard bucket counts sum exactly
+        edges = [0, 100, 200, 300, 10**9]
+        assert svc.facet_histogram(QUERY, "nlen", edges) == \
+            local.facet_histogram(QUERY, "nlen", edges)
+        assert svc.facet_histogram(QUERY, "nlen", edges,
+                                   where=("lang", ("en",))) == \
+            local.facet_histogram(QUERY, "nlen", edges,
+                                  where=("lang", ("en",)))
     finally:
         svc.shutdown()
 
