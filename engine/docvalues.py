@@ -319,6 +319,11 @@ def read_doc_values(index_dir: str, cfg: EngineConfig, col: str,
                             SIDECAR)
         if not os.path.exists(path):
             continue
+        if col not in pq.read_schema(path).names:
+            raise KeyError(
+                f"doc-values column {col!r} not in the sidecar "
+                f"(have {pq.read_schema(path).names}) — re-attach with "
+                "the full column set (attach REPLACES the sidecar)")
         t = pq.read_table(path, columns=["doc_id", col])
         if doc_range is not None:
             lo, hi = doc_range

@@ -182,6 +182,7 @@ class EngineHttpServer:
                 vals = [vals]
             where = (flt["col"], tuple(vals))
         facet_col = req.get("facet")
+        hist = req.get("facet_histogram")  # {"col": ..., "edges": [...]}
         exclude = req.get("exclude")
         kwargs = {"where": where} if where is not None else {}
         if exclude:
@@ -197,6 +198,12 @@ class EngineHttpServer:
                         {"value": v, "n_docs": int(n)} for v, n in
                         self.service.facet_counts(query, facet_col,
                                                   where=where)]
+                if hist:
+                    out["histogram"] = [
+                        {"lo": lo, "hi": hi, "n_docs": int(n)}
+                        for lo, hi, n in self.service.facet_histogram(
+                            query, hist["col"], hist["edges"],
+                            where=where)]
                 return 200, out
             with self._search_lock:
                 hits = self.index.search(query, k=k, **kwargs)
@@ -205,7 +212,10 @@ class EngineHttpServer:
                 facets = (self.index.facet_counts(query, facet_col,
                                                   where=where)
                           if facet_col else None)
-        except FileNotFoundError as e:   # no doc-values sidecar
+                hrows = (self.index.facet_histogram(
+                    query, hist["col"], hist["edges"], where=where)
+                    if hist else None)
+        except (FileNotFoundError, KeyError) as e:  # missing sidecar/col
             return 400, _error(str(e), "invalid_request_error",
                                "no_doc_values")
         except (TypeError, AttributeError):
@@ -220,6 +230,9 @@ class EngineHttpServer:
         if facets is not None:
             out["facets"] = [{"value": v, "n_docs": int(n)}
                              for v, n in facets]
+        if hrows is not None:
+            out["histogram"] = [{"lo": lo, "hi": hi, "n_docs": int(n)}
+                                for lo, hi, n in hrows]
         return 200, out
 
     def _suggest(self, req: dict) -> tuple[int, dict]:

@@ -174,6 +174,16 @@ def test_search_filter_and_facets(http_engine, e2e_webtext):
     assert [(r["term"], r["df"]) for r in resp["suggestions"]] == \
         srv.index.suggest("th", k=5)
 
+    # histogram facet over doc lengths (lang sidecar carries only lang
+    # here, so bucket on a fresh attach below is out of scope — use the
+    # lang facet payload shape): attach added only lang, so histogram
+    # over lang would fail; assert the no-column error maps to 400
+    status, resp = _post(f"{base}/v1/search",
+                         {"query": "the house", "k": 2,
+                          "facet_histogram": {"col": "nope",
+                                              "edges": [0, 1]}})
+    assert status == 400
+
 
 def test_search_endpoint_matches_local(http_engine):
     srv, base = http_engine
