@@ -530,7 +530,14 @@ class InvertedIndex:
             c = codes[matched]
             c = c[c >= 0]
             per_val = np.bincount(c, minlength=uniq.size)
-            bucket = np.digitize(uniq.astype(np.float64), edges) - 1
+            try:
+                u = uniq.astype(np.float64)
+            except (TypeError, ValueError) as e:
+                raise TypeError(
+                    f"facet_histogram needs a numeric doc-values "
+                    f"column; {col!r} holds e.g. {uniq[:1].tolist()}"
+                ) from e
+            bucket = np.digitize(u, edges) - 1
             ok = (bucket >= 0) & (bucket < edges.size - 1)
             counts = np.bincount(bucket[ok], weights=per_val[ok],
                                  minlength=edges.size - 1).astype(np.int64)
