@@ -11,7 +11,9 @@ Tiers map to engine/serve.py layouts:
                expects --index given N times, one per range)
 
 The HTTP surface is engine/http_serve.py: GET /health_check,
-POST /v1/embeddings (OpenAI shape), POST /v1/search.
+POST /v1/embeddings (OpenAI shape), POST /v1/search (accepts
+``filter``/``facet``/``facet_histogram``/``exclude`` — doc-values
+sidecars must be attached per served index), POST /v1/suggest.
 """
 
 from __future__ import annotations
