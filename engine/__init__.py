@@ -42,6 +42,10 @@ Module map (SURVEY.md §7.1):
               doc shards with distributed-IDF exchange
   http_serve  /health_check + OpenAI-compatible /v1/embeddings + /v1/search
   merge       N indexes -> 1, bit-identical to a union build
+  docvalues   sidecar metadata columns: attach (one narrow keyed
+              shuffle, no join), carry through merge/compact, point
+              hydration; powers search(where=/where_range=), facets,
+              histogram facets
 
 No module in this package calls ``ray.init`` / ``ray.shutdown``; sessions
 are owned by the caller (driver, bench.py, or the pytest fixture).

@@ -503,6 +503,30 @@ def test_random_clause_compositions(dv_index):
     assert checked > 50  # compositions did produce hits
 
 
+def test_deletes_compose_with_filters(dv_index):
+    """Tombstoned docs never rank even when the doc-values filter
+    matches them, and survivors keep stale-stats scores (deletes mask
+    at decode, filters mask at top-k — independent layers)."""
+    idx_dir, _ = dv_index
+    base = InvertedIndex(idx_dir)
+    en_hits = base.search(QUERY, k=10, where=("lang", ("en",)))
+    assert en_hits
+    deleted = np.array([en_hits[0][0]], dtype=np.int64)
+    idx = InvertedIndex(idx_dir, deleted=deleted)
+    got = idx.search(QUERY, k=10, where=("lang", ("en",)))
+    assert en_hits[0][0] not in {d for d, _ in got}
+    # survivors keep their exact pre-delete scores (stale stats)
+    pre = dict(en_hits)
+    for d, s in got:
+        if d in pre:
+            assert s == pre[d]
+    facets_before = base.facet_counts(QUERY, "lang")
+    facets_after = idx.facet_counts(QUERY, "lang")
+    en_b = dict(facets_before).get("en", 0)
+    en_a = dict(facets_after).get("en", 0)
+    assert en_a == en_b - 1  # the deleted doc left the match set
+
+
 def test_doc_range_mask_is_slice_of_full(dv_index):
     idx_dir, _ = dv_index
     full = InvertedIndex(idx_dir)
