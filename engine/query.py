@@ -17,11 +17,17 @@ Scoring (BASELINE.md §2; float64 throughout, ties broken doc_id asc):
 
 Two execution strategies, rank-identical by construction/tests:
   * ``method="daat"`` — exhaustive document-at-a-time, fully vectorized
-    (decode all postings for the query terms, np.add.at accumulate).
-    The correctness oracle path.
+    (decode all postings for the query terms, dense per-position
+    accumulate).  The correctness oracle path.
   * ``method="bmw"`` — block-max WAND: per-block upper bounds
     score(max_tf, min_dl) prune blocks that cannot reach the running
     top-k threshold; only surviving blocks are decoded.
+
+Beyond ranked OR: ``require_all`` (AND), ``must`` (+term gate),
+``exclude`` (MUST_NOT), ``where``/``where_range`` (doc-values filters,
+engine/docvalues.py), ``search_phrase`` (positional, slop), ``suggest``
+(prefix autocomplete), ``facet_counts`` / ``facet_histogram`` (match-set
+aggregations), ``values_of`` (stored-field hydration).
 
 The loaded state (term dictionaries, docmeta arrays) is the per-worker
 state the reference keeps in ``Arc<Embedder>``
