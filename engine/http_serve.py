@@ -218,12 +218,19 @@ class EngineHttpServer:
         except (FileNotFoundError, KeyError) as e:  # missing sidecar/col
             return 400, _error(str(e), "invalid_request_error",
                                "no_doc_values")
-        except (TypeError, AttributeError):
+        except AttributeError:
             # serving tier without filter/facet support (term-sharded
             # fronts hold no per-doc data)
             return 400, _error(
                 "filter/facet not supported by this serving tier",
                 "invalid_request_error", "unsupported_filter")
+        except TypeError as e:
+            # deliberate engine-side type errors (e.g. facet_histogram
+            # over a non-numeric doc-values column) keep their message;
+            # a blanket catch here used to mask them as
+            # unsupported_filter
+            return 400, _error(str(e), "invalid_request_error",
+                               "bad_column_type")
         out = {"hits": [
             {"doc_id": int(d), "score": float(s), "url": u}
             for (d, s), u in zip(hits, urls)]}

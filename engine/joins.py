@@ -87,11 +87,17 @@ def asof_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
             cols["___side"] = pa.array(
                 np.full(len(k), side, dtype=np.int8))
             cols["___bucket"] = pa.array((k % n_buckets).astype(np.int32))
-            # align schemas for union: probe carries a null build_col,
-            # build carries null probe payload
+            # align schemas for union: the missing side's columns are
+            # filled with the int64 SENTINEL, not nulls — a nullable
+            # int64 turns float64 in pandas inside map_groups and
+            # silently corrupts values above 2^53 (this repo's own
+            # doc_ids are uniform 63-bit hashes), so the join must stay
+            # integer end-to-end
             for c in probe_cols + [build_col]:
                 if c not in cols:
-                    cols[c] = pa.nulls(len(k), pa.int64())
+                    fill = default if c == build_col else 0
+                    cols[c] = pa.array(
+                        np.full(len(k), fill, dtype=np.int64))
             # fixed column order on both sides (union is schema-strict)
             names = [by, ts] + probe_cols + [build_col,
                                             "___side", "___bucket"]
@@ -107,9 +113,9 @@ def asof_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
         key = g[by].to_numpy(dtype=np.int64)
         t = g[ts].to_numpy(dtype=np.int64)
         side = g["___side"].to_numpy(dtype=np.int8)
-        # nulls on the probe side; int64 values survive the float64
-        # intermediate exactly below 2^53 (ids at 10^12-doc scale fit)
-        bv = g[build_col].fillna(default).to_numpy(dtype=np.float64)
+        # sentinel-filled int64 on both sides (see tag()) — no float64
+        # intermediate anywhere, so 63-bit values survive exactly
+        bv = g[build_col].to_numpy(dtype=np.int64)
         # sort: (key, ts, side, build value) — build rows (side 0) land
         # immediately BEFORE probes of the same (key, ts) so `<=` ties
         # match; among duplicate (key, ts) build rows the LARGEST value
@@ -125,7 +131,7 @@ def asof_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
         ok = (li >= 0) & (key_s[li] == key_s[pm])
         bv_s = bv[order]
         matched = np.where(ok, bv_s[np.maximum(li, 0)],
-                           float(default)).astype(np.int64)
+                           np.int64(default))
         out = {c: g[c].to_numpy()[order][pm] for c in [by, ts] + probe_cols}
         out[build_col] = matched
         return pd.DataFrame(out)

@@ -119,7 +119,13 @@ class InvertedIndex:
         # factorized value codes aligned to _doc_ids (-1 = no sidecar
         # row) + the unique value array; masks cached per (col, values)
         self._dv_cache: dict[str, tuple] = {}
+        # mask cache is byte-budget LRU like the decoded-term cache:
+        # each mask is 1 byte/doc and every DISTINCT (col, values) or
+        # (col, lo, hi) tuple is its own key — per-tenant filters or
+        # sliding range windows would otherwise grow it without bound
         self._dv_mask_cache: dict[tuple, np.ndarray] = {}
+        self._dv_mask_bytes = 0
+        self.dv_mask_budget_bytes = max(1 << 20, cache_budget_bytes // 8)
         # distributed-serving hooks: a doc-range shard scores with GLOBAL
         # statistics so per-shard top-k merges are exact (classic
         # distributed-IDF exchange).  df overrides are per-term corpus
@@ -180,6 +186,24 @@ class InvertedIndex:
         self._dv_cache[col] = out
         return out
 
+    def _dv_mask_get(self, key: tuple):
+        hit = self._dv_mask_cache.get(key)
+        if hit is not None:
+            self._dv_mask_cache.pop(key)   # LRU touch: re-insert
+            self._dv_mask_cache[key] = hit
+        return hit
+
+    def _dv_mask_put(self, key: tuple, mask: np.ndarray) -> None:
+        size = mask.nbytes
+        if size > self.dv_mask_budget_bytes:
+            return
+        while (self._dv_mask_bytes + size > self.dv_mask_budget_bytes
+               and self._dv_mask_cache):
+            oldest = next(iter(self._dv_mask_cache))
+            self._dv_mask_bytes -= self._dv_mask_cache.pop(oldest).nbytes
+        self._dv_mask_cache[key] = mask
+        self._dv_mask_bytes += size
+
     def range_mask(self, col: str, lo, hi) -> np.ndarray:
         """Boolean keep-mask for ``lo <= col <= hi`` (inclusive both
         ends, the BETWEEN rule) over a NUMERIC doc-values column.  The
@@ -187,7 +211,7 @@ class InvertedIndex:
         dictionary), then one lut gather — O(distinct) compares even
         when n_docs is huge; missing docs never match."""
         key = (col, "__range__", lo, hi)
-        hit = self._dv_mask_cache.get(key)
+        hit = self._dv_mask_get(key)
         if hit is not None:
             return hit
         aligned, uniq = self._load_doc_values(col)
@@ -202,7 +226,7 @@ class InvertedIndex:
                              for v in uniq.tolist()], dtype=bool)
         lut = np.concatenate((want, [False]))
         mask = lut[aligned]
-        self._dv_mask_cache[key] = mask
+        self._dv_mask_put(key, mask)
         return mask
 
     def where_mask(self, col: str, values) -> np.ndarray:
@@ -217,7 +241,7 @@ class InvertedIndex:
             except TypeError:      # scalar (int/float/np number)
                 values = (values,)
         key = (col, values)
-        hit = self._dv_mask_cache.get(key)
+        hit = self._dv_mask_get(key)
         if hit is not None:
             return hit
         aligned, uniq = self._load_doc_values(col)
@@ -225,7 +249,7 @@ class InvertedIndex:
         # lut[-1] stays False -> code -1 (missing) never matches
         lut = np.concatenate((want, [False]))
         mask = lut[aligned]
-        self._dv_mask_cache[key] = mask
+        self._dv_mask_put(key, mask)
         return mask
 
     # -- segment access -----------------------------------------------------
@@ -941,6 +965,18 @@ class InvertedIndex:
         ids, tfs = decode_postings(pbytes, skips.tobytes(), df,
                                    self.cfg.block_size)
         ids = ids.astype(np.int64)
+        if self.doc_range is not None:
+            # a doc-range loader holds only its range's docmeta slice:
+            # out-of-range posting ids would searchsorted to WRONG slots
+            # (scores attributed to other docs) or index past the end.
+            # Filter to the range first — same [lo, hi) semantics as
+            # score_term_range, so public search/facet on a restricted
+            # loader returns exactly its range's hits.
+            lo, hi = self.doc_range
+            hi_in = min(hi, (1 << 63)) - 1  # inclusive upper (int64-safe)
+            in_range = (ids >= lo) & (ids <= hi_in)
+            if not in_range.all():
+                ids, tfs = ids[in_range], tfs[in_range]
         pos = np.searchsorted(self._doc_ids, ids)
         if self._del_mask is not None:
             keep = ~self._del_mask[pos]

@@ -21,20 +21,36 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from engine.dedup import _splitmix64
 from engine.tokenize import HASH_FNS
+
+
+def _row_hashes(ids: np.ndarray, seed: int, hash_fn: str) -> np.ndarray:
+    """Per-row uint64 hash of (id, seed), pure and order-free.
+
+    sip (production) mode mixes the int64 ids DIRECTLY — splitmix64 of
+    (id XOR splitmix64(seed)) — all-integer vectorized work; the earlier
+    per-row ``f"{id}_s{seed}"`` key build paid a Python-level format for
+    every row of the scan (measured ~50x slower on a 1M-row batch).
+    md5 mode keeps the string keys: its whole purpose is bit-parity with
+    the DuckDB oracle expression md5_number_lower(id || '_s{seed}')."""
+    if hash_fn == "sip":
+        seed_mix = _splitmix64(np.array([seed & ((1 << 64) - 1)],
+                                        dtype=np.uint64))[0]
+        return _splitmix64(ids.astype(np.int64).view(np.uint64) ^ seed_mix)
+    keys = np.array([f"{int(i)}_s{seed}" for i in ids], dtype=object)
+    return HASH_FNS[hash_fn](keys)
 
 
 def _keep_mask(ids: np.ndarray, fraction: float, seed: int,
                hash_fn: str) -> np.ndarray:
-    """Pure-function Bernoulli: hash('{id}_s{seed}') < fraction * 2^64."""
+    """Pure-function Bernoulli: hash(id, seed) < fraction * 2^64."""
     if fraction >= 1.0:
         return np.ones(ids.size, dtype=bool)
     if fraction <= 0.0:
         return np.zeros(ids.size, dtype=bool)
-    hasher = HASH_FNS[hash_fn]
-    keys = np.array([f"{int(i)}_s{seed}" for i in ids], dtype=object)
     thresh = np.uint64(int(fraction * float(1 << 64)))
-    return hasher(keys) < thresh
+    return _row_hashes(ids, seed, hash_fn) < thresh
 
 
 def hash_sample(
@@ -76,9 +92,7 @@ def stratified_sample(
         ids = batch.column(id_col).to_numpy()
         strata = np.asarray(batch.column(strata_col).to_pylist(),
                             dtype=object)
-        hasher = HASH_FNS[hash_fn]
-        keys = np.array([f"{int(i)}_s{seed}" for i in ids], dtype=object)
-        h = hasher(keys)
+        h = _row_hashes(ids, seed, hash_fn)
         # exact integer thresholds resolved once per DISTINCT stratum
         # in the batch, then broadcast by inverse index — no per-row
         # Python in the compare

@@ -211,7 +211,6 @@ class _Front:
         self.shards = shards
         self.n_ranges = len(shards[0]) if shards else 1
         self._rr = 0
-        self._k_hint = 10
 
     def _terms_of(self, query: str) -> list[str]:
         seen, out = set(), []
@@ -228,9 +227,12 @@ class _Front:
                    % np.uint64(self.cfg.num_parts))
         return part % self.n_shards
 
-    def _scatter(self, query: str, where: tuple | None = None):
+    def _scatter(self, query: str, k: int, where: tuple | None = None):
         """Submit score_terms futures for one query (no blocking) ->
-        (terms, {(shard, range): future}) or None for empty queries."""
+        (terms, {(shard, range): future}) or None for empty queries.
+        ``k`` is threaded explicitly — the HTTP front calls search()
+        concurrently from server threads, so smuggling it through
+        mutable front state would race two requests' k values."""
         terms = self._terms_of(query)
         if not terms:
             return None
@@ -244,7 +246,7 @@ class _Front:
             (si, _ts), = by_shard.items()
             replicas = self.shards[si][0]
             return "local", (replicas[self._rr % len(replicas)]
-                             .search.remote(query, self._k_hint, where))
+                             .search.remote(query, k, where))
         futs = {}
         for si, ts in by_shard.items():
             for ri in range(self.n_ranges):
@@ -294,8 +296,7 @@ class _Front:
                where: tuple | None = None):
         if k <= 0:
             return []
-        self._k_hint = k
-        return self._gather(self._scatter(query, where), k)
+        return self._gather(self._scatter(query, k, where), k)
 
     def search_many(self, queries: list[str], k: int = 10,
                     where: tuple | None = None):
@@ -304,8 +305,7 @@ class _Front:
         overlaps the front's accumulate for query i."""
         if k <= 0:
             return [[] for _ in queries]
-        self._k_hint = k
-        plans = [self._scatter(q, where) for q in queries]
+        plans = [self._scatter(q, k, where) for q in queries]
         return [self._gather(p, k) for p in plans]
 
 
@@ -537,13 +537,18 @@ class DocShardedQueryService:
                                  for w in self.workers])
             for t in missing:
                 self._df_cache[t] = sum(d[t] for d in per_shard)
-            while len(self._df_cache) > self.df_cache_max_terms:
-                self._df_cache.pop(next(iter(self._df_cache)))
         out = {}
         for t in terms:
             v = self._df_cache.pop(t)      # LRU touch: re-insert
             self._df_cache[t] = v
             out[t] = v
+        # evict only AFTER the current query's terms are touched — an
+        # eviction between insert and touch could pop one of THIS
+        # query's terms (it may be the oldest entry) and the touch
+        # would KeyError; post-touch, the query's terms are the newest
+        # entries and eviction (oldest-first) can never reach them
+        while len(self._df_cache) > self.df_cache_max_terms:
+            self._df_cache.pop(next(iter(self._df_cache)))
         return out
 
     def _scatter(self, query: str, k: int, where: tuple | None = None,

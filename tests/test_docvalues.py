@@ -539,6 +539,76 @@ def test_doc_range_mask_is_slice_of_full(dv_index):
     assert np.array_equal(np.concatenate([lm, hm]), fm)
 
 
+def test_dv_mask_cache_is_bounded(dv_index):
+    """The (col, values)/(col, lo, hi) mask cache is a byte-budget LRU:
+    many DISTINCT filter tuples (per-tenant wheres, sliding range
+    windows) must evict, not grow without bound — and evicted masks
+    recompute identically."""
+    idx_dir, _ = dv_index
+    idx = InvertedIndex(idx_dir)
+    # one mask = n_docs bytes; budget of ~3 masks
+    idx.dv_mask_budget_bytes = 3 * idx._doc_ids.size
+    first = idx.where_mask("lang", ("en",)).copy()
+    for lo in range(40):                       # 40 distinct range tuples
+        idx.range_mask("nlen", lo, lo + 100)
+    assert idx._dv_mask_bytes <= idx.dv_mask_budget_bytes
+    assert len(idx._dv_mask_cache) <= 3
+    # evicted mask recomputes bit-identically
+    np.testing.assert_array_equal(idx.where_mask("lang", ("en",)), first)
+    # LRU touch: a freshly-read mask survives the next insertions
+    idx.where_mask("lang", ("en",))
+    idx.range_mask("nlen", 0, 100)             # evicts oldest, not 'en'
+    assert ("lang", ("en",)) in idx._dv_mask_cache
+
+
+def test_df_cache_eviction_never_drops_current_query_terms():
+    """DocShardedQueryService._global_dfs regression: with the cache at
+    capacity, inserting a query whose terms overflow the cap used to
+    evict one of the CURRENT query's terms before the LRU touch and
+    KeyError.  Exercised without Ray via an empty worker list (every
+    missing term sums to df 0)."""
+    from engine.serve import DocShardedQueryService
+    svc = DocShardedQueryService.__new__(DocShardedQueryService)
+    svc.workers = []
+    svc._df_cache = {}
+    svc.df_cache_max_terms = 3
+    assert svc._global_dfs(["a", "b", "c"]) == {"a": 0, "b": 0, "c": 0}
+    # 4 terms > cap, one of them ('a') is the oldest cache entry —
+    # the old eviction-before-touch code raised KeyError here
+    out = svc._global_dfs(["d", "e", "f", "a"])
+    assert out == {"d": 0, "e": 0, "f": 0, "a": 0}
+    assert len(svc._df_cache) <= 3
+    # the survivors are the NEWEST touches, oldest-first eviction
+    assert set(svc._df_cache) == {"e", "f", "a"}
+
+
+def test_doc_range_public_search_is_range_restricted(dv_index):
+    """_decode_term on a doc-range loader filters postings to the range
+    (regression: out-of-range ids searchsorted to WRONG slots or past
+    the end).  Each half's public exhaustive search returns only its
+    range's docs, and the two halves' unions rebuild the full result."""
+    idx_dir, _ = dv_index
+    full = InvertedIndex(idx_dir)
+    mid = int(full._doc_ids[full._doc_ids.size // 2])
+    halves = [InvertedIndex(idx_dir, doc_range=(0, mid)),
+              InvertedIndex(idx_dir, doc_range=(mid, 1 << 63))]
+    want = full.search(QUERY, k=full.n_docs, method="daat")
+    got = []
+    for h, (lo, hi) in zip(halves, [(0, mid), (mid, 1 << 63)]):
+        part = h.search(QUERY, k=full.n_docs, method="daat")
+        assert all(lo <= d < hi for d, _ in part)
+        got.extend(part)
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == want
+    # facet counts over the halves sum to the full counts
+    tot: dict = {}
+    for h in halves:
+        for v, n in h.facet_counts(QUERY, "lang"):
+            tot[v] = tot.get(v, 0) + n
+    assert sorted(tot.items(), key=lambda t: (-t[1], t[0])) == \
+        full.facet_counts(QUERY, "lang")
+
+
 def test_facet_histogram_matches_oracle(dv_index):
     """facet_histogram == per-doc brute-force binning over the fixture
     lengths (half-open buckets, empty buckets included); composes with
