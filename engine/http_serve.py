@@ -14,16 +14,33 @@ contract over stdlib ``http.server`` (no web framework in the sandbox):
     POST /v1/search      -> {"hits": [{doc_id, score, url}]} over the
                             built index (the capability the reference
                             delegates to external vector DBs)
+    POST /v1/suggest     -> prefix autocomplete over the dictionary
+
+Multimodal route parity (reference server/src/lib.rs:321-838):
+
+    POST /v1/pdf_embeddings         {model, files:[paths]} -> per-CHUNK
+        embedding rows {object, index, embedding, metadata, text}
+        (sentence chunking at 1000 chars, the reference
+        TextEmbedConfig::default(); engine/pdf.py extraction)
+    POST /v1/pdf_embeddings/upload  multipart/form-data with a `model`
+        text field + one or more `files` PDF parts (filename *.pdf or
+        content-type application/pdf), same response
+    POST /v1/image_embeddings       {model, images:[base64|data-url]}
+        -> {object, data:[{object, index, embedding, metadata}], model}
+        (engine/multimodal.ImageFeatureActor feature slot — a vision
+        model's stand-in, like the hashing embedder for text)
 
 Production path: the same handlers behind a real ASGI server or
 ``ray serve``; this threaded server is the sandbox-complete tier and
-the test surface.  Mixed base64-image input handling (M11) is out of
-scope — text-only, like the engine.
+the test surface.
 """
 
 from __future__ import annotations
 
+import base64
+import binascii
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -39,6 +56,60 @@ def _error(message: str, etype: str, code: str) -> dict:
 # known magic prefixes for the classifier's decode-and-sniff step
 _IMAGE_MAGICS = (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"GIF8",
                  b"BM", b"RIFF")
+
+# magic -> extension, the reference's image::guess_format mapping
+# (server/src/lib.rs:684-694 decode_base64_to_temp_file)
+_MAGIC_EXT = ((b"\xff\xd8\xff", "jpg"), (b"\x89PNG\r\n\x1a\n", "png"),
+              (b"GIF8", "gif"), (b"BM", "bmp"), (b"RIFF", "webp"))
+
+
+def decode_base64_image(s: str) -> tuple[bytes, str]:
+    """data-URL or bare base64 -> (raw bytes, extension).  Raises
+    ValueError with the reference's failure wording when the payload is
+    not valid base64 or does not sniff as a known image format
+    (server/src/lib.rs:676-708)."""
+    data = s
+    if data.startswith("data:"):
+        _, _, data = data.partition(",")
+        if not data:
+            raise ValueError("Invalid data URL format")
+    try:
+        raw = base64.b64decode(data.strip(), validate=True)
+    except (binascii.Error, ValueError) as e:
+        raise ValueError(f"Failed to decode base64: {e}") from e
+    for magic, ext in _MAGIC_EXT:
+        if raw.startswith(magic):
+            return raw, ext
+    raise ValueError("Failed to read image: unknown format")
+
+
+def parse_multipart(content_type: str, body: bytes) -> list[tuple]:
+    """multipart/form-data -> [(field_name, filename, content_type,
+    payload bytes)].  Stdlib email parser (no web framework in the
+    sandbox): the body is wrapped in a synthetic MIME header so the
+    boundary from the request's Content-Type drives the split; binary
+    part payloads pass through untouched (no transfer encoding in
+    form-data parts).  Raises ValueError on a non-multipart or
+    boundary-less request."""
+    import email
+    import email.policy
+    if "multipart/form-data" not in (content_type or ""):
+        raise ValueError("expected multipart/form-data")
+    if "boundary=" not in content_type:
+        raise ValueError("missing multipart boundary")
+    msg = email.message_from_bytes(
+        b"Content-Type: " + content_type.encode("latin-1")
+        + b"\r\nMIME-Version: 1.0\r\n\r\n" + body,
+        policy=email.policy.HTTP)
+    if not msg.is_multipart():
+        raise ValueError("malformed multipart body")
+    out = []
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        payload = part.get_payload(decode=True)
+        out.append((name, part.get_filename(), part.get_content_type(),
+                    payload if payload is not None else b""))
+    return out
 
 
 def is_base64_image(s: str) -> bool:
@@ -79,6 +150,11 @@ class EngineHttpServer:
         # reinsert + byte accounting), so searches serialize on a lock;
         # for parallel query serving use engine.serve's actor tiers
         self._search_lock = threading.Lock()
+        # vision feature slot: projection built once per server (the
+        # reference builds the vision embedder per request from HF —
+        # warm-start here, same heavy-init/cheap-call split)
+        from engine.multimodal import ImageFeatureActor
+        self._image_model = ImageFeatureActor()
         if index_dir is not None:
             from engine.query import InvertedIndex
             self.index = InvertedIndex(index_dir)
@@ -106,9 +182,15 @@ class EngineHttpServer:
                                            "unknown_route"))
 
             def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if self.path == "/v1/pdf_embeddings/upload":
+                    # multipart, not JSON — needs the raw body + headers
+                    self._send(*outer._pdf_upload(
+                        self.headers.get("Content-Type", ""), body))
+                    return
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(n) or b"{}")
+                    req = json.loads(body or b"{}")
                 except (ValueError, json.JSONDecodeError):
                     self._send(400, _error("invalid JSON body",
                                            "invalid_request_error",
@@ -120,6 +202,10 @@ class EngineHttpServer:
                     self._send(*outer._search(req))
                 elif self.path == "/v1/suggest":
                     self._send(*outer._suggest(req))
+                elif self.path == "/v1/pdf_embeddings":
+                    self._send(*outer._pdf_embeddings(req))
+                elif self.path == "/v1/image_embeddings":
+                    self._send(*outer._image_embeddings(req))
                 else:
                     self._send(404, _error("not found", "invalid_request_error",
                                            "unknown_route"))
@@ -241,6 +327,164 @@ class EngineHttpServer:
             out["histogram"] = [{"lo": lo, "hi": hi, "n_docs": int(n)}
                                 for lo, hi, n in hrows]
         return 200, out
+
+    # -- multimodal routes (reference server/src/lib.rs:321-838) ----------
+    def _pdf_embeddings(self, req: dict) -> tuple[int, dict]:
+        """POST /v1/pdf_embeddings {model, files:[paths]} — the
+        reference's path-list PDF route (server/src/lib.rs:321-410):
+        validate every path BEFORE any work, then extract -> sentence
+        chunks -> per-chunk embedding rows."""
+        files = req.get("files") or []
+        model = req.get("model", self.model_name)
+        if not files:
+            return 400, _error("File list cannot be empty",
+                               "invalid_request_error", "empty_files")
+        for f in files:
+            f = str(f)
+            if not f.lower().endswith(".pdf"):
+                return 400, _error(
+                    f"Unsupported file type for '{f}'. Expected a PDF.",
+                    "invalid_request_error", "invalid_file_type")
+            if not os.path.exists(f):
+                return 400, _error(f"File '{f}' does not exist",
+                                   "invalid_request_error",
+                                   "file_not_found")
+            if not os.path.isfile(f):
+                return 400, _error(f"'{f}' is not a file",
+                                   "invalid_request_error", "invalid_path")
+        return self._embed_pdf_files(model, [str(f) for f in files])
+
+    def _pdf_upload(self, content_type: str, body: bytes) -> tuple[int, dict]:
+        """POST /v1/pdf_embeddings/upload — the multipart variant
+        (server/src/lib.rs:412-658): a `model` text field + `files` PDF
+        parts; parts are spooled to temp files so the response metadata
+        carries a file_name, like the reference."""
+        import tempfile
+        try:
+            parts = parse_multipart(content_type, body)
+        except ValueError as e:
+            return 400, _error(f"Invalid multipart payload: {e}",
+                               "invalid_request_error", "invalid_multipart")
+        model = None
+        payloads: list[bytes] = []
+        for name, filename, ctype, payload in parts:
+            if name == "model":
+                try:
+                    v = payload.decode("utf-8").strip()
+                except UnicodeDecodeError:
+                    return 400, _error("Model field must be valid UTF-8",
+                                       "invalid_request_error",
+                                       "invalid_model_field")
+                if v:
+                    model = v
+            elif name == "files":
+                is_pdf = ((filename or "").lower().endswith(".pdf")
+                          or ctype == "application/pdf")
+                if not is_pdf:
+                    return 400, _error("Uploaded file must be a PDF",
+                                       "invalid_request_error",
+                                       "invalid_file_type")
+                payloads.append(payload)
+            # unknown fields: drained and ignored, like the reference
+        if model is None:
+            return 400, _error("Missing model field in multipart payload",
+                               "invalid_request_error", "missing_model")
+        if not payloads:
+            return 400, _error("No PDF files were uploaded",
+                               "invalid_request_error", "empty_files")
+        with tempfile.TemporaryDirectory(prefix="pdf_upload_") as td:
+            paths = []
+            for i, data in enumerate(payloads):
+                p = os.path.join(td, f"upload_{i}.pdf")
+                with open(p, "wb") as fh:
+                    fh.write(data)
+                paths.append(p)
+            return self._embed_pdf_files(model, paths)
+
+    def _embed_pdf_files(self, model: str, paths: list[str]) -> tuple[int, dict]:
+        """Shared tail of both PDF routes: extract (engine/pdf.py) ->
+        sentence chunks at 1000 chars (TextEmbedConfig::default()) ->
+        ONE batched embed call -> per-chunk response items with the
+        reference text_loader's metadata keys (file_name/created/
+        modified, rust/src/text_loader.rs:38-52) + the chunk text.
+        Extraction failure maps to the reference's 500
+        embedding_generation_failed (a path-validated file with corrupt
+        bytes fails inside embed_files_batch there too)."""
+        from datetime import datetime
+
+        from engine.chunk import split_sentence
+        from engine.pdf import extract_pdf_text
+        chunks: list[str] = []
+        metas: list[dict] = []
+        for p in paths:
+            try:
+                with open(p, "rb") as fh:
+                    text = extract_pdf_text(fh.read())
+            except (OSError, ValueError) as e:
+                return 500, _error(f"Failed to generate embeddings: {e}",
+                                   "server_error",
+                                   "embedding_generation_failed")
+            st = os.stat(p)
+            md = {
+                "file_name": os.path.realpath(p),
+                "created": datetime.fromtimestamp(st.st_ctime).isoformat(),
+                "modified": datetime.fromtimestamp(st.st_mtime).isoformat(),
+            }
+            for c in split_sentence(text, 1000):
+                chunks.append(c)
+                metas.append(md)
+        vecs = self.embedder.embed_texts(chunks) if chunks else []
+        return 200, {
+            "object": "list",
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": [float(v) for v in vecs[i]],
+                      "metadata": metas[i], "text": chunks[i]}
+                     for i in range(len(chunks))],
+            "model": model,
+        }
+
+    def _image_embeddings(self, req: dict) -> tuple[int, dict]:
+        """POST /v1/image_embeddings {model, images:[base64|data-url]}
+        (server/src/lib.rs:712-838): decode + sniff every payload
+        up-front (first bad index -> 400 base64_decode_failed), then one
+        batched pass through the vision feature slot
+        (engine/multimodal.ImageFeatureActor — model load once per
+        server, work per batch, the same split the actor-pool stage
+        uses)."""
+        import pyarrow as pa
+        images = req.get("images") or []
+        model = req.get("model", f"image-feature-{self._image_model.FEAT_DIM}")
+        if not images:
+            return 400, _error("Images cannot be empty",
+                               "invalid_request_error", "empty_images")
+        raws: list[bytes] = []
+        exts: list[str] = []
+        for i, s in enumerate(images):
+            try:
+                if not isinstance(s, str):
+                    raise ValueError("image must be a base64 string")
+                raw, ext = decode_base64_image(s)
+            except ValueError as e:
+                return 400, _error(
+                    f"Failed to decode image at index {i}: {e}",
+                    "invalid_request_error", "base64_decode_failed")
+            raws.append(raw)
+            exts.append(ext)
+        batch = pa.table({
+            "asset_id": pa.array(range(len(raws)), pa.int64()),
+            "payload": pa.array(raws, pa.binary()),
+        })
+        out = self._image_model(batch)
+        feats = out.column("feature").to_pylist()
+        return 200, {
+            "object": "list",
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": [float(v) for v in feats[i]],
+                      "metadata": {"format": exts[i],
+                                   "n_bytes": str(len(raws[i]))}}
+                     for i in range(len(raws))],
+            "model": model,
+        }
 
     def _suggest(self, req: dict) -> tuple[int, dict]:
         """Prefix autocomplete: {"prefix": ..., "k": 10} ->

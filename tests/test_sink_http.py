@@ -216,6 +216,204 @@ def test_base64_image_routing(http_engine):
     assert status == 400 and resp["error"]["code"] == "mixed_input_types"
 
 
+# -- multimodal route parity (reference server/src/lib.rs:321-838) --------
+
+def _post_multipart(url: str, fields: list[tuple]):
+    """fields = [(name, filename|None, content_type|None, payload bytes)]"""
+    boundary = "testboundary4242"
+    parts = []
+    for name, filename, ctype, payload in fields:
+        head = f'Content-Disposition: form-data; name="{name}"'
+        if filename is not None:
+            head += f'; filename="{filename}"'
+        head = head.encode()
+        if ctype:
+            head += f"\r\nContent-Type: {ctype}".encode()
+        parts.append(b"--" + boundary.encode() + b"\r\n" + head
+                     + b"\r\n\r\n" + payload + b"\r\n")
+    body = b"".join(parts) + b"--" + boundary.encode() + b"--\r\n"
+    req = urllib.request.Request(
+        url, data=body, method="POST",
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def sample_pdfs(tmp_path_factory):
+    from engine.pdf import write_simple_pdf
+    d = tmp_path_factory.mktemp("pdfs")
+    long_line = "A sentence about data pipelines. " * 8
+    a = d / "doc_a.pdf"
+    a.write_bytes(write_simple_pdf([[long_line] * 12, ["Second page."]]))
+    b = d / "doc_b.pdf"
+    b.write_bytes(write_simple_pdf([["Short single page body."]]))
+    return str(a), str(b), str(d)
+
+
+def _expected_pdf_chunks(paths):
+    from engine.chunk import split_sentence
+    from engine.pdf import extract_pdf_text
+    out = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            text = extract_pdf_text(fh.read())
+        for c in split_sentence(text, 1000):
+            out.append((os.path.realpath(p), c))
+    return out
+
+
+def test_pdf_embeddings_route(http_engine, sample_pdfs):
+    """Per-file chunk explosion: data rows = every file's sentence
+    chunks in file order, embeddings exactly the engine embedder's,
+    metadata carries the canonical file_name (text_loader parity)."""
+    srv, base = http_engine
+    a, b, _ = sample_pdfs
+    status, resp = _post(f"{base}/v1/pdf_embeddings",
+                         {"model": "hashing-64", "files": [a, b]})
+    assert status == 200
+    assert resp["object"] == "list" and resp["model"] == "hashing-64"
+    want = _expected_pdf_chunks([a, b])
+    assert len(resp["data"]) == len(want) >= 3  # doc_a chunks + doc_b
+    for i, item in enumerate(resp["data"]):
+        assert item["object"] == "embedding" and item["index"] == i
+        assert item["metadata"]["file_name"] == want[i][0]
+        assert "modified" in item["metadata"]
+        assert item["text"] == want[i][1]
+    vecs = srv.embedder.embed_texts([c for _, c in want])
+    for i, item in enumerate(resp["data"]):
+        assert np.allclose(item["embedding"], vecs[i])
+
+
+def test_pdf_embeddings_validation_errors(http_engine, sample_pdfs):
+    _, base = http_engine
+    a, _, d = sample_pdfs
+    status, resp = _post(f"{base}/v1/pdf_embeddings",
+                         {"model": "m", "files": []})
+    assert status == 400 and resp["error"]["code"] == "empty_files"
+    status, resp = _post(f"{base}/v1/pdf_embeddings",
+                         {"model": "m", "files": ["notes.txt"]})
+    assert status == 400 and resp["error"]["code"] == "invalid_file_type"
+    assert "notes.txt" in resp["error"]["message"]
+    status, resp = _post(f"{base}/v1/pdf_embeddings",
+                         {"model": "m", "files": ["/nope/x.pdf"]})
+    assert status == 400 and resp["error"]["code"] == "file_not_found"
+    dir_as_pdf = os.path.join(d, "adir.pdf")
+    os.makedirs(dir_as_pdf, exist_ok=True)
+    status, resp = _post(f"{base}/v1/pdf_embeddings",
+                         {"model": "m", "files": [dir_as_pdf]})
+    assert status == 400 and resp["error"]["code"] == "invalid_path"
+    # a path-valid file with corrupt bytes fails in extraction -> 500,
+    # the reference's embedding_generation_failed
+    bad = os.path.join(d, "corrupt.pdf")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a pdf at all")
+    status, resp = _post(f"{base}/v1/pdf_embeddings",
+                         {"model": "m", "files": [bad]})
+    assert status == 500
+    assert resp["error"]["code"] == "embedding_generation_failed"
+    assert resp["error"]["type"] == "server_error"
+
+
+def test_pdf_upload_route(http_engine, sample_pdfs):
+    """Multipart upload == path-list route on the same bytes (modulo
+    file_name, which points at the server's temp spool like the
+    reference's upload_{ts}_{i}.pdf)."""
+    srv, base = http_engine
+    a, b, _ = sample_pdfs
+    pa_bytes = open(a, "rb").read()
+    pb_bytes = open(b, "rb").read()
+    status, resp = _post_multipart(
+        f"{base}/v1/pdf_embeddings/upload",
+        [("model", None, None, b"hashing-64"),
+         ("files", "doc_a.pdf", "application/pdf", pa_bytes),
+         ("files", "doc_b.pdf", None, pb_bytes)])
+    assert status == 200 and resp["model"] == "hashing-64"
+    want = _expected_pdf_chunks([a, b])
+    assert [it["text"] for it in resp["data"]] == [c for _, c in want]
+    assert [it["index"] for it in resp["data"]] == list(range(len(want)))
+    assert all(it["metadata"]["file_name"].endswith(".pdf")
+               for it in resp["data"])
+    vecs = srv.embedder.embed_texts([c for _, c in want])
+    assert np.allclose(resp["data"][0]["embedding"], vecs[0])
+
+
+def test_pdf_upload_errors(http_engine, sample_pdfs):
+    _, base = http_engine
+    a, _, _ = sample_pdfs
+    pdf = open(a, "rb").read()
+    status, resp = _post_multipart(
+        f"{base}/v1/pdf_embeddings/upload",
+        [("files", "doc_a.pdf", "application/pdf", pdf)])
+    assert status == 400 and resp["error"]["code"] == "missing_model"
+    status, resp = _post_multipart(
+        f"{base}/v1/pdf_embeddings/upload",
+        [("model", None, None, b"m")])
+    assert status == 400 and resp["error"]["code"] == "empty_files"
+    status, resp = _post_multipart(
+        f"{base}/v1/pdf_embeddings/upload",
+        [("model", None, None, b"m"),
+         ("files", "notes.txt", "text/plain", b"hello")])
+    assert status == 400 and resp["error"]["code"] == "invalid_file_type"
+    # non-multipart content type -> invalid_multipart
+    status, resp = _post(f"{base}/v1/pdf_embeddings/upload",
+                         {"model": "m"})
+    assert status == 400 and resp["error"]["code"] == "invalid_multipart"
+
+
+def test_image_embeddings_route(http_engine):
+    """Decode + sniff + batched vision-slot features; bare base64 and
+    data-URL forms; values match ImageFeatureActor exactly."""
+    import base64
+    import pyarrow as pa_mod
+    srv, base = http_engine
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 3
+    jpg = b"\xff\xd8\xff\xe0" + bytes(reversed(range(256))) * 2
+    b64_png = base64.b64encode(png).decode()
+    data_url_jpg = "data:image/jpeg;base64," + \
+        base64.b64encode(jpg).decode()
+    status, resp = _post(f"{base}/v1/image_embeddings",
+                         {"model": "vision-16",
+                          "images": [b64_png, data_url_jpg]})
+    assert status == 200
+    assert resp["object"] == "list" and resp["model"] == "vision-16"
+    assert [d["index"] for d in resp["data"]] == [0, 1]
+    assert resp["data"][0]["metadata"]["format"] == "png"
+    assert resp["data"][1]["metadata"]["format"] == "jpg"
+    want = srv._image_model(pa_mod.table({
+        "asset_id": pa_mod.array([0, 1], pa_mod.int64()),
+        "payload": pa_mod.array([png, jpg], pa_mod.binary()),
+    })).column("feature").to_pylist()
+    assert np.allclose(resp["data"][0]["embedding"], want[0])
+    assert np.allclose(resp["data"][1]["embedding"], want[1])
+
+
+def test_image_embeddings_errors(http_engine):
+    import base64
+    _, base = http_engine
+    status, resp = _post(f"{base}/v1/image_embeddings",
+                         {"model": "m", "images": []})
+    assert status == 400 and resp["error"]["code"] == "empty_images"
+    # corrupt base64 at index 1 — the reference reports the index
+    png_ok = base64.b64encode(b"\x89PNG\r\n\x1a\n" + b"x" * 64).decode()
+    status, resp = _post(f"{base}/v1/image_embeddings",
+                         {"model": "m",
+                          "images": [png_ok, "!!!not-base64!!!"]})
+    assert status == 400
+    assert resp["error"]["code"] == "base64_decode_failed"
+    assert "index 1" in resp["error"]["message"]
+    # valid base64 that is not an image
+    not_img = base64.b64encode(b"plain bytes " * 20).decode()
+    status, resp = _post(f"{base}/v1/image_embeddings",
+                         {"model": "m", "images": [not_img]})
+    assert status == 400
+    assert resp["error"]["code"] == "base64_decode_failed"
+
+
 def test_http_service_backend(tmp_path, unit_webtext):
     """EngineHttpServer with an actor-tier service backend: /v1/search
     routes through QueryService.search and matches the local index."""
