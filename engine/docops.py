@@ -616,6 +616,25 @@ def q_image_features_md5(sf_dir: str):
 SNIPPET_WINDOW = 8
 
 
+def best_snippet_window(toks: list, terms, w: int = SNIPPET_WINDOW):
+    """The q_snippets window rule for ONE doc: -> (start, n_hits,
+    ' '.join(window)) of the best w-token window (max query-term hits,
+    ties to the earliest start), or None when the doc is shorter than
+    the window or has zero hits — the same drop rule as the batch
+    pipeline below.  Serving-path entry (the HTTP front computes
+    snippets for the top-k hits only)."""
+    if len(toks) < w:
+        return None
+    hit = np.isin(np.asarray(toks, dtype=object),
+                  list(terms)).astype(np.int64)
+    pref = np.concatenate(([0], np.cumsum(hit)))
+    wins = pref[w:] - pref[:-w]
+    best = int(np.argmax(wins))                # first max = earliest
+    if wins[best] == 0:
+        return None
+    return best, int(wins[best]), " ".join(toks[best:best + w])
+
+
 def q_snippets(sf_dir: str):
     """Search-result snippet extraction: for every doc containing a
     query term, the best ``SNIPPET_WINDOW``-token window (max query-term

@@ -279,6 +279,20 @@ def carry_doc_values(src_dirs: "str | list[str]", out_dir: str) -> dict:
     return {"parts": n_parts, "rows": n_rows}
 
 
+def has_doc_values(index_dir: str, cfg: EngineConfig, col: str) -> bool:
+    """True when a sidecar exists and carries ``col`` (schema probe of
+    the first present part — attach writes every part atomically, so
+    one part's schema speaks for all).  Lets callers distinguish 'no
+    sidecar' (an error worth surfacing) from 'doc has no row' (the
+    documented None hydration) without loading anything resident."""
+    for p in range(cfg.docmeta_parts):
+        path = os.path.join(index_io.part_dir(index_dir, "docmeta", p),
+                            SIDECAR)
+        if os.path.exists(path):
+            return col in pq.read_schema(path).names
+    return False
+
+
 def get_doc_values(index_dir: str, cfg: EngineConfig, doc_ids,
                    col: str) -> list:
     """Point lookups of a sidecar column for a FEW doc_ids (result

@@ -472,10 +472,20 @@ class DocShardWorker:
                                         require_all=require_all)
 
     def suggest_all(self, prefix: str):
-        """EVERY prefixed term with its local df (distributed suggest
-        needs full per-shard enumeration: a term outside one shard's
-        local top-k can still win on the SUMMED df)."""
+        """EVERY prefixed term with its local df (the exhaustive
+        fallback merge; the front's default is the threshold algorithm
+        below)."""
         return self.idx.suggest(prefix, k=1 << 62)
+
+    def suggest_top(self, prefix: str, m: int):
+        """Local top-m prefixed terms plus the REMAINDER BOUND: the
+        (m+1)th df if more terms exist (every unreturned term's df is
+        <= it — the list is df-desc sorted), else 0 with exhausted=True.
+        The threshold-algorithm front needs exactly this triple."""
+        rows = self.idx.suggest(prefix, k=m + 1)
+        if len(rows) > m:
+            return rows[:m], int(rows[m][1]), False
+        return rows, 0, True
 
 
 class DocShardedQueryService:
@@ -521,6 +531,8 @@ class DocShardedQueryService:
         # LRU fixed in engine/query.py
         self._df_cache: dict[str, int] = {}
         self.df_cache_max_terms = 1_000_000
+        # ops probe: wire rows + rounds of the latest TA suggest call
+        self.last_suggest_stats: dict = {}
 
     def _terms_of(self, query: str) -> list[str]:
         seen, out = set(), []
@@ -623,13 +635,93 @@ class DocShardedQueryService:
         return [tuple(b) for b in out]
 
     def suggest(self, prefix: str, k: int = 10):
-        """Distributed prefix suggestion: shards enumerate their
-        prefixed dictionary ranges in full (a term outside one shard's
-        local top-k can still win on the SUMMED df — the same reason
-        distributed top-k-by-sum needs either full exchange or a
-        threshold algorithm; dictionary ranges are tiny next to
-        postings, so full exchange is the honest simple choice), the
-        front sums df per term and cuts (df desc, term asc)."""
+        """Distributed prefix suggestion by THRESHOLD ALGORITHM (Fagin
+        TA shape) — a term outside one shard's local top-k can still
+        win on the SUMMED df, but full per-shard enumeration ships
+        ~every prefixed (term, df) pair per keystroke.  Instead:
+
+        phase 1: each shard returns its local top-m (m = 2k + 8,
+        doubling per round) plus a REMAINDER BOUND (the (m+1)th df —
+        an upper bound on any term it didn't return).  theta = the kth
+        largest PARTIAL sum over seen terms (a lower bound of the true
+        kth summed df); rounds deepen until no UNSEEN term's upper
+        bound (sum of all remainder bounds) can reach theta, or every
+        shard is exhausted.
+
+        phase 2: exact dfs are fetched ONLY for seen terms whose upper
+        bound (partial + non-reporting shards' remainder bounds) can
+        still reach theta, and only from the shards that didn't report
+        them.  Terms pruned by either phase have exact sum strictly
+        below the kth exact sum (partial <= exact, bounds are upper
+        bounds), so the cut is BIT-IDENTICAL to the exhaustive merge —
+        pytest pins this against suggest_full on the fixture set.
+
+        ``last_suggest_stats`` records wire rows + rounds (the test's
+        exchange-size assertion and an ops probe)."""
+        if k <= 0 or not prefix:
+            return []
+        n_shards = len(self.workers)
+        seen: list[dict[str, int]] = [dict() for _ in range(n_shards)]
+        bounds = [0] * n_shards
+        exhausted = [False] * n_shards
+        wire_rows = 0
+        m = 2 * k + 8
+        rounds = 0
+        while True:
+            rounds += 1
+            live = [si for si in range(n_shards) if not exhausted[si]]
+            parts = ray.get([self.workers[si].suggest_top.remote(prefix, m)
+                             for si in live])
+            for si, (rows, bound, done) in zip(live, parts):
+                wire_rows += len(rows)
+                seen[si] = dict(rows)     # refetch supersedes (superset)
+                bounds[si] = 0 if done else bound
+                exhausted[si] = done
+            partial: dict[str, int] = {}
+            for s in seen:
+                for t, df in s.items():
+                    partial[t] = partial.get(t, 0) + df
+            if all(exhausted):
+                # every (term, shard) df is known — partials are exact
+                out = sorted(partial.items(), key=lambda x: (-x[1], x[0]))
+                self.last_suggest_stats = {"wire_rows": wire_rows,
+                                           "rounds": rounds, "exact_fetch": 0}
+                return out[:k]
+            unseen_upper = sum(bounds)
+            if len(partial) >= k:
+                theta = sorted(partial.values(), reverse=True)[k - 1]
+                if unseen_upper < theta:
+                    break
+            m *= 2
+        # phase 2: exact sums for candidates whose upper bound reaches
+        # theta, fetched only from the shards that didn't report them
+        need: list[list[str]] = [[] for _ in range(n_shards)]
+        cand = []
+        for t, p in partial.items():
+            upper = p + sum(bounds[si] for si in range(n_shards)
+                            if t not in seen[si])
+            if upper >= theta:
+                cand.append(t)
+                for si in range(n_shards):
+                    if t not in seen[si] and not exhausted[si]:
+                        need[si].append(t)
+        fetch = [(si, ts) for si, ts in enumerate(need) if ts]
+        extra = ray.get([self.workers[si].term_dfs.remote(ts)
+                         for si, ts in fetch])
+        exact_fetch = sum(len(ts) for _, ts in fetch)
+        for (si, _ts), dfs in zip(fetch, extra):
+            for t, df in dfs.items():
+                seen[si][t] = df
+        tot = {t: sum(s.get(t, 0) for s in seen) for t in cand}
+        out = sorted(tot.items(), key=lambda x: (-x[1], x[0]))
+        self.last_suggest_stats = {"wire_rows": wire_rows + exact_fetch,
+                                   "rounds": rounds,
+                                   "exact_fetch": exact_fetch}
+        return out[:k]
+
+    def suggest_full(self, prefix: str, k: int = 10):
+        """Exhaustive-merge reference path (every shard ships its whole
+        prefixed range): the oracle the TA path is pinned against."""
         if k <= 0 or not prefix:
             return []
         parts = ray.get([w.suggest_all.remote(prefix)

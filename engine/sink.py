@@ -55,6 +55,128 @@ class IndexSink(ABC):
     def finalize(self, cfg: EngineConfig, lineage: dict) -> dict: ...
 
 
+class VectorAdapter(ABC):
+    """The reference's row-batch adapter surface, verbatim shape:
+    ``create_index / delete_index / convert / upsert``
+    (/root/reference/python/python/embed_anything/vectordb.py:9-28; the
+    engine calls ``upsert`` once per buffered embedding batch,
+    /root/reference/python/src/lib.rs:499-517).  ``convert`` maps an
+    Arrow embedding batch to the store's row dicts; ``upsert`` ships
+    them.  All entry points return None (the reference contract).
+
+    Distribution rule: adapters are constructed INSIDE the writer tasks
+    (one per actor, via a picklable factory — connection setup is
+    per-worker state, never driver state); see upsert_embeddings."""
+
+    @abstractmethod
+    def create_index(self, dimension: int, metric: str,
+                     index_name: str, **kwargs) -> None: ...
+
+    @abstractmethod
+    def delete_index(self, index_name: str) -> None: ...
+
+    @abstractmethod
+    def convert(self, batch: pa.Table) -> list[dict]: ...
+
+    @abstractmethod
+    def upsert(self, batch: pa.Table) -> None: ...
+
+
+class HttpVectorAdapter(VectorAdapter):
+    """Worked adapter example: a JSON-over-HTTP vector store with the
+    bulk-upsert shape of the reference's elasticsearch adapter
+    (/root/reference/examples/adapters/elastic.py — create with
+    dimension+metric, convert rows to {id, embedding, text, metadata},
+    bulk POST).  Endpoints (a dummy loopback store in tests; any store
+    speaking this shape in production):
+
+        PUT    {base}/indexes/{name}        {"dimension": d, "metric": m}
+        DELETE {base}/indexes/{name}
+        POST   {base}/indexes/{name}/bulk   {"rows": [...]}
+
+    Stdlib urllib only (sandbox-complete, the engine.urlfetch pattern);
+    the api_key rides an Authorization header like hosted stores."""
+
+    def __init__(self, base_url: str, index_name: str = "anything",
+                 api_key: str = "", id_col: str = "doc_id",
+                 text_col: str = "text", vec_col: str = "embedding",
+                 timeout: float = 10.0):
+        self.base_url = base_url.rstrip("/")
+        self.index_name = index_name
+        self.api_key = api_key
+        self.id_col, self.text_col, self.vec_col = id_col, text_col, vec_col
+        self.timeout = timeout
+
+    def _request(self, method: str, path: str, payload: dict | None) -> None:
+        import json
+        import urllib.request
+        body = None if payload is None else json.dumps(payload).encode()
+        req = urllib.request.Request(
+            self.base_url + path, data=body, method=method,
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {self.api_key}"})
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            r.read()
+        # entry points return None (reference Adapter contract)
+
+    def create_index(self, dimension: int, metric: str = "cosine",
+                     index_name: str | None = None, **kwargs) -> None:
+        if index_name is not None:
+            self.index_name = index_name
+        self._request("PUT", f"/indexes/{self.index_name}",
+                      {"dimension": int(dimension), "metric": metric,
+                       **kwargs})
+
+    def delete_index(self, index_name: str | None = None) -> None:
+        self._request("DELETE",
+                      f"/indexes/{index_name or self.index_name}", None)
+
+    def convert(self, batch: pa.Table) -> list[dict]:
+        ids = batch.column(self.id_col).to_pylist()
+        vecs = batch.column(self.vec_col).to_pylist()
+        texts = (batch.column(self.text_col).to_pylist()
+                 if self.text_col in batch.column_names
+                 else [None] * len(ids))
+        meta_cols = [c for c in batch.column_names
+                     if c not in (self.id_col, self.text_col, self.vec_col)]
+        metas = ({c: batch.column(c).to_pylist() for c in meta_cols}
+                 if meta_cols else {})
+        return [{"id": ids[i],
+                 "embedding": [float(v) for v in vecs[i]],
+                 "text": texts[i],
+                 "metadata": {c: metas[c][i] for c in meta_cols}}
+                for i in range(len(ids))]
+
+    def upsert(self, batch: pa.Table) -> None:
+        self._request("POST", f"/indexes/{self.index_name}/bulk",
+                      {"rows": self.convert(batch)})
+
+
+def upsert_embeddings(embedded, make_adapter, batch_size: int = 256,
+                      concurrency=(1, 4)) -> int:
+    """Stream an embedded Dataset into a vector store through a
+    VectorAdapter: the adapter is built ONCE per writer actor
+    (``make_adapter`` must be a picklable zero-arg factory — connection
+    state lives in the worker, the reference's Arc<Adapter> analog) and
+    ``upsert`` runs once per Arrow batch, exactly the reference's
+    buffered-batch callback cadence.  Returns total rows upserted; the
+    returned per-batch counts are the only thing that crosses back to
+    the driver."""
+
+    class Writer:
+        def __init__(self):
+            self.adapter = make_adapter()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            self.adapter.upsert(batch)
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = embedded.map_batches(
+        Writer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    return int(sum(r["n"] for r in counts.take_all()))
+
+
 class LocalIndexSink(IndexSink):
     """Default sink: the on-disk segment layout engine.query reads."""
 

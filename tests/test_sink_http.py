@@ -216,6 +216,88 @@ def test_base64_image_routing(http_engine):
     assert status == 400 and resp["error"]["code"] == "mixed_input_types"
 
 
+def test_http_vector_adapter_end_to_end(ray_session):
+    """Worked VectorAdapter example (reference vectordb.Adapter +
+    examples/adapters/elastic.py): create/convert/upsert/delete against
+    a loopback dummy store, driven per embedding batch by
+    upsert_embeddings.  Entry points return None; the store sees one
+    bulk POST per Arrow batch with the converted row dicts."""
+    import threading
+    from functools import partial
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pandas as pd
+    import ray.data
+    from engine.embed import embed_documents
+    from engine.sink import HttpVectorAdapter, upsert_embeddings
+
+    calls = []
+    lock = threading.Lock()
+
+    class Store(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _handle(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n)) if n else None
+            with lock:
+                calls.append((self.command, self.path,
+                              self.headers.get("Authorization"), body))
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        do_PUT = do_POST = do_DELETE = _handle
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Store)
+    port = httpd.server_port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        adapter = HttpVectorAdapter(base, index_name="vecs", api_key="k1")
+        assert adapter.create_index(16, "cosine") is None
+        with lock:
+            assert calls[-1][:2] == ("PUT", "/indexes/vecs")
+            assert calls[-1][2] == "Bearer k1"
+            assert calls[-1][3] == {"dimension": 16, "metric": "cosine"}
+
+        n = 100
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [f"doc number {i} about data" for i in range(n)],
+            "lang": ["en", "de"] * (n // 2),
+        })
+        embedded = embed_documents(ray.data.from_pandas(df), dim=16,
+                                   batch_size=32, concurrency=2)
+        total = upsert_embeddings(
+            embedded,
+            partial(HttpVectorAdapter, base, index_name="vecs",
+                    api_key="k1"),
+            batch_size=32, concurrency=2)
+        assert total == n
+        with lock:
+            bulk = [c for c in calls if c[1] == "/indexes/vecs/bulk"]
+        assert len(bulk) >= 2            # upsert ran per batch
+        rows = [r for _, _, _, b in bulk for r in b["rows"]]
+        assert len(rows) == n
+        assert all(len(b["rows"]) <= 32 for _, _, _, b in bulk)
+        by_id = {r["id"]: r for r in rows}
+        assert sorted(by_id) == list(range(n))
+        assert len(by_id[0]["embedding"]) == 16
+        assert by_id[3]["text"] == "doc number 3 about data"
+        assert by_id[3]["metadata"] == {"lang": "de"}
+
+        assert adapter.delete_index() is None
+        with lock:
+            assert calls[-1][:2] == ("DELETE", "/indexes/vecs")
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 # -- multimodal route parity (reference server/src/lib.rs:321-838) --------
 
 def _post_multipart(url: str, fields: list[tuple]):
@@ -412,6 +494,62 @@ def test_image_embeddings_errors(http_engine):
                          {"model": "m", "images": [not_img]})
     assert status == 400
     assert resp["error"]["code"] == "base64_decode_failed"
+
+
+def test_search_snippets(ray_session, unit_webtext, tmp_path_factory):
+    """/v1/search with snippets=true returns, per hit, the best
+    8-token query-term window of the doc text (the q_snippets rule) —
+    verified against an INDEPENDENT brute-force window scan over the
+    fixture text.  Missing text sidecar -> 400 no_doc_values."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+    from engine.docops import SNIPPET_WINDOW
+    from engine.docvalues import attach_doc_values
+    from engine.http_serve import EngineHttpServer
+    from engine.tokenize import doc_ids_from_urls, tokenize
+
+    idx_dir = str(tmp_path_factory.mktemp("snipidx") / "idx")
+    build_index(unit_webtext, idx_dir, CFG)
+    files = sorted(os.path.join(unit_webtext, f)
+                   for f in os.listdir(unit_webtext)
+                   if f.endswith(".parquet"))
+    df = (pd.concat([pq.read_table(f).to_pandas() for f in files])
+          .sort_values(["url", "warc_ts"], kind="stable")
+          .drop_duplicates(subset="url", keep="first"))
+
+    srv = EngineHttpServer(index_dir=idx_dir)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        query = "the house data"
+        payload = {"query": query, "k": 5, "snippets": True}
+        status, resp = _post(f"{base}/v1/search", payload)
+        assert status == 400 and resp["error"]["code"] == "no_doc_values"
+
+        attach_doc_values(idx_dir, ray.data.from_pandas(
+            df[["url", "text"]].reset_index(drop=True)), ["text"])
+        status, resp = _post(f"{base}/v1/search", payload)
+        assert status == 200 and resp["hits"]
+
+        ids = doc_ids_from_urls(df["url"].to_numpy(dtype=object))
+        text_of = dict(zip(ids.tolist(), df["text"].tolist()))
+        terms = set(srv.index.query_terms(query))
+        w = SNIPPET_WINDOW
+        for h in resp["hits"]:
+            toks = tokenize(text_of[h["doc_id"]])
+            # independent brute force: max hits, earliest start
+            best, best_hits = None, 0
+            for s in range(len(toks) - w + 1):
+                n = sum(1 for t in toks[s:s + w] if t in terms)
+                if n > best_hits:
+                    best, best_hits = s, n
+            want = (" ".join(toks[best:best + w])
+                    if best is not None else None)
+            assert h["snippet"] == want, h["doc_id"]
+        assert any(h["snippet"] for h in resp["hits"])
+    finally:
+        srv.stop()
 
 
 def test_http_service_backend(tmp_path, unit_webtext):

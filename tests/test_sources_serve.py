@@ -229,6 +229,76 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
         svc_bmw.shutdown()
 
 
+def test_doc_sharded_suggest_threshold_algorithm(ray_session,
+                                                 tmp_path_factory):
+    """TA suggest (per-shard top-m + remainder bounds + targeted exact
+    fetch) is BIT-IDENTICAL to the exhaustive merge and to one global
+    index, while shipping far fewer rows than the full prefixed range
+    for a short prefix."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.query import InvertedIndex
+    from engine.serve import DocShardedQueryService
+
+    rng = np.random.default_rng(17)
+    vocab = np.array([f"p{i:04d}" for i in range(240)], dtype=object)
+    probs = 1.0 / np.arange(1, 241)
+    probs /= probs.sum()
+    rows = []
+    for i in range(400):
+        words = rng.choice(vocab, size=int(rng.integers(20, 60)), p=probs)
+        text = " ".join(words.tolist())
+        rows.append({
+            "url": f"https://x.org/d/{i:06d}",
+            "warc_ts": 1_600_000_000_000_000 + i,
+            "html": f"<html><body><p>{text}</p></body></html>".encode(),
+        })
+    base = tmp_path_factory.mktemp("tasugg")
+
+    def write(sel, name):
+        t = pa.table({
+            "url": pa.array([r["url"] for r in sel], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in sel],
+                                pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in sel], pa.binary()),
+        })
+        p = str(base / f"{name}.parquet")
+        pq.write_table(t, p)
+        return p
+
+    cfg = EngineConfig(num_parts=4, docmeta_parts=2)
+    global_dir = str(base / "global")
+    build_index(write(rows, "all"), global_dir, cfg)
+    shard_dirs = []
+    for si in range(2):
+        d = str(base / f"s{si}")
+        build_index(write(rows[si::2], f"half{si}"), d, cfg)
+        shard_dirs.append(d)
+
+    local = InvertedIndex(global_dir)
+    svc = DocShardedQueryService(shard_dirs, method="daat")
+    try:
+        for prefix in ("p", "p0", "p01", "p0001", "zz"):
+            for k in (3, 10, 50, 500):
+                want = local.suggest(prefix, k=k)
+                assert svc.suggest(prefix, k=k) == want, (prefix, k)
+                assert svc.suggest_full(prefix, k=k) == want, (prefix, k)
+        # exchange bound: a 1-char prefix matches all 240 terms on both
+        # shards (~480 full-enumeration rows); TA at k=5 ships a small
+        # multiple of k per shard
+        full_rows = sum(len(r) for r in __import__("ray").get(
+            [w.suggest_all.remote("p") for w in svc.workers]))
+        assert full_rows > 400
+        assert svc.suggest("p", k=5) == local.suggest("p", k=5)
+        stats = svc.last_suggest_stats
+        assert stats["wire_rows"] < full_rows / 4, stats
+    finally:
+        svc.shutdown()
+
+
 def test_list_media_files(ray_session, tmp_path):
     """S2/S3 media-path discovery: recursive, per-kind extension sets."""
     from engine.sources import list_media_files
