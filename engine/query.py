@@ -659,6 +659,9 @@ class InvertedIndex:
                     mask = m if mask is None else (mask & m)
             if require_all:
                 return self._search_all(entries, k, mask)
+            if (int(mask.sum())
+                    <= self.filtered_dense_cutoff * self._doc_ids.size):
+                return self._search_filtered(entries, k, mask)
             return self._search_daat(entries, k, mask)
         if require_all:
             return self._search_all(entries, k)
@@ -947,6 +950,86 @@ class InvertedIndex:
             touched &= mask
         nz = np.flatnonzero(touched)
         return self._topk(self._doc_ids[nz], acc[nz], k)
+
+    # selective-filter routing: when the filter keeps at most this
+    # fraction of docs, score only the posting BLOCKS containing a
+    # candidate instead of full daat (exhaustive decode + full-width
+    # accumulate).  Public knob; tests pin both routes bit-identical.
+    filtered_dense_cutoff = 0.25
+
+    def _search_filtered(self, entries, k: int, mask: np.ndarray):
+        """Filtered top-k over a candidate mask with PER-TERM routing:
+
+        * term already in the decoded-score cache -> gather + mask (one
+          vectorized index, no decode);
+        * uncached term whose candidate block window is much smaller
+          than its df -> decode ONLY the blocks containing a candidate
+          (binary search of candidate ids against the skip table's
+          last_doc column — the bmw phase-B machinery applied to
+          filter candidates instead of score survivors);
+        * otherwise -> full decode through the cache (the term stays
+          warm for later queries).
+
+        Accumulation is a dense array over the CANDIDATES (O(matches)
+        per term), in the same term order and with the same unique-
+        position buffered adds as `_search_daat`, so sums, scores and
+        tie-breaks are BIT-identical to daat-with-mask (pytest pins
+        this on random clause compositions at both cutoff extremes).
+        The win case is the selective filter on a large tier — a
+        per-tenant `where` at 10^-3 density decodes a few blocks per
+        stopword instead of the term's whole multi-MB run."""
+        if self._del_mask is not None:
+            # daat never touches deleted docs (dropped at decode); make
+            # them non-candidates so the block branch agrees
+            mask = mask & ~self._del_mask
+        cand_pos = np.flatnonzero(mask)
+        if cand_pos.size == 0:
+            return []
+        cand_ids = self._doc_ids[cand_pos]      # sorted (slice of sorted)
+        acc = np.zeros(cand_pos.size, dtype=np.float64)
+        touched = np.zeros(cand_pos.size, dtype=bool)
+        for term, df, idf, pbytes, skips in entries:
+            hit = self._postings_cache.get(term)
+            use_blocks = (hit is None
+                          and min(cand_pos.size, skips.shape[0])
+                          * self.cfg.block_size * 4 < df)
+            if use_blocks:
+                last = skips[:, 0]
+                bi = np.unique(np.searchsorted(last, cand_ids,
+                                               side="left"))
+                bi = bi[bi < last.size]
+                if bi.size == 0:
+                    continue
+                parts = [decode_block(pbytes, skips, int(b), df,
+                                      self.cfg.block_size) for b in bi]
+                ids = np.concatenate([p[0] for p in parts]).astype(np.int64)
+                tfs = np.concatenate([p[1] for p in parts])
+                p = np.searchsorted(cand_ids, ids)
+                ok = p < cand_ids.size
+                ok[ok] &= cand_ids[p[ok]] == ids[ok]
+                if not ok.any():
+                    continue
+                cpos = p[ok]
+                s = self._term_score(tfs[ok],
+                                     self._doclens[cand_pos[cpos]], idf)
+            else:
+                pos, s_all = (hit if hit is not None else
+                              self._decode_term(term, df, pbytes, skips,
+                                                idf))
+                if hit is not None:             # LRU touch
+                    self._postings_cache.pop(term)
+                    self._postings_cache[term] = hit
+                keep = mask[pos]
+                if not keep.any():
+                    continue
+                # positions of this term's masked postings within the
+                # candidate list (every kept pos is a candidate slot)
+                cpos = np.searchsorted(cand_pos, pos[keep])
+                s = s_all[keep]
+            acc[cpos] += s          # unique per term: buffered, exact
+            touched[cpos] = True
+        nz = np.flatnonzero(touched)
+        return self._topk(cand_ids[nz], acc[nz], k)
 
     def _decode_term(self, term: str, df: int, pbytes: bytes,
                      skips: np.ndarray, idf: float | None = None):

@@ -503,6 +503,56 @@ def test_random_clause_compositions(dv_index):
     assert checked > 50  # compositions did produce hits
 
 
+def test_selective_filter_route_bit_identical(dv_index):
+    """The candidate-block filtered scorer == daat-with-mask ==
+    brute-force oracle, at BOTH routing extremes (cutoff 1.0 forces the
+    selective route, 0.0 forces daat), across filter densities and
+    clause compositions, including under a tombstone overlay."""
+    idx_dir, df = dv_index
+    ids = doc_ids_from_urls(df["url"].to_numpy(dtype=object))
+    nlen_of = dict(zip(ids.tolist(), df["nlen"].tolist()))
+    lang_of = dict(zip(ids.tolist(), df["lang"].tolist()))
+    cases = [
+        dict(where=("lang", ("ja",))),                      # rare
+        dict(where=("lang", ("en",))),                      # dense
+        dict(where_range=("nlen", 100, 180)),               # mid
+        dict(where=("lang", ("de", "fr")), exclude="house"),
+        dict(where_range=("nlen", 0, 10**9), must="data"),
+    ]
+    for q in ("the of data", "the", "garden house"):
+        for kw in cases:
+            outs = []
+            for cutoff in (1.0, 0.0):
+                idx = InvertedIndex(idx_dir)
+                idx.filtered_dense_cutoff = cutoff
+                outs.append(idx.search(q, k=20, **kw))
+            assert outs[0] == outs[1], (q, kw)
+    # deletes compose identically on both routes
+    base = InvertedIndex(idx_dir)
+    hit0 = base.search("the of data", k=1, where=("lang", ("en",)))
+    deleted = np.array([hit0[0][0]], dtype=np.int64)
+    outs = []
+    for cutoff in (1.0, 0.0):
+        idx = InvertedIndex(idx_dir, deleted=deleted)
+        idx.filtered_dense_cutoff = cutoff
+        outs.append(idx.search("the of data", k=20,
+                               where=("lang", ("en",))))
+    assert outs[0] == outs[1]
+    assert hit0[0][0] not in {d for d, _ in outs[0]}
+    # warm-cache path (cached gather branch) agrees too
+    idx = InvertedIndex(idx_dir)
+    idx.filtered_dense_cutoff = 1.0
+    idx.search("the of data", k=5)          # warms the score cache
+    assert idx.search("the of data", k=20, where=("lang", ("ja",))) == \
+        outs_from_fresh_daat(idx_dir, "the of data", ("lang", ("ja",)))
+
+
+def outs_from_fresh_daat(idx_dir, q, where, k=20):
+    idx = InvertedIndex(idx_dir)
+    idx.filtered_dense_cutoff = 0.0
+    return idx.search(q, k=k, where=where)
+
+
 def test_deletes_compose_with_filters(dv_index):
     """Tombstoned docs never rank even when the doc-values filter
     matches them, and survivors keep stale-stats scores (deletes mask
