@@ -435,7 +435,8 @@ class InvertedIndex:
         from engine.docvalues import get_doc_values
         return get_doc_values(self.index_dir, self.cfg, doc_ids, col)
 
-    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+    def suggest(self, prefix: str, k: int = 10,
+                parts=None) -> list[tuple[str, int]]:
         """Prefix term suggestion (the autocomplete / did-you-mean
         base): -> [(term, df)] of the top-k index terms starting with
         ``prefix``, ranked (df desc, term asc).
@@ -456,7 +457,12 @@ class InvertedIndex:
         prefix = prefix.lower()   # dictionary terms are lowercased
         hi_key = prefix + "\U0010FFFF"
         cand: list[tuple[int, str]] = []
-        for part in range(self.cfg.num_parts):
+        # ``parts``: restrict to a part subset (term-sharded serving —
+        # a ShardWorker owns a part range and must neither load nor
+        # answer for other shards' dictionary parts; parts partition
+        # the term space, so per-shard top-k merges exactly)
+        for part in (range(self.cfg.num_parts) if parts is None
+                     else parts):
             entry, _, _ = self._load_part(part)
             if entry is None:
                 continue

@@ -196,6 +196,13 @@ class ShardWorker:
         scatter-gather, so results stay bit-identical."""
         return self.idx.search(query, k=k, method="daat", where=where)
 
+    def suggest(self, prefix: str, k: int = 10, parts=None):
+        """Prefix suggestion over THIS shard's dictionary parts only
+        (``parts`` must be the shard's part range: the loader is lazy,
+        so an unrestricted call would page in — and answer for —
+        every other shard's parts too)."""
+        return self.idx.suggest(prefix, k=k, parts=parts)
+
 
 class _Front:
     """Stateless routing + accumulation logic shared by the local front
@@ -358,9 +365,11 @@ class ShardedQueryService:
             cache_budget_bytes
             // (n_shards * n_doc_ranges * replicas_per_shard))
         self.shards = []
+        self._shard_parts: list[list[int]] = []
         for si in range(n_shards):
             parts = [p for p in range(self.cfg.num_parts)
                      if p % n_shards == si]
+            self._shard_parts.append(parts)
             ranges = []
             for ri in range(n_doc_ranges):
                 doc_range = ((bounds[ri], bounds[ri + 1])
@@ -404,6 +413,23 @@ class ShardedQueryService:
             for j, r in enumerate(res):
                 out[fi + j * n] = r
         return out
+
+    def suggest(self, prefix: str, k: int = 10):
+        """Distributed prefix suggestion on the term-sharded tier.
+        Unlike the doc-sharded tier (summed dfs -> threshold
+        algorithm), term shards hold DISJOINT dictionary parts, so each
+        shard's local top-k is already exact for its term subset and
+        the front needs one concat + cut — O(S x k) wire rows, no
+        exchange rounds.  Dictionaries are identical across a shard's
+        doc-range workers; one replica per shard answers."""
+        if k <= 0 or not prefix:
+            return []
+        futs = [ranges[0][0].suggest.remote(prefix, k,
+                                            self._shard_parts[si])
+                for si, ranges in enumerate(self.shards)]
+        cand = [r for p in ray.get(futs) for r in p]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        return cand[:k]
 
     def docmeta_rows_per_worker(self) -> list[int]:
         """Resident docmeta rows of every shard worker (memory probe)."""

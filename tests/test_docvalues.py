@@ -333,6 +333,11 @@ def test_term_sharded_filtered(dv_index):
         # unfiltered still bit-identical after filtered calls
         assert svc.search(QUERY, k=10) == \
             local.search(QUERY, k=10, method="daat")
+        # term-sharded suggest: disjoint dictionary parts -> per-shard
+        # local top-k concat is exact vs one global index
+        for prefix in ("th", "a", "da", "zz"):
+            assert svc.suggest(prefix, k=10) == \
+                local.suggest(prefix, k=10), prefix
     finally:
         svc.shutdown()
 
