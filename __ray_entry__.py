@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": d.q_suggest_terms,
         "bm25_topk_not": d.q_bm25_topk_not,
         "bm25_topk_range": d.q_bm25_topk_range,
+        "bm25_topk_filtered_narrow": d.q_bm25_topk_filtered_narrow,
         "bm25_topk_must": d.q_bm25_topk_must,
         "facet_nchars_hist": d.q_facet_nchars_hist,
         "bm25_topk_and": d.q_bm25_topk_and,
@@ -867,6 +868,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT sc.doc_id, round(sc.score, 6) AS score
             FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id
             WHERE dd.n_chars BETWEEN 500 AND 2500
+            ORDER BY score DESC, sc.doc_id LIMIT 10""",
+
+        # NARROW numeric-range filter (~8-10% density): same semantics
+        # as bm25_topk_range but the density routes the engine through
+        # the selective-filter scorer (_search_filtered block decode)
+        "bm25_topk_filtered_narrow": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ('hash','join','table') GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * ({k1} + 1)
+                         / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))
+                     ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+              GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id
+            WHERE dd.n_chars BETWEEN 200 AND 240
             ORDER BY score DESC, sc.doc_id LIMIT 10""",
 
         # mixed boolean MUST ('+merge'): candidates must contain

@@ -263,6 +263,27 @@ def q_bm25_topk_range(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_bm25_topk_filtered_narrow(sf_dir: str) -> pd.DataFrame:
+    """NARROW numeric-range-filtered BM25 top-k (200 <= n_chars <= 240,
+    ~8-10% density at every sf) — routes through the selective-filter
+    scorer (engine/query.py _search_filtered: density under
+    filtered_dense_cutoff decodes only posting blocks containing a
+    filter candidate), unlike bm25_topk_range whose 500..2500 window
+    is near-total.  Pinned bit-identical to daat-with-mask in pytest;
+    this entry makes the driver exercise the selective route against
+    the SQL oracle at contract scale.  Statistics stay global."""
+    idx = docs_index(sf_dir)
+    _ensure_docvalues(idx, sf_dir)
+    assert idx.filtered_dense_cutoff >= 0.25   # default routing in force
+    hits = idx.search(BM25_QUERY, k=10,
+                      where_range=("n_chars", 200, 240))
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits],
+                           dtype=np.float64),
+    })
+
+
 def q_bm25_topk_not(sf_dir: str) -> pd.DataFrame:
     """Boolean MUST_NOT: docs containing 'sort' are excluded from the
     candidate set; survivors keep their exact unexcluded BM25 scores
