@@ -201,10 +201,15 @@ def _docvalues_latency(index_dir: str, k: int = 10) -> dict:
     from the RAW fixture (build winner rule), then warm filtered-search
     / facet / suggest latencies."""
     import statistics as st
+    from engine.docops import best_snippet_window
     from engine.docvalues import attach_doc_values
     from engine.query import InvertedIndex
+    from engine.tokenize import tokenize
     t0 = time.perf_counter()
-    attach_doc_values(index_dir, WEBTEXT_DIR, ["lang"], dedup="earliest")
+    # one attach for BOTH probe columns (attach replaces the sidecar);
+    # "text" feeds the snippet probe's values_of hydration
+    attach_doc_values(index_dir, WEBTEXT_DIR, ["lang", "text"],
+                      dedup="earliest")
     attach_s = time.perf_counter() - t0
     idx = InvertedIndex(index_dir)
     with open(QUERIES_PATH) as f:
@@ -226,10 +231,24 @@ def _docvalues_latency(index_dir: str, k: int = 10) -> dict:
         t0 = time.perf_counter()
         idx.suggest(pre, k=10)
         sug.append(time.perf_counter() - t0)
+    # snippets: search + top-k text hydration (values_of lazy parquet
+    # IN-read) + best-window per hit — the /v1/search?snippets=true path
+    snip = []
+    for _ in range(3):
+        for q in qset:
+            t0 = time.perf_counter()
+            hits = idx.search(q, k=k)
+            terms = frozenset(idx.query_terms(q))
+            for t in idx.values_of([d for d, _ in hits], "text"):
+                if t is not None:
+                    best_snippet_window(
+                        tokenize(t, idx.cfg.cjk_unigrams), terms)
+            snip.append(time.perf_counter() - t0)
     return {"attach_s": attach_s,
             "filtered_p50_s": st.median(flat),
             "facet_p50_s": st.median(fac),
-            "suggest_p50_s": st.median(sug)}
+            "suggest_p50_s": st.median(sug),
+            "snippet_p50_s": st.median(snip)}
 
 
 def _phrase_latency(n_rows: int = 50000, k: int = 10) -> dict:
@@ -292,6 +311,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     queries["filtered_query_p50"] = round(dv["filtered_p50_s"], 6)
     queries["facet_query_p50"] = round(dv["facet_p50_s"], 6)
     queries["suggest_p50"] = round(dv["suggest_p50_s"], 6)
+    queries["snippet_p50"] = round(dv["snippet_p50_s"], 6)
 
     from engine import docops
     import __ray_entry__ as entrymod

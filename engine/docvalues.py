@@ -53,6 +53,14 @@ from engine.tokenize import doc_ids_from_urls
 
 SIDECAR = "docvalues.parquet"
 
+# sidecar row-group size: hydration (get_doc_values) decodes whole row
+# groups after the stats prune, so a part-sized default group makes one
+# top-k snippet read decode O(corpus / docmeta_parts) text values.  A
+# small fixed group bounds every point lookup at <= SIDECAR_ROW_GROUP
+# decoded rows per hit regardless of corpus size (Lucene's stored-field
+# block shape); the filter path is unaffected (it reads full columns).
+SIDECAR_ROW_GROUP = 128
+
 
 def _writer_for(index_dir: str, columns: list[str]):
     """Per-bucket writer: slice the repartitioned batch by part, sort by
@@ -85,7 +93,8 @@ def _writer_for(index_dir: str, columns: list[str]):
                 raise FileNotFoundError(
                     f"attach_doc_values: docmeta part dir missing: {d}")
             tmp = os.path.join(d, SIDECAR + ".tmp")
-            pq.write_table(pa.table(cols), tmp)
+            pq.write_table(pa.table(cols), tmp,
+                           row_group_size=SIDECAR_ROW_GROUP)
             os.replace(tmp, os.path.join(d, SIDECAR))
             out_p.append(int(part))
             out_n.append(int(ids.size))
@@ -272,7 +281,7 @@ def carry_doc_values(src_dirs: "str | list[str]", out_dir: str) -> dict:
         t = t.take(pa.array(order))
         d = index_io.part_dir(out_dir, "docmeta", p)
         tmp = os.path.join(d, SIDECAR + ".tmp")
-        pq.write_table(t, tmp)
+        pq.write_table(t, tmp, row_group_size=SIDECAR_ROW_GROUP)
         os.replace(tmp, os.path.join(d, SIDECAR))
         n_parts += 1
         n_rows += t.num_rows
@@ -311,14 +320,60 @@ def get_doc_values(index_dir: str, cfg: EngineConfig, doc_ids,
                                               int(p)), SIDECAR)
         if not os.path.exists(path):
             continue
-        want = ids[ids % D == p]
-        t = pq.read_table(
-            path, columns=["doc_id", col],
-            filters=[("doc_id", "in", want.tolist())])
-        for d, v in zip(t.column("doc_id").to_pylist(),
-                        t.column(col).to_pylist()):
-            out[d] = v
+        pf, mins, maxs = _sidecar_file(path)
+        if col not in pf.schema_arrow.names:
+            raise KeyError(
+                f"doc-values column {col!r} not in the sidecar "
+                f"(have {pf.schema_arrow.names}) — re-attach with the "
+                "full column set (attach REPLACES the sidecar)")
+        want = np.sort(ids[ids % D == p])
+        # row groups whose [min, max] doc_id span contains a wanted id
+        # (sidecars are doc_id-sorted, so spans are disjoint+ordered)
+        gs = np.flatnonzero(np.searchsorted(want, mins)
+                            != np.searchsorted(want, maxs, side="right"))
+        if gs.size == 0:
+            continue
+        t = pf.read_row_groups([int(g) for g in gs],
+                               columns=["doc_id", col])
+        d_arr = t.column("doc_id").to_numpy()
+        j = np.searchsorted(want, d_arr)
+        sel = j < want.size
+        sel[sel] &= want[j[sel]] == d_arr[sel]
+        vals = t.column(col).take(
+            pa.array(np.flatnonzero(sel))).to_pylist()
+        for d, v in zip(d_arr[sel], vals):
+            out[int(d)] = v
     return [out.get(int(d)) for d in ids]
+
+
+# hydration handle cache: ParquetFile (footer parsed ONCE) + per-row-
+# group doc_id min/max — the per-call pq.read_table(filters=...) dataset
+# machinery cost ~5 ms per part file touched, which dominated top-k
+# hydration.  Keyed on (path, mtime) so an atomic re-attach (os.replace
+# bumps mtime) invalidates; bounded by count (a sidecar set has
+# docmeta_parts entries per index — 512 spans many live indexes).
+_PF_CACHE: dict[str, tuple[float, "pq.ParquetFile",
+                           np.ndarray, np.ndarray]] = {}
+_PF_CACHE_MAX = 512
+
+
+def _sidecar_file(path: str):
+    m = os.path.getmtime(path)
+    hit = _PF_CACHE.get(path)
+    if hit is not None and hit[0] == m:
+        return hit[1], hit[2], hit[3]
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    ci = pf.schema_arrow.names.index("doc_id")
+    mins = np.empty(md.num_row_groups, np.int64)
+    maxs = np.empty(md.num_row_groups, np.int64)
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(ci).statistics
+        mins[g], maxs[g] = st.min, st.max
+    while len(_PF_CACHE) >= _PF_CACHE_MAX:
+        _PF_CACHE.pop(next(iter(_PF_CACHE)))
+    _PF_CACHE[path] = (m, pf, mins, maxs)
+    return pf, mins, maxs
 
 
 def read_doc_values(index_dir: str, cfg: EngineConfig, col: str,
