@@ -276,10 +276,6 @@ class EngineHttpServer:
         # sidecar (attach_doc_values(..., ["text"]) must have run)
         snippets = bool(req.get("snippets"))
         snippet_col = str(req.get("snippet_col", "text"))
-        if snippets and self.index is None:
-            return 400, _error(
-                "snippets not supported by this serving tier",
-                "invalid_request_error", "unsupported_snippets")
         kwargs = {"where": where} if where is not None else {}
         if exclude:
             kwargs["exclude"] = str(exclude)
@@ -289,6 +285,12 @@ class EngineHttpServer:
                 out = {"hits": [
                     {"doc_id": int(d), "score": float(s)}
                     for d, s in hits]}
+                if snippets and hits:
+                    # every serving tier hydrates shard/replica-side
+                    # (serve.py snippets_of) — only window strings move
+                    for h, sn in zip(out["hits"], self.service.snippets_of(
+                            query, [d for d, _ in hits], snippet_col)):
+                        h["snippet"] = sn
                 if facet_col:
                     out["facets"] = [
                         {"value": v, "n_docs": int(n)} for v, n in
@@ -311,24 +313,9 @@ class EngineHttpServer:
                 hrows = (self.index.facet_histogram(
                     query, hist["col"], hist["edges"], where=where)
                     if hist else None)
-                snips = None
-                if snippets:
-                    from engine.docops import best_snippet_window
-                    from engine.docvalues import has_doc_values
-                    if not has_doc_values(self.index.index_dir,
-                                          self.index.cfg, snippet_col):
-                        raise FileNotFoundError(
-                            f"doc-values sidecar column {snippet_col!r} "
-                            "not attached (attach_doc_values)")
-                    terms = frozenset(self.index.query_terms(query))
-                    texts = self.index.values_of(
-                        [d for d, _ in hits], snippet_col)
-                    snips = []
-                    for t in texts:
-                        win = (best_snippet_window(
-                            tokenize(t, self.index.cfg.cjk_unigrams),
-                            terms) if t is not None else None)
-                        snips.append(None if win is None else win[2])
+                snips = (self.index.snippets_of(
+                    query, [d for d, _ in hits], snippet_col)
+                    if snippets and hits else None)
         except (FileNotFoundError, KeyError) as e:  # missing sidecar/col
             return 400, _error(str(e), "invalid_request_error",
                                "no_doc_values")

@@ -435,6 +435,31 @@ class InvertedIndex:
         from engine.docvalues import get_doc_values
         return get_doc_values(self.index_dir, self.cfg, doc_ids, col)
 
+    def snippets_of(self, query: str, doc_ids,
+                    col: str = "text") -> list:
+        """Best query-term window per (top-k) doc — the
+        ``/v1/search?snippets=true`` rule (docops.best_snippet_window)
+        over ``values_of``-hydrated text.  None for docs without a
+        sidecar row or without a qualifying window; fail-loud when the
+        sidecar/column was never attached (a silent all-None response
+        would read as 'no hits had windows').  Safe on doc_range-
+        restricted loaders: touches only the query tokenizer and the
+        on-disk sidecars (part-pruned by doc_id % D), never postings."""
+        from engine.docops import best_snippet_window
+        from engine.docvalues import has_doc_values
+        if not has_doc_values(self.index_dir, self.cfg, col):
+            raise FileNotFoundError(
+                f"doc-values sidecar column {col!r} not attached "
+                "(attach_doc_values)")
+        terms = frozenset(self.query_terms(query))
+        out = []
+        for t in self.values_of(doc_ids, col):
+            win = (best_snippet_window(
+                tokenize(t, self.cfg.cjk_unigrams), terms)
+                if t is not None else None)
+            out.append(None if win is None else win[2])
+        return out
+
     def suggest(self, prefix: str, k: int = 10,
                 parts=None) -> list[tuple[str, int]]:
         """Prefix term suggestion (the autocomplete / did-you-mean

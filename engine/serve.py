@@ -77,6 +77,9 @@ class QueryWorker:
     def suggest(self, prefix: str, k: int = 10):
         return self.idx.suggest(prefix, k=k)
 
+    def snippets_of(self, query: str, doc_ids, col: str = "text"):
+        return self.idx.snippets_of(query, doc_ids, col)
+
     def url_of(self, doc_ids):
         return self.idx.url_of(doc_ids)
 
@@ -115,6 +118,12 @@ class QueryService:
     def suggest(self, prefix: str, k: int = 10):
         w = self.workers[hash(prefix) % len(self.workers)]
         return ray.get(w.suggest.remote(prefix, k))
+
+    def snippets_of(self, query: str, doc_ids, col: str = "text"):
+        """Top-k snippet hydration on a replica (every replica holds
+        the whole index; the sidecar read is disk-side, part-pruned)."""
+        w = self.workers[hash(query) % len(self.workers)]
+        return ray.get(w.snippets_of.remote(query, list(doc_ids), col))
 
     def search_many(self, queries: list[str], k: int = 10,
                     method: str = "bmw", where: tuple | None = None,
@@ -202,6 +211,13 @@ class ShardWorker:
         so an unrestricted call would page in — and answer for —
         every other shard's parts too)."""
         return self.idx.suggest(prefix, k=k, parts=parts)
+
+    def snippets_of(self, query: str, doc_ids, col: str = "text"):
+        """Top-k snippet hydration from ANY term-shard worker: the
+        sidecar read is on-disk and part-pruned by doc_id % D — it
+        neither loads term parts nor touches the worker's doc_range-
+        restricted docmeta (snippets_of never decodes postings)."""
+        return self.idx.snippets_of(query, doc_ids, col)
 
 
 class _Front:
@@ -431,6 +447,13 @@ class ShardedQueryService:
         cand.sort(key=lambda t: (-t[1], t[0]))
         return cand[:k]
 
+    def snippets_of(self, query: str, doc_ids, col: str = "text"):
+        """Top-k snippet hydration: routed to ONE worker (the sidecar
+        read is disk-side and independent of the worker's term-part /
+        doc-range residency), so only the k window strings move."""
+        w = self.shards[0][0][0]
+        return ray.get(w.snippets_of.remote(query, list(doc_ids), col))
+
     def docmeta_rows_per_worker(self) -> list[int]:
         """Resident docmeta rows of every shard worker (memory probe)."""
         futs = [w.docmeta_rows.remote()
@@ -496,6 +519,12 @@ class DocShardWorker:
         self.idx.add_df_overrides(dfs)
         return self.idx.facet_histogram(query, col, edges, where=where,
                                         require_all=require_all)
+
+    def snippets_of(self, query: str, doc_ids, col: str = "text"):
+        """Windows for the docs THIS shard owns (others hydrate None —
+        each doc lives whole on one shard, so the front's first-non-None
+        merge is exact).  Only window strings leave the shard."""
+        return self.idx.snippets_of(query, doc_ids, col)
 
     def suggest_all(self, prefix: str):
         """EVERY prefixed term with its local df (the exhaustive
@@ -659,6 +688,18 @@ class DocShardedQueryService:
             for i, (_, _, n) in enumerate(p):
                 out[i][2] += n
         return [tuple(b) for b in out]
+
+    def snippets_of(self, query: str, doc_ids, col: str = "text"):
+        """Distributed top-k snippet hydration: every shard windows the
+        docs it owns (doc text never crosses the wire — only the k
+        window strings return), the front takes the first non-None per
+        position.  Exact because the doc partition is disjoint: at most
+        one shard answers per doc."""
+        ids = list(doc_ids)
+        parts = ray.get([w.snippets_of.remote(query, ids, col)
+                         for w in self.workers])
+        return [next((p[i] for p in parts if p[i] is not None), None)
+                for i in range(len(ids))]
 
     def suggest(self, prefix: str, k: int = 10):
         """Distributed prefix suggestion by THRESHOLD ALGORITHM (Fagin

@@ -576,8 +576,33 @@ def test_http_service_backend(tmp_path, unit_webtext):
             headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=30) as r:
             hits = _json.loads(r.read())["hits"]
-        local = InvertedIndex(idx_dir).search("the data", k=5)
+        idx = InvertedIndex(idx_dir)
+        local = idx.search("the data", k=5)
         assert [(h["doc_id"], round(h["score"], 9)) for h in hits] == \
             [(d, round(s, 9)) for d, s in local]
+
+        # snippets over the SERVICE tier: 400 before the text sidecar
+        # exists, replica-hydrated windows (== local rule) after
+        def post(payload):
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/search",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(rq, timeout=30) as r:
+                    return r.status, _json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, _json.loads(e.read())
+
+        snip_payload = {"query": "the data", "k": 5, "snippets": True}
+        status, resp = post(snip_payload)
+        assert status == 400 and resp["error"]["code"] == "no_doc_values"
+        from engine.docvalues import attach_doc_values
+        attach_doc_values(idx_dir, unit_webtext, ["text"],
+                          dedup="earliest")
+        status, resp = post(snip_payload)
+        assert status == 200
+        want = idx.snippets_of("the data", [d for d, _ in local])
+        assert [h.get("snippet") for h in resp["hits"]] == want
     finally:
         server.stop()

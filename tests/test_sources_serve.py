@@ -74,6 +74,9 @@ def test_query_service(ray_session, e2e_webtext, tmp_path_factory):
     with open(os.path.join(here, "queries.json")) as f:
         queries = json.load(f)
 
+    from engine.docvalues import attach_doc_values
+    attach_doc_values(idx_dir, e2e_webtext, ["text"], dedup="earliest")
+
     svc = QueryService(idx_dir, replicas=2)
     try:
         local = InvertedIndex(idx_dir)
@@ -81,6 +84,10 @@ def test_query_service(ray_session, e2e_webtext, tmp_path_factory):
         for q, hits in zip(queries, got):
             assert hits == local.search(q, k=10)
         assert svc.search(queries[0], k=5) == local.search(queries[0], k=5)
+        # replica-side snippet hydration == local rule
+        for q in queries[:5]:
+            ids = [d for d, _ in local.search(q, k=10)]
+            assert svc.snippets_of(q, ids) == local.snippets_of(q, ids), q
     finally:
         svc.shutdown()
 
@@ -101,6 +108,11 @@ def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
     with open(os.path.join(here, "queries.json")) as f:
         queries = json.load(f)
 
+    # attach BEFORE the service starts: its actor pool holds the
+    # fixture session's CPUs, which would starve the attach shuffle
+    from engine.docvalues import attach_doc_values
+    attach_doc_values(idx_dir, e2e_webtext, ["text"], dedup="earliest")
+
     svc = ShardedQueryService(idx_dir, n_shards=2, replicas_per_shard=2,
                               n_fronts=2)
     try:
@@ -118,6 +130,11 @@ def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
         assert svc.search("", 10) == []
         assert svc.search("zzz_unseen_term", 10) == []
         assert svc.search("hash", 0) == []
+        # term-shard workers hydrate snippets from the shared on-disk
+        # sidecar (no posting/part residency involved)
+        for q in queries[:3]:
+            ids = [d for d, _ in local.search(q, k=10, method="daat")]
+            assert svc.snippets_of(q, ids) == local.snippets_of(q, ids), q
     finally:
         svc.shutdown()
 
@@ -142,6 +159,11 @@ def test_sharded_service_doc_ranges(ray_session, e2e_webtext,
     with open(os.path.join(here, "queries.json")) as f:
         queries = json.load(f)
 
+    # attach BEFORE the service starts (service actors hold the
+    # fixture session's CPUs; the attach shuffle needs them)
+    from engine.docvalues import attach_doc_values
+    attach_doc_values(idx_dir, e2e_webtext, ["text"], dedup="earliest")
+
     svc = ShardedQueryService(idx_dir, n_shards=2, replicas_per_shard=1,
                               n_doc_ranges=3)
     try:
@@ -157,6 +179,11 @@ def test_sharded_service_doc_ranges(ray_session, e2e_webtext,
             assert svc.search(q, k=10) == w, q
         assert svc.search_many(queries, k=10) == want
         assert svc.search("zzz_unseen_term", 10) == []
+        # snippets from a doc_range-RESTRICTED worker: the sidecar read
+        # is disk-side and id-keyed, independent of docmeta residency
+        q = queries[0]
+        ids = [d for d, _ in want[0]]
+        assert svc.snippets_of(q, ids) == local.snippets_of(q, ids)
     finally:
         svc.shutdown()
 
@@ -197,12 +224,21 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
               .map_batches(keep, batch_format="pyarrow"))
         d = str(base / f"shard{si}")
         build_index(ds, d, cfg)
+        # production-shaped sidecar: each shard attaches ITS OWN slice
+        # of the corpus (text for the snippet-hydration parity check)
+        from engine.docvalues import attach_doc_values
+        ds_txt = (ray.data.read_parquet(
+            e2e_webtext, columns=["url", "warc_ts", "text"])
+            .map_batches(keep, batch_format="pyarrow"))
+        attach_doc_values(d, ds_txt, ["text"], dedup="earliest")
         shard_dirs.append(d)
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "queries.json")) as f:
         queries = json.load(f)
 
+    attach_doc_values(global_dir, e2e_webtext, ["text"],
+                      dedup="earliest")
     svc = DocShardedQueryService(shard_dirs, method="daat")
     try:
         local = InvertedIndex(global_dir)
@@ -212,6 +248,13 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
             assert svc.search(q, k=10) == want, q
         assert svc.search("", 10) == []
         assert svc.search("zzz_unseen_term", 10) == []
+        # distributed snippet hydration: each shard windows only the
+        # docs it owns, the first-non-None merge == the local rule
+        for q in queries[:5]:
+            ids = [d for d, _ in local.search(q, k=10, method="daat")]
+            assert svc.snippets_of(q, ids) == local.snippets_of(q, ids), q
+            assert any(s is not None
+                       for s in svc.snippets_of(q, ids)) or not ids
     finally:
         svc.shutdown()
 
