@@ -13,7 +13,11 @@ contract over stdlib ``http.server`` (no web framework in the sandbox):
                             stands in for model weights, same slot)
     POST /v1/search      -> {"hits": [{doc_id, score, url}]} over the
                             built index (the capability the reference
-                            delegates to external vector DBs)
+                            delegates to external vector DBs); accepts
+                            filter/facet/facet_histogram/exclude/
+                            snippets and phrase=true (+slop=N) for
+                            exact-phrase / proximity top-k on a
+                            positional index
     POST /v1/suggest     -> prefix autocomplete over the dictionary
 
 Multimodal route parity (reference server/src/lib.rs:321-838):
@@ -276,12 +280,25 @@ class EngineHttpServer:
         # sidecar (attach_doc_values(..., ["text"]) must have run)
         snippets = bool(req.get("snippets"))
         snippet_col = str(req.get("snippet_col", "text"))
+        # phrase=true (+ optional slop=N): exact-phrase / proximity
+        # top-k — search_phrase semantics, needs a positional index
+        phrase = bool(req.get("phrase"))
+        slop = int(req.get("slop", 0))
+        if phrase and (facet_col or hist):
+            # facets aggregate over the disjunctive match set; a
+            # phrase-restricted facet is a different (unimplemented)
+            # aggregation — reject instead of answering the wrong one
+            return 400, _error(
+                "facet aggregation is not supported with phrase=true",
+                "invalid_request_error", "unsupported_facet")
         kwargs = {"where": where} if where is not None else {}
         if exclude:
             kwargs["exclude"] = str(exclude)
         try:
             if self.service is not None:
-                hits = self.service.search(query, k=k, **kwargs)
+                hits = (self.service.search_phrase(
+                    query, k=k, slop=slop, **kwargs) if phrase
+                    else self.service.search(query, k=k, **kwargs))
                 out = {"hits": [
                     {"doc_id": int(d), "score": float(s)}
                     for d, s in hits]}
@@ -304,7 +321,9 @@ class EngineHttpServer:
                             where=where)]
                 return 200, out
             with self._search_lock:
-                hits = self.index.search(query, k=k, **kwargs)
+                hits = (self.index.search_phrase(
+                    query, k=k, slop=slop, **kwargs) if phrase
+                    else self.index.search(query, k=k, **kwargs))
                 urls = (self.index.url_of([d for d, _ in hits])
                         if hits else [])
                 facets = (self.index.facet_counts(query, facet_col,
@@ -320,11 +339,19 @@ class EngineHttpServer:
             return 400, _error(str(e), "invalid_request_error",
                                "no_doc_values")
         except AttributeError:
-            # serving tier without filter/facet support (term-sharded
-            # fronts hold no per-doc data)
+            # serving tier without the requested capability (term-
+            # sharded fronts hold no per-doc data and cannot run a
+            # phrase without shipping position runs between shards)
+            what = "phrase" if phrase else "filter/facet"
             return 400, _error(
-                "filter/facet not supported by this serving tier",
-                "invalid_request_error", "unsupported_filter")
+                f"{what} not supported by this serving tier",
+                "invalid_request_error",
+                "unsupported_phrase" if phrase else "unsupported_filter")
+        except ValueError as e:
+            # engine-side request-shape errors with a clear message
+            # (e.g. phrase search over a non-positional index)
+            return 400, _error(str(e), "invalid_request_error",
+                               "invalid_request")
         except TypeError as e:
             # deliberate engine-side type errors (e.g. facet_histogram
             # over a non-numeric doc-values column) keep their message;

@@ -26,6 +26,18 @@ shared-state pattern (/root/reference/rust/src/lib.rs:839).  Two tiers:
   is the classic web-search layout and falls out of building S doc-range
   indexes — the build already supports arbitrary input splits.  Term
   sharding is the natural fit for THIS index's on-disk layout.
+  (``DocShardedQueryService`` below implements that third layout:
+  per-shard top-k over a distributed-IDF exchange, exact merges.)
+
+Per-tier query surface: all three tiers serve search (boolean /
+where / where_range / exclude), facets + histogram facets, suggest,
+and ``snippets_of`` top-k hydration.  ``search_phrase`` runs on
+``QueryService`` (each replica holds the whole positional index,
+query-hash routing for positions-LRU affinity) and
+``DocShardedQueryService`` (phrase matching is a per-doc predicate, so
+per-shard match + global-stats scores merge exactly) — never on the
+term-sharded tier, which would have to ship position runs between
+shards for every multi-term phrase.
 
 The module creates actors only when a service is explicitly
 instantiated — never at import (the driver owns the Ray session).
@@ -80,6 +92,12 @@ class QueryWorker:
     def snippets_of(self, query: str, doc_ids, col: str = "text"):
         return self.idx.snippets_of(query, doc_ids, col)
 
+    def search_phrase(self, query: str, k: int = 10, slop: int = 0,
+                      where: tuple | None = None,
+                      exclude: str | None = None):
+        return self.idx.search_phrase(query, k=k, slop=slop,
+                                      where=where, exclude=exclude)
+
     def url_of(self, doc_ids):
         return self.idx.url_of(doc_ids)
 
@@ -124,6 +142,19 @@ class QueryService:
         the whole index; the sidecar read is disk-side, part-pruned)."""
         w = self.workers[hash(query) % len(self.workers)]
         return ray.get(w.snippets_of.remote(query, list(doc_ids), col))
+
+    def search_phrase(self, query: str, k: int = 10, slop: int = 0,
+                      where: tuple | None = None,
+                      exclude: str | None = None):
+        """Phrase / proximity top-k on a replica (each replica holds
+        the whole positional index).  Routed by query hash so repeated
+        phrases hit the same replica's positions-blob LRU — phrase
+        working sets are the largest cache class in the engine, and
+        spraying one phrase across replicas would duplicate its blobs
+        in every replica's budget."""
+        w = self.workers[hash(query) % len(self.workers)]
+        return ray.get(w.search_phrase.remote(
+            query, k=k, slop=slop, where=where, exclude=exclude))
 
     def search_many(self, queries: list[str], k: int = 10,
                     method: str = "bmw", where: tuple | None = None,
@@ -501,9 +532,11 @@ class DocShardWorker:
                                exclude=exclude)
 
     def search_phrase_topk(self, query: str, k: int, dfs: dict[str, int],
-                           slop: int = 0, where: tuple | None = None):
+                           slop: int = 0, where: tuple | None = None,
+                           exclude: str | None = None):
         self.idx.add_df_overrides(dfs)
-        return self.idx.search_phrase(query, k=k, slop=slop, where=where)
+        return self.idx.search_phrase(query, k=k, slop=slop, where=where,
+                                      exclude=exclude)
 
     def facet_counts(self, query: str, col: str, dfs: dict[str, int],
                      where: tuple | None = None,
@@ -800,22 +833,29 @@ class DocShardedQueryService:
         out = sorted(tot.items(), key=lambda x: (-x[1], x[0]))
         return out[:k]
 
-    def search_phrase(self, query: str, k: int = 10, slop: int = 0):
+    def search_phrase(self, query: str, k: int = 10, slop: int = 0,
+                      where: tuple | None = None,
+                      exclude: str | None = None):
         """Distributed phrase / proximity top-k (positional shard
         indexes only).  Phrase matching is a PER-DOCUMENT predicate and
         every doc lives whole on one shard, so scattering the phrase
         and merging per-shard top-k is exact — the reason real engines
         shard by document, not by term: a term-sharded layout would
         have to ship position runs between shards for every multi-term
-        phrase.  Scores use the same global-stats exchange as search(),
-        so results are bit-identical to one global positional index."""
+        phrase.  ``where`` / ``exclude`` are per-doc predicates too
+        (each shard owns its docs' sidecar and the excluded term's
+        local postings), so they compose shard-locally with the same
+        exactness.  Scores use the same global-stats exchange as
+        search(), so results are bit-identical to one global
+        positional index."""
         if k <= 0:
             return []
         terms = self._terms_of(query)
         if not terms:
             return []
         dfs = self._global_dfs(terms)
-        futs = [w.search_phrase_topk.remote(query, k, dfs, slop)
+        futs = [w.search_phrase_topk.remote(query, k, dfs, slop,
+                                            where, exclude)
                 for w in self.workers]
         return self._merge(ray.get(futs), k)
 

@@ -606,3 +606,94 @@ def test_http_service_backend(tmp_path, unit_webtext):
         assert [h.get("snippet") for h in resp["hits"]] == want
     finally:
         server.stop()
+
+
+def test_http_phrase_search(tmp_path, unit_webtext):
+    """/v1/search {"phrase": true, "slop": N} == search_phrase on both
+    backends; non-positional index and phrase-less tiers -> clear 400s;
+    facet composed with phrase is rejected (the aggregation is defined
+    over the disjunctive match set)."""
+    import json as _json
+    import urllib.request
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.query import InvertedIndex
+    from engine.serve import QueryService, ShardedQueryService
+    from engine.http_serve import EngineHttpServer
+
+    pos_dir = str(tmp_path / "httpph_pos")
+    build_index(unit_webtext, pos_dir,
+                EngineConfig(num_parts=4, docmeta_parts=2,
+                             store_positions=True))
+    plain_dir = str(tmp_path / "httpph_plain")
+    build_index(unit_webtext, plain_dir, CFG)
+    idx = InvertedIndex(pos_dir)
+
+    def post(port, payload):
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/search",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(rq, timeout=30) as r:
+                return r.status, _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    ph = "the data"
+    # local-index backend
+    srv = EngineHttpServer(index_dir=pos_dir)
+    port = srv.start()
+    try:
+        for slop in (0, 2):
+            status, resp = post(port, {"query": ph, "k": 5,
+                                       "phrase": True, "slop": slop})
+            assert status == 200
+            want = idx.search_phrase(ph, k=5, slop=slop)
+            assert [(h["doc_id"], round(h["score"], 9))
+                    for h in resp["hits"]] == \
+                [(d, round(s, 9)) for d, s in want], slop
+        status, resp = post(port, {"query": ph, "phrase": True,
+                                   "facet": "lang"})
+        assert status == 400 and \
+            resp["error"]["code"] == "unsupported_facet"
+    finally:
+        srv.stop()
+
+    # non-positional index: clear 400, not a crash
+    srv = EngineHttpServer(index_dir=plain_dir)
+    port = srv.start()
+    try:
+        status, resp = post(port, {"query": ph, "phrase": True})
+        assert status == 400
+        assert "positional" in resp["error"]["message"]
+    finally:
+        srv.stop()
+
+    # replica-tier service backend: routed phrase == local
+    svc = QueryService(pos_dir, replicas=1)
+    srv = EngineHttpServer(index_dir=None, service=svc)
+    port = srv.start()
+    try:
+        status, resp = post(port, {"query": ph, "k": 5, "phrase": True})
+        assert status == 200
+        want = idx.search_phrase(ph, k=5)
+        assert [(h["doc_id"], round(h["score"], 9))
+                for h in resp["hits"]] == \
+            [(d, round(s, 9)) for d, s in want]
+    finally:
+        srv.stop()
+        svc.shutdown()
+
+    # term-sharded tier cannot run phrases (positions would cross
+    # shards) -> capability 400
+    svc = ShardedQueryService(pos_dir, n_shards=2, replicas_per_shard=1)
+    srv = EngineHttpServer(index_dir=None, service=svc)
+    port = srv.start()
+    try:
+        status, resp = post(port, {"query": ph, "phrase": True})
+        assert status == 400 and \
+            resp["error"]["code"] == "unsupported_phrase"
+    finally:
+        srv.stop()
+        svc.shutdown()

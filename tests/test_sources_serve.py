@@ -68,8 +68,9 @@ def test_query_service(ray_session, e2e_webtext, tmp_path_factory):
     from engine.serve import QueryService
 
     idx_dir = str(tmp_path_factory.mktemp("sidx") / "index")
-    build_index(e2e_webtext, idx_dir, EngineConfig(num_parts=8,
-                                                   docmeta_parts=3))
+    build_index(e2e_webtext, idx_dir,
+                EngineConfig(num_parts=8, docmeta_parts=3,
+                             store_positions=True))
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "queries.json")) as f:
         queries = json.load(f)
@@ -88,6 +89,14 @@ def test_query_service(ray_session, e2e_webtext, tmp_path_factory):
         for q in queries[:5]:
             ids = [d for d, _ in local.search(q, k=10)]
             assert svc.snippets_of(q, ids) == local.snippets_of(q, ids), q
+        # replica-routed phrase / proximity == local search_phrase
+        phrases = [" ".join(q.split()[:2]) for q in queries[:6]
+                   if len(q.split()) >= 2]
+        for ph in phrases:
+            assert svc.search_phrase(ph, k=10) == \
+                local.search_phrase(ph, k=10), ph
+        assert svc.search_phrase(phrases[0], k=10, slop=2) == \
+            local.search_phrase(phrases[0], k=10, slop=2)
     finally:
         svc.shutdown()
 
@@ -203,7 +212,8 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
     from engine.serve import DocShardedQueryService
     from engine.tokenize import stable_hash64
 
-    cfg = EngineConfig(num_parts=8, docmeta_parts=3)
+    cfg = EngineConfig(num_parts=8, docmeta_parts=3,
+                       store_positions=True)
     base = tmp_path_factory.mktemp("docsh")
     global_dir = str(base / "global")
     build_index(e2e_webtext, global_dir, cfg)
@@ -228,16 +238,16 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
         # of the corpus (text for the snippet-hydration parity check)
         from engine.docvalues import attach_doc_values
         ds_txt = (ray.data.read_parquet(
-            e2e_webtext, columns=["url", "warc_ts", "text"])
+            e2e_webtext, columns=["url", "warc_ts", "text", "lang"])
             .map_batches(keep, batch_format="pyarrow"))
-        attach_doc_values(d, ds_txt, ["text"], dedup="earliest")
+        attach_doc_values(d, ds_txt, ["text", "lang"], dedup="earliest")
         shard_dirs.append(d)
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "queries.json")) as f:
         queries = json.load(f)
 
-    attach_doc_values(global_dir, e2e_webtext, ["text"],
+    attach_doc_values(global_dir, e2e_webtext, ["text", "lang"],
                       dedup="earliest")
     svc = DocShardedQueryService(shard_dirs, method="daat")
     try:
@@ -255,6 +265,24 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
             assert svc.snippets_of(q, ids) == local.snippets_of(q, ids), q
             assert any(s is not None
                        for s in svc.snippets_of(q, ids)) or not ids
+        # distributed phrase/proximity: per-shard positional match +
+        # global-stats scores == one global positional index; where /
+        # exclude are per-doc predicates and compose shard-locally
+        phrases = [" ".join(q.split()[:2]) for q in queries[:8]
+                   if len(q.split()) >= 2]
+        for ph in phrases:
+            assert svc.search_phrase(ph, k=10) == \
+                local.search_phrase(ph, k=10), ph
+        ph = phrases[0]
+        assert svc.search_phrase(ph, k=10, slop=2) == \
+            local.search_phrase(ph, k=10, slop=2)
+        w = ("lang", ("en",))
+        assert svc.search_phrase(ph, k=10, where=w) == \
+            local.search_phrase(ph, k=10, where=w)
+        ex = next(w for w in ("data", "house", "hash", "table")
+                  if w not in ph.split())
+        assert svc.search_phrase(ph, k=10, exclude=ex) == \
+            local.search_phrase(ph, k=10, exclude=ex)
     finally:
         svc.shutdown()
 

@@ -12,8 +12,10 @@ Tiers map to engine/serve.py layouts:
 
 The HTTP surface is engine/http_serve.py: GET /health_check,
 POST /v1/embeddings (OpenAI shape), POST /v1/search (accepts
-``filter``/``facet``/``facet_histogram``/``exclude`` — doc-values
-sidecars must be attached per served index), POST /v1/suggest.
+``filter``/``facet``/``facet_histogram``/``exclude``/``snippets`` —
+doc-values sidecars must be attached per served index — and
+``phrase``/``slop`` on the replicas and doc-shards tiers over
+positional indexes), POST /v1/suggest.
 """
 
 from __future__ import annotations
