@@ -299,9 +299,11 @@ class EngineHttpServer:
                 hits = (self.service.search_phrase(
                     query, k=k, slop=slop, **kwargs) if phrase
                     else self.service.search(query, k=k, **kwargs))
+                urls = (self.service.url_of([d for d, _ in hits])
+                        if hits else [])
                 out = {"hits": [
-                    {"doc_id": int(d), "score": float(s)}
-                    for d, s in hits]}
+                    {"doc_id": int(d), "score": float(s), "url": u}
+                    for (d, s), u in zip(hits, urls)]}
                 if snippets and hits:
                     # every serving tier hydrates shard/replica-side
                     # (serve.py snippets_of) — only window strings move

@@ -412,9 +412,21 @@ class InvertedIndex:
         pos = np.searchsorted(self._doc_ids, doc_ids.astype(np.int64))
         return self._doclens[pos]
 
-    def url_of(self, doc_ids: np.ndarray) -> list[str]:
-        pos = np.searchsorted(self._doc_ids, np.asarray(doc_ids, np.int64))
-        return self._urls[pos].tolist()
+    def url_of(self, doc_ids: np.ndarray) -> list:
+        """Resident-docmeta url per doc_id; None for ids this loader
+        does not hold.  The equality check (not bare searchsorted)
+        makes the method safe on doc_range-restricted loaders, where a
+        foreign id would otherwise map to a neighbour's slot — the
+        serving tiers rely on the None to merge per-worker answers
+        (each doc's url is resident on exactly one range worker)."""
+        ids = np.asarray(doc_ids, np.int64)
+        if self._doc_ids.size == 0 or ids.size == 0:
+            return [None] * ids.size
+        pos = np.searchsorted(self._doc_ids, ids)
+        safe = np.minimum(pos, self._doc_ids.size - 1)
+        ok = (pos < self._doc_ids.size) & (self._doc_ids[safe] == ids)
+        return [self._urls[p] if o else None
+                for p, o in zip(safe.tolist(), ok.tolist())]
 
     def query_terms(self, query: str) -> list[str]:
         # distinct terms, first-occurrence order (qtf ignored — BASELINE.md)

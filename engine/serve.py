@@ -156,6 +156,12 @@ class QueryService:
         return ray.get(w.search_phrase.remote(
             query, k=k, slop=slop, where=where, exclude=exclude))
 
+    def url_of(self, doc_ids):
+        """Top-k url hydration on any replica (full docmeta each)."""
+        ids = list(doc_ids)
+        w = self.workers[hash(tuple(ids)) % len(self.workers)]
+        return ray.get(w.url_of.remote(ids))
+
     def search_many(self, queries: list[str], k: int = 10,
                     method: str = "bmw", where: tuple | None = None,
                     exclude: str | None = None):
@@ -249,6 +255,11 @@ class ShardWorker:
         neither loads term parts nor touches the worker's doc_range-
         restricted docmeta (snippets_of never decodes postings)."""
         return self.idx.snippets_of(query, doc_ids, col)
+
+    def url_of(self, doc_ids):
+        """urls for the ids whose docmeta range THIS worker holds
+        (None otherwise — the front merges across range workers)."""
+        return self.idx.url_of(doc_ids)
 
 
 class _Front:
@@ -485,6 +496,17 @@ class ShardedQueryService:
         w = self.shards[0][0][0]
         return ray.get(w.snippets_of.remote(query, list(doc_ids), col))
 
+    def url_of(self, doc_ids):
+        """Top-k url hydration: shard 0's doc-range workers tile the id
+        space, so scattering the ids to that ONE group and taking the
+        first non-None per position is exact (with n_doc_ranges=1 it is
+        a single call).  Only k urls move."""
+        ids = list(doc_ids)
+        group = [replicas[0] for replicas in self.shards[0]]
+        parts = ray.get([w.url_of.remote(ids) for w in group])
+        return [next((p[i] for p in parts if p[i] is not None), None)
+                for i in range(len(ids))]
+
     def docmeta_rows_per_worker(self) -> list[int]:
         """Resident docmeta rows of every shard worker (memory probe)."""
         futs = [w.docmeta_rows.remote()
@@ -558,6 +580,10 @@ class DocShardWorker:
         each doc lives whole on one shard, so the front's first-non-None
         merge is exact).  Only window strings leave the shard."""
         return self.idx.snippets_of(query, doc_ids, col)
+
+    def url_of(self, doc_ids):
+        """urls for the docs THIS shard owns (None otherwise)."""
+        return self.idx.url_of(doc_ids)
 
     def suggest_all(self, prefix: str):
         """EVERY prefixed term with its local df (the exhaustive
@@ -731,6 +757,15 @@ class DocShardedQueryService:
         ids = list(doc_ids)
         parts = ray.get([w.snippets_of.remote(query, ids, col)
                          for w in self.workers])
+        return [next((p[i] for p in parts if p[i] is not None), None)
+                for i in range(len(ids))]
+
+    def url_of(self, doc_ids):
+        """Distributed top-k url hydration: every shard answers for the
+        docs it owns, the front takes the first non-None per position
+        (disjoint doc partition — at most one shard answers per doc)."""
+        ids = list(doc_ids)
+        parts = ray.get([w.url_of.remote(ids) for w in self.workers])
         return [next((p[i] for p in parts if p[i] is not None), None)
                 for i in range(len(ids))]
 

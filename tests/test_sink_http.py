@@ -580,6 +580,9 @@ def test_http_service_backend(tmp_path, unit_webtext):
         local = idx.search("the data", k=5)
         assert [(h["doc_id"], round(h["score"], 9)) for h in hits] == \
             [(d, round(s, 9)) for d, s in local]
+        # service-backend hits hydrate urls like the local backend
+        assert [h["url"] for h in hits] == \
+            idx.url_of([d for d, _ in local])
 
         # snippets over the SERVICE tier: 400 before the text sidecar
         # exists, replica-hydrated windows (== local rule) after

@@ -89,6 +89,10 @@ def test_query_service(ray_session, e2e_webtext, tmp_path_factory):
         for q in queries[:5]:
             ids = [d for d, _ in local.search(q, k=10)]
             assert svc.snippets_of(q, ids) == local.snippets_of(q, ids), q
+        # replica-routed url hydration; absent ids hydrate None
+        ids = [d for d, _ in local.search(queries[0], k=10)]
+        assert svc.url_of(ids) == local.url_of(ids)
+        assert local.url_of([12345]) == [None]
         # replica-routed phrase / proximity == local search_phrase
         phrases = [" ".join(q.split()[:2]) for q in queries[:6]
                    if len(q.split()) >= 2]
@@ -193,6 +197,9 @@ def test_sharded_service_doc_ranges(ray_session, e2e_webtext,
         q = queries[0]
         ids = [d for d, _ in want[0]]
         assert svc.snippets_of(q, ids) == local.snippets_of(q, ids)
+        # url hydration across the range workers that TILE the id
+        # space: each answers only its range, the merge is exact
+        assert svc.url_of(ids) == local.url_of(ids)
     finally:
         svc.shutdown()
 
@@ -283,6 +290,10 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
                   if w not in ph.split())
         assert svc.search_phrase(ph, k=10, exclude=ex) == \
             local.search_phrase(ph, k=10, exclude=ex)
+        # distributed url hydration (first-non-None over disjoint docs)
+        ids = [d for d, _ in local.search(queries[0], k=10,
+                                          method="daat")]
+        assert svc.url_of(ids) == local.url_of(ids)
     finally:
         svc.shutdown()
 
