@@ -291,9 +291,27 @@ class EngineHttpServer:
             return 400, _error(
                 "facet aggregation is not supported with phrase=true",
                 "invalid_request_error", "unsupported_facet")
+        # boolean clauses: must (+term gate), require_all (pure AND)
+        must = req.get("must")
+        require_all = bool(req.get("require_all"))
+        if phrase and (must or require_all):
+            return 400, _error(
+                "must/require_all are not supported with phrase=true "
+                "(a phrase is already conjunctive over its terms)",
+                "invalid_request_error", "invalid_request")
+        if must and (facet_col or hist):
+            # facet_counts has no must gate; answering the ungated
+            # aggregation next to gated hits would be silently wrong
+            return 400, _error(
+                "facet aggregation is not supported with must",
+                "invalid_request_error", "unsupported_facet")
         kwargs = {"where": where} if where is not None else {}
         if exclude:
             kwargs["exclude"] = str(exclude)
+        if must:
+            kwargs["must"] = str(must)
+        if require_all:
+            kwargs["require_all"] = True
         try:
             if self.service is not None:
                 hits = (self.service.search_phrase(
@@ -313,14 +331,15 @@ class EngineHttpServer:
                 if facet_col:
                     out["facets"] = [
                         {"value": v, "n_docs": int(n)} for v, n in
-                        self.service.facet_counts(query, facet_col,
-                                                  where=where)]
+                        self.service.facet_counts(
+                            query, facet_col, where=where,
+                            require_all=require_all)]
                 if hist:
                     out["histogram"] = [
                         {"lo": lo, "hi": hi, "n_docs": int(n)}
                         for lo, hi, n in self.service.facet_histogram(
                             query, hist["col"], hist["edges"],
-                            where=where)]
+                            where=where, require_all=require_all)]
                 return 200, out
             with self._search_lock:
                 hits = (self.index.search_phrase(
@@ -328,12 +347,12 @@ class EngineHttpServer:
                     else self.index.search(query, k=k, **kwargs))
                 urls = (self.index.url_of([d for d, _ in hits])
                         if hits else [])
-                facets = (self.index.facet_counts(query, facet_col,
-                                                  where=where)
-                          if facet_col else None)
+                facets = (self.index.facet_counts(
+                    query, facet_col, where=where,
+                    require_all=require_all) if facet_col else None)
                 hrows = (self.index.facet_histogram(
-                    query, hist["col"], hist["edges"], where=where)
-                    if hist else None)
+                    query, hist["col"], hist["edges"], where=where,
+                    require_all=require_all) if hist else None)
                 snips = (self.index.snippets_of(
                     query, [d for d, _ in hits], snippet_col)
                     if snippets and hits else None)

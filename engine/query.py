@@ -918,8 +918,16 @@ class InvertedIndex:
         Per-term scores for the survivors are gathered by searchsorted
         into each term's own run, then summed in ascending-df order.
         ``mask`` (doc-values filter) is applied to the rarest run before
-        the merge, so it only ever shrinks the candidate set."""
-        entries = sorted(entries, key=lambda e: e[1])  # df asc
+        the merge, so it only ever shrinks the candidate set.
+
+        The sum order sorts by the OVERRIDDEN df when global-stats
+        overrides are active (doc-sharded serving): every shard then
+        adds per-doc scores in the same global-df order as one global
+        index would, keeping merged conjunctive results bit-identical.
+        Without overrides the key is the local df — unchanged."""
+        entries = sorted(
+            entries,
+            key=lambda e: self._df_overrides.get(e[0], e[1]))  # df asc
         decoded = []
         inter = None
         for term, df, idf, pbytes, skips in entries:

@@ -63,15 +63,19 @@ class QueryWorker:
         self.idx = InvertedIndex(index_dir)
 
     def search(self, query: str, k: int = 10, method: str = "bmw",
-               where: tuple | None = None, exclude: str | None = None):
+               where: tuple | None = None, exclude: str | None = None,
+               must: str | None = None, require_all: bool = False):
         return self.idx.search(query, k=k, method=method, where=where,
-                               exclude=exclude)
+                               exclude=exclude, must=must,
+                               require_all=require_all)
 
     def search_many(self, queries: list[str], k: int = 10,
                     method: str = "bmw", where: tuple | None = None,
-                    exclude: str | None = None):
+                    exclude: str | None = None,
+                    must: str | None = None, require_all: bool = False):
         return [self.idx.search(q, k=k, method=method, where=where,
-                                exclude=exclude)
+                                exclude=exclude, must=must,
+                                require_all=require_all)
                 for q in queries]
 
     def facet_counts(self, query: str, col: str,
@@ -115,9 +119,11 @@ class QueryService:
         ray.get([w.search.remote("", 1) for w in self.workers])
 
     def search(self, query: str, k: int = 10, method: str = "bmw",
-               where: tuple | None = None, exclude: str | None = None):
+               where: tuple | None = None, exclude: str | None = None,
+               must: str | None = None, require_all: bool = False):
         w = self.workers[hash(query) % len(self.workers)]
-        return ray.get(w.search.remote(query, k, method, where, exclude))
+        return ray.get(w.search.remote(query, k, method, where, exclude,
+                                       must, require_all))
 
     def facet_counts(self, query: str, col: str,
                      where: tuple | None = None,
@@ -164,11 +170,13 @@ class QueryService:
 
     def search_many(self, queries: list[str], k: int = 10,
                     method: str = "bmw", where: tuple | None = None,
-                    exclude: str | None = None):
+                    exclude: str | None = None,
+                    must: str | None = None, require_all: bool = False):
         """Fan a query batch across replicas; results in input order."""
         n = len(self.workers)
         shards = [queries[i::n] for i in range(n)]
-        parts = ray.get([w.search_many.remote(s, k, method, where, exclude)
+        parts = ray.get([w.search_many.remote(s, k, method, where,
+                                              exclude, must, require_all)
                          for w, s in zip(self.workers, shards) if s])
         out = [None] * len(queries)
         for wi, res in enumerate(parts):
@@ -230,7 +238,14 @@ class ShardWorker:
                 pos = np.searchsorted(self.idx._doc_ids, ids)
                 keep = mask[pos]
                 ent = (ids[keep], scores[keep]) if keep.any() else None
-            out[t] = ent
+            if ent is not None:
+                # df rides along for the front's require_all path: the
+                # conjunctive accumulation sums terms in ascending-df
+                # order (query.py _search_all), and a term's one part
+                # holds ALL its postings, so this df is the global df
+                out[t] = (ent[0], ent[1], self.idx.df_of(t))
+            else:
+                out[t] = None
         return out
 
     def search(self, query: str, k: int, where: tuple | None = None):
@@ -241,6 +256,21 @@ class ShardWorker:
         the same decode order + float accumulation as the front's
         scatter-gather, so results stay bit-identical."""
         return self.idx.search(query, k=k, method="daat", where=where)
+
+    def term_doc_ids(self, terms: list[str]) -> dict:
+        """term -> int64 doc ids (this worker's doc range) or None when
+        the term is ABSENT from the index dictionary — distinct from an
+        empty range fragment: an absent must-term empties the result
+        globally, an empty fragment only says no match in this range.
+        The boolean-gate exchange of the term-sharded tier: must /
+        exclude terms live on their owning shard, so the front fetches
+        their global doc-id sets from here (cost = df ids, the same
+        wire class as an ordinary scored term)."""
+        out = {}
+        for t in terms:
+            ent = self.idx.score_term_range(t)
+            out[t] = None if ent is None else ent[0]
+        return out
 
     def suggest(self, prefix: str, k: int = 10, parts=None):
         """Prefix suggestion over THIS shard's dictionary parts only
@@ -292,40 +322,67 @@ class _Front:
                    % np.uint64(self.cfg.num_parts))
         return part % self.n_shards
 
-    def _scatter(self, query: str, k: int, where: tuple | None = None):
+    def _scatter(self, query: str, k: int, where: tuple | None = None,
+                 must: str | None = None, exclude: str | None = None,
+                 require_all: bool = False):
         """Submit score_terms futures for one query (no blocking) ->
-        (terms, {(shard, range): future}) or None for empty queries.
-        ``k`` is threaded explicitly — the HTTP front calls search()
-        concurrently from server threads, so smuggling it through
-        mutable front state would race two requests' k values."""
+        (terms, {(shard, range): future}, gate) or None for empty
+        queries.  ``k`` is threaded explicitly — the HTTP front calls
+        search() concurrently from server threads, so smuggling it
+        through mutable front state would race two requests' k values.
+
+        Boolean gates: ``must`` / ``exclude`` terms are routed to their
+        OWNING shards for doc-id sets (term_doc_ids — fired together
+        with the score futures, no extra round-trip of latency), and
+        the front applies the gate masks before the top-k cut, exactly
+        reproducing the local engine's mask-then-_topk order.
+        ``require_all`` needs no extra exchange at all: the per-term
+        fragments the front already holds say which terms cover each
+        candidate."""
         terms = self._terms_of(query)
         if not terms:
             return None
+        must_terms = self._terms_of(must) if must else []
+        ex_terms = self._terms_of(exclude) if exclude else []
+        gating = bool(must_terms or ex_terms or require_all)
         by_shard: dict[int, list[str]] = {}
         for t in terms:
             by_shard.setdefault(self._shard_of(t), []).append(t)
         self._rr += 1
-        if len(by_shard) == 1 and self.n_ranges == 1:
+        if len(by_shard) == 1 and self.n_ranges == 1 and not gating:
             # single-shard fast path: ship the query, get k rows back
             # (O(k) network instead of the terms' decoded postings)
             (si, _ts), = by_shard.items()
             replicas = self.shards[si][0]
             return "local", (replicas[self._rr % len(replicas)]
-                             .search.remote(query, k, where))
+                             .search.remote(query, k, where)), None
         futs = {}
         for si, ts in by_shard.items():
             for ri in range(self.n_ranges):
                 replicas = self.shards[si][ri]
                 futs[(si, ri)] = (replicas[self._rr % len(replicas)]
                                   .score_terms.remote(ts, where))
-        return terms, futs
+        gate = None
+        if must_terms or ex_terms:
+            gate_by_shard: dict[int, list[str]] = {}
+            for t in dict.fromkeys(must_terms + ex_terms):
+                gate_by_shard.setdefault(self._shard_of(t), []).append(t)
+            gfuts = []
+            for si, ts in gate_by_shard.items():
+                for ri in range(self.n_ranges):
+                    replicas = self.shards[si][ri]
+                    gfuts.append((ri, (replicas[self._rr % len(replicas)]
+                                       .term_doc_ids.remote(ts))))
+            gate = (must_terms, ex_terms, gfuts)
+        return terms, futs, (gate, require_all)
 
     def _gather(self, plan, k: int):
         if plan is None:
             return []
-        terms, futs = plan
+        terms, futs, extras = plan
         if terms == "local":               # single-shard fast path
             return ray.get(futs)
+        gate, require_all = extras if extras is not None else (None, False)
         # fragments per term in ascending doc-range order — concatenated
         # they equal the full docID-sorted decode, so float accumulation
         # is bit-identical to the local engine's daat path
@@ -348,6 +405,8 @@ class _Front:
                 all_scores.append(ent[1])
         if not all_ids:
             return []
+        if require_all and any(t not in frags for t in terms):
+            return []                      # a query term matched nowhere
         ids = np.concatenate(all_ids)
         scores = np.concatenate(all_scores)
         uniq, inv = np.unique(ids, return_inverse=True)
@@ -355,22 +414,88 @@ class _Front:
         # np.add.at (bit-identical float sums) in buffered C — add.at
         # is unbuffered and costs seconds at multi-M stopword df
         acc = np.bincount(inv, weights=scores, minlength=uniq.size)
+        keep = None
+        if require_all:
+            # each term contributes a doc at most once (ranges are
+            # disjoint), so per-candidate fragment count == number of
+            # query terms containing it; scores are re-accumulated in
+            # ascending-df order below (_search_all's float order)
+            keep = np.bincount(inv, minlength=uniq.size) == len(terms)
+        if gate is not None:
+            must_terms, ex_terms, gfuts = gate
+            res = ray.get([f for _, f in gfuts])
+            per_term: dict[str, list] = {}
+            absent: set[str] = set()
+            for i in sorted(range(len(gfuts)),
+                            key=lambda j: gfuts[j][0]):  # range order
+                for t, tids in res[i].items():
+                    if tids is None:
+                        absent.add(t)
+                    else:
+                        per_term.setdefault(t, []).append(tids)
+
+            def member(sorted_ids: np.ndarray) -> np.ndarray:
+                pos = np.searchsorted(sorted_ids, uniq)
+                safe = np.minimum(pos, sorted_ids.size - 1)
+                return ((pos < sorted_ids.size)
+                        & (sorted_ids[safe] == uniq))
+
+            for t in must_terms:
+                if t in absent or t not in per_term:
+                    return []              # absent must-term empties
+                tids = np.concatenate(per_term[t])
+                m = (member(tids) if tids.size
+                     else np.zeros(uniq.size, dtype=bool))
+                keep = m if keep is None else (keep & m)
+            for t in ex_terms:
+                if t in per_term:
+                    tids = np.concatenate(per_term[t])
+                    if tids.size:
+                        m = ~member(tids)
+                        keep = m if keep is None else (keep & m)
+        if keep is not None:
+            uniq, acc = uniq[keep], acc[keep]
+            if uniq.size == 0:
+                return []
+        if require_all:
+            # conjunctive scoring sums terms in ascending-df order
+            # (stable: query order on equal dfs) — the exact float
+            # order of query.py _search_all, so merged scores stay
+            # bit-identical to the local AND path.  Every survivor is
+            # in every term's (possibly filter-masked) fragment, so
+            # the sorted gather is exact.
+            order = sorted(range(len(terms)),
+                           key=lambda i: frags[terms[i]][0][2])
+            acc = np.zeros(uniq.size, dtype=np.float64)
+            for i in order:
+                ents = frags[terms[i]]
+                t_ids = (ents[0][0] if len(ents) == 1
+                         else np.concatenate([e[0] for e in ents]))
+                t_s = (ents[0][1] if len(ents) == 1
+                       else np.concatenate([e[1] for e in ents]))
+                acc += t_s[np.searchsorted(t_ids, uniq)]
         return InvertedIndex._topk(uniq, acc, k)
 
     def search(self, query: str, k: int = 10,
-               where: tuple | None = None):
+               where: tuple | None = None, must: str | None = None,
+               exclude: str | None = None, require_all: bool = False):
         if k <= 0:
             return []
-        return self._gather(self._scatter(query, k, where), k)
+        return self._gather(self._scatter(query, k, where, must,
+                                          exclude, require_all), k)
 
     def search_many(self, queries: list[str], k: int = 10,
-                    where: tuple | None = None):
+                    where: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False):
         """Pipelined scatter-gather: every query's shard futures are in
         flight before the first gather, so shard work for query i+1
         overlaps the front's accumulate for query i."""
         if k <= 0:
             return [[] for _ in queries]
-        plans = [self._scatter(q, k, where) for q in queries]
+        plans = [self._scatter(q, k, where, must, exclude, require_all)
+                 for q in queries]
         return [self._gather(p, k) for p in plans]
 
 
@@ -385,8 +510,12 @@ class FrontWorker:
         self.front = _Front(EngineConfig.from_dict(cfg_dict), shards)
 
     def search_many(self, queries: list[str], k: int = 10,
-                    where: tuple | None = None):
-        return self.front.search_many(queries, k, where)
+                    where: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False):
+        return self.front.search_many(queries, k, where, must,
+                                      exclude, require_all)
 
 
 class ShardedQueryService:
@@ -447,24 +576,36 @@ class ShardedQueryService:
         ]
 
     def search(self, query: str, k: int = 10,
-               where: tuple | None = None):
+               where: tuple | None = None, must: str | None = None,
+               exclude: str | None = None, require_all: bool = False):
         """``where=(col, values)`` is applied SHARD-SIDE: each
         doc-range worker masks its scored fragments with its own
         sidecar slice before shipping, so filtered results stay
         bit-identical to local daat-with-mask and selective filters
-        shrink the wire bytes.  (MUST_NOT/must are not offered on this
-        tier: their terms can live on other shards.)"""
-        return self._local.search(query, k, where)
+        shrink the wire bytes.  ``must`` / ``exclude`` terms live on
+        their OWNING shards, so the front fetches their doc-id sets
+        from there (term_doc_ids, fired with the score futures) and
+        gates candidates before the top-k cut; ``require_all`` gates
+        from the fragments already in hand and re-accumulates in the
+        local AND path's ascending-df float order — all three stay
+        bit-identical to the local engine."""
+        return self._local.search(query, k, where, must, exclude,
+                                  require_all)
 
     def search_many(self, queries: list[str], k: int = 10,
-                    where: tuple | None = None):
+                    where: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False):
         """With fronts: interleave the batch across the front pool
         (results in input order); without: local pipelined front."""
         if not self.fronts:
-            return self._local.search_many(queries, k, where)
+            return self._local.search_many(queries, k, where, must,
+                                           exclude, require_all)
         n = len(self.fronts)
         batches = [queries[i::n] for i in range(n)]
-        parts = ray.get([f.search_many.remote(b, k, where)
+        parts = ray.get([f.search_many.remote(b, k, where, must,
+                                              exclude, require_all)
                          for f, b in zip(self.fronts, batches) if b])
         out = [None] * len(queries)
         for fi, res in enumerate(parts):
@@ -548,10 +689,17 @@ class DocShardWorker:
 
     def search_topk(self, query: str, k: int, dfs: dict[str, int],
                     method: str = "bmw", where: tuple | None = None,
-                    exclude: str | None = None):
+                    exclude: str | None = None,
+                    must: str | None = None, require_all: bool = False):
+        """must / exclude / require_all are per-doc predicates over
+        postings THIS shard owns whole, so shard-local gating merges
+        exactly; a must-term with no postings here empties only this
+        shard's answer, which IS the correct per-doc semantics (none of
+        its docs can contain the term)."""
         self.idx.add_df_overrides(dfs)
         return self.idx.search(query, k=k, method=method, where=where,
-                               exclude=exclude)
+                               exclude=exclude, must=must,
+                               require_all=require_all)
 
     def search_phrase_topk(self, query: str, k: int, dfs: dict[str, int],
                            slop: int = 0, where: tuple | None = None,
@@ -678,15 +826,16 @@ class DocShardedQueryService:
         return out
 
     def _scatter(self, query: str, k: int, where: tuple | None = None,
-                 exclude: str | None = None):
+                 exclude: str | None = None, must: str | None = None,
+                 require_all: bool = False):
         terms = self._terms_of(query)
         if not terms:
             return None
-        # exclusion terms need GLOBAL dfs too? No — exclusion is a
-        # membership mask, df-independent; only scored terms exchange.
+        # exclusion/must terms need GLOBAL dfs too? No — both are
+        # membership masks, df-independent; only scored terms exchange.
         dfs = self._global_dfs(terms)
         return [w.search_topk.remote(query, k, dfs, self.method, where,
-                                     exclude)
+                                     exclude, must, require_all)
                 for w in self.workers]
 
     @staticmethod
@@ -697,15 +846,21 @@ class DocShardedQueryService:
         return merged[:k]
 
     def search(self, query: str, k: int = 10,
-               where: tuple | None = None, exclude: str | None = None):
+               where: tuple | None = None, exclude: str | None = None,
+               must: str | None = None, require_all: bool = False):
         """``where=(col, values)`` filters on each shard's doc-values
         sidecar (attach_doc_values must have run per SHARD index — the
         shards are independent indexes).  Per-doc filters compose
         exactly with doc sharding: every doc lives whole on one shard,
-        so filtered per-shard top-k merges are exact, same as phrases."""
+        so filtered per-shard top-k merges are exact, same as phrases.
+        ``must`` / ``exclude`` / ``require_all`` are per-doc predicates
+        gated shard-locally with the same exactness; conjunctive scores
+        stay bit-identical to one global index because _search_all
+        sums in overridden-(global-)df order under the stats
+        exchange."""
         if k <= 0:
             return []
-        futs = self._scatter(query, k, where, exclude)
+        futs = self._scatter(query, k, where, exclude, must, require_all)
         return [] if futs is None else self._merge(ray.get(futs), k)
 
     def facet_counts(self, query: str, col: str,

@@ -597,6 +597,25 @@ def test_http_service_backend(tmp_path, unit_webtext):
             except urllib.error.HTTPError as e:
                 return e.code, _json.loads(e.read())
 
+        # boolean clauses over the HTTP service backend
+        for kw, want in (
+                ({"must": "house"},
+                 idx.search("the data", k=5, must="house")),
+                ({"require_all": True},
+                 idx.search("the data", k=5, require_all=True)),
+                ({"exclude": "house"},
+                 idx.search("the data", k=5, exclude="house"))):
+            status, resp = post({"query": "the data", "k": 5, **kw})
+            assert status == 200, kw
+            assert [(h["doc_id"], round(h["score"], 9))
+                    for h in resp["hits"]] == \
+                [(d, round(s, 9)) for d, s in want], kw
+        # must composed with a facet is rejected, not silently ungated
+        status, resp = post({"query": "the data", "must": "house",
+                             "facet": "lang"})
+        assert status == 400 and \
+            resp["error"]["code"] == "unsupported_facet"
+
         snip_payload = {"query": "the data", "k": 5, "snippets": True}
         status, resp = post(snip_payload)
         assert status == 400 and resp["error"]["code"] == "no_doc_values"

@@ -93,6 +93,12 @@ def test_query_service(ray_session, e2e_webtext, tmp_path_factory):
         ids = [d for d, _ in local.search(queries[0], k=10)]
         assert svc.url_of(ids) == local.url_of(ids)
         assert local.url_of([12345]) == [None]
+        # boolean clauses pass through whole to a replica
+        q = queries[0]
+        for kw in ({"must": "data"}, {"require_all": True},
+                   {"exclude": "data"}):
+            assert svc.search(q, k=10, **kw) == \
+                local.search(q, k=10, **kw), kw
         # replica-routed phrase / proximity == local search_phrase
         phrases = [" ".join(q.split()[:2]) for q in queries[:6]
                    if len(q.split()) >= 2]
@@ -148,6 +154,21 @@ def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
         for q in queries[:3]:
             ids = [d for d, _ in local.search(q, k=10, method="daat")]
             assert svc.snippets_of(q, ids) == local.snippets_of(q, ids), q
+        # boolean clauses on the term-sharded tier: must/exclude term
+        # doc-id sets come from their OWNING shards (term_doc_ids),
+        # require_all gates from the fragments in hand — all pinned
+        # bit-identical to the local engine
+        for q in queries[:5]:
+            for kw in ({"exclude": "data"}, {"must": "data"},
+                       {"must": "the data"}, {"require_all": True},
+                       {"must": "data", "exclude": "house"}):
+                assert svc.search(q, k=10, **kw) == \
+                    local.search(q, k=10, method="daat", **kw), (q, kw)
+        assert svc.search(queries[0], k=10,
+                          must="zzz_unseen_term") == []
+        assert svc.search(queries[0], k=10,
+                          exclude="zzz_unseen_term") == \
+            local.search(queries[0], k=10, method="daat")
     finally:
         svc.shutdown()
 
@@ -200,6 +221,13 @@ def test_sharded_service_doc_ranges(ray_session, e2e_webtext,
         # url hydration across the range workers that TILE the id
         # space: each answers only its range, the merge is exact
         assert svc.url_of(ids) == local.url_of(ids)
+        # boolean clauses with doc-range workers: gate fragments
+        # concatenate in ascending range order (sorted global id sets)
+        for q in queries[:3]:
+            for kw in ({"must": "the data"}, {"exclude": "data"},
+                       {"require_all": True}):
+                assert svc.search(q, k=10, **kw) == \
+                    local.search(q, k=10, method="daat", **kw), (q, kw)
     finally:
         svc.shutdown()
 
@@ -294,6 +322,16 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
         ids = [d for d, _ in local.search(queries[0], k=10,
                                           method="daat")]
         assert svc.url_of(ids) == local.url_of(ids)
+        # boolean clauses gate shard-locally (per-doc predicates over
+        # docs each shard owns whole); conjunctive sums use the
+        # overridden-df order, so merged == one global index
+        for q in queries[:4]:
+            for kw in ({"must": "the data"}, {"exclude": "data"},
+                       {"require_all": True},
+                       {"must": "data", "exclude": "house"}):
+                assert svc.search(q, k=10, **kw) == \
+                    local.search(q, k=10, method="daat", **kw), (q, kw)
+        assert svc.search(queries[0], k=10, must="zzz_unseen_term") == []
     finally:
         svc.shutdown()
 
