@@ -300,12 +300,25 @@ class _Front:
     the per-range scored fragments are concatenated in ascending-range
     order, which reproduces the full docID-sorted decode exactly."""
 
+    # gate-set cache budget: sorted int64 id arrays of must/exclude
+    # terms (8 B/id).  Gate terms repeat across queries (a tenant's
+    # exclusion list, a stopword MUST_NOT) and the sets are immutable
+    # for a served index, so caching front-side turns the per-query
+    # df-sized exchange into a one-time cost — measured at 3.2M docs:
+    # exclude-stopword warm p50 240 ms -> ~plain without the refetch.
+    GATE_CACHE_BYTES = 256 << 20
+
     def __init__(self, cfg: EngineConfig, shards: list):
         self.cfg = cfg
         self.n_shards = len(shards)
         self.shards = shards
         self.n_ranges = len(shards[0]) if shards else 1
         self._rr = 0
+        # term -> sorted global int64 ids, or None for absent terms
+        # (absence is worth caching too: an absent must-term empties
+        # every query that names it).  Plain LRU by insertion order.
+        self._gate_cache: dict[str, np.ndarray | None] = {}
+        self._gate_cache_bytes = 0
 
     def _terms_of(self, query: str) -> list[str]:
         seen, out = set(), []
@@ -366,6 +379,9 @@ class _Front:
         if must_terms or ex_terms:
             gate_by_shard: dict[int, list[str]] = {}
             for t in dict.fromkeys(must_terms + ex_terms):
+                if t in self._gate_cache:       # cached set: no fetch
+                    self._gate_cache[t] = self._gate_cache.pop(t)
+                    continue
                 gate_by_shard.setdefault(self._shard_of(t), []).append(t)
             gfuts = []
             for si, ts in gate_by_shard.items():
@@ -375,6 +391,24 @@ class _Front:
                                        .term_doc_ids.remote(ts))))
             gate = (must_terms, ex_terms, gfuts)
         return terms, futs, (gate, require_all)
+
+    def _cache_gate(self, term: str, ids: "np.ndarray | None") -> None:
+        """Insert one gate set under the byte budget (oldest-out LRU;
+        absent terms cost a nominal 64 B — caching absence matters: an
+        absent must-term empties every query naming it).  A single set
+        larger than the whole budget is served but not cached."""
+        nb = 64 if ids is None else ids.nbytes
+        if nb > self.GATE_CACHE_BYTES:
+            return
+        old = self._gate_cache.pop(term, False)
+        if old is not False:
+            self._gate_cache_bytes -= 64 if old is None else old.nbytes
+        while (self._gate_cache_bytes + nb > self.GATE_CACHE_BYTES
+               and self._gate_cache):
+            old = self._gate_cache.pop(next(iter(self._gate_cache)))
+            self._gate_cache_bytes -= 64 if old is None else old.nbytes
+        self._gate_cache[term] = ids
+        self._gate_cache_bytes += nb
 
     def _gather(self, plan, k: int):
         if plan is None:
@@ -423,16 +457,29 @@ class _Front:
             keep = np.bincount(inv, minlength=uniq.size) == len(terms)
         if gate is not None:
             must_terms, ex_terms, gfuts = gate
-            res = ray.get([f for _, f in gfuts])
-            per_term: dict[str, list] = {}
-            absent: set[str] = set()
-            for i in sorted(range(len(gfuts)),
-                            key=lambda j: gfuts[j][0]):  # range order
-                for t, tids in res[i].items():
-                    if tids is None:
-                        absent.add(t)
-                    else:
-                        per_term.setdefault(t, []).append(tids)
+            # start from the front's cache (scatter skipped fetching
+            # cached terms), overlay freshly fetched sets
+            sets: dict[str, "np.ndarray | None"] = {
+                t: self._gate_cache[t]
+                for t in must_terms + ex_terms if t in self._gate_cache}
+            if gfuts:
+                res = ray.get([f for _, f in gfuts])
+                per_term: dict[str, list] = {}
+                absent: set[str] = set()
+                for i in sorted(range(len(gfuts)),
+                                key=lambda j: gfuts[j][0]):  # range order
+                    for t, tids in res[i].items():
+                        if tids is None:
+                            absent.add(t)
+                        else:
+                            per_term.setdefault(t, []).append(tids)
+                for t in absent:
+                    sets[t] = None
+                    self._cache_gate(t, None)
+                for t, frs in per_term.items():
+                    full = frs[0] if len(frs) == 1 else np.concatenate(frs)
+                    sets[t] = full
+                    self._cache_gate(t, full)
 
             def member(sorted_ids: np.ndarray) -> np.ndarray:
                 pos = np.searchsorted(sorted_ids, uniq)
@@ -441,18 +488,17 @@ class _Front:
                         & (sorted_ids[safe] == uniq))
 
             for t in must_terms:
-                if t in absent or t not in per_term:
+                tids = sets.get(t)
+                if tids is None:
                     return []              # absent must-term empties
-                tids = np.concatenate(per_term[t])
                 m = (member(tids) if tids.size
                      else np.zeros(uniq.size, dtype=bool))
                 keep = m if keep is None else (keep & m)
             for t in ex_terms:
-                if t in per_term:
-                    tids = np.concatenate(per_term[t])
-                    if tids.size:
-                        m = ~member(tids)
-                        keep = m if keep is None else (keep & m)
+                tids = sets.get(t)
+                if tids is not None and tids.size:
+                    m = ~member(tids)
+                    keep = m if keep is None else (keep & m)
         if keep is not None:
             uniq, acc = uniq[keep], acc[keep]
             if uniq.size == 0:
@@ -1049,12 +1095,16 @@ class DocShardedQueryService:
                 for w in self.workers]
         return self._merge(ray.get(futs), k)
 
-    def search_many(self, queries: list[str], k: int = 10):
+    def search_many(self, queries: list[str], k: int = 10,
+                    where: tuple | None = None,
+                    exclude: str | None = None,
+                    must: str | None = None, require_all: bool = False):
         """Pipelined: all queries' per-shard top-k futures are in flight
         before the first merge (merges touch only shards x k rows)."""
         if k <= 0:
             return [[] for _ in queries]
-        plans = [self._scatter(q, k) for q in queries]
+        plans = [self._scatter(q, k, where, exclude, must, require_all)
+                 for q in queries]
         return [[] if p is None else self._merge(ray.get(p), k)
                 for p in plans]
 
