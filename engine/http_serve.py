@@ -299,12 +299,6 @@ class EngineHttpServer:
                 "must/require_all are not supported with phrase=true "
                 "(a phrase is already conjunctive over its terms)",
                 "invalid_request_error", "invalid_request")
-        if must and (facet_col or hist):
-            # facet_counts has no must gate; answering the ungated
-            # aggregation next to gated hits would be silently wrong
-            return 400, _error(
-                "facet aggregation is not supported with must",
-                "invalid_request_error", "unsupported_facet")
         kwargs = {"where": where} if where is not None else {}
         if exclude:
             kwargs["exclude"] = str(exclude)
@@ -333,13 +327,15 @@ class EngineHttpServer:
                         {"value": v, "n_docs": int(n)} for v, n in
                         self.service.facet_counts(
                             query, facet_col, where=where,
-                            require_all=require_all)]
+                            require_all=require_all, must=must,
+                            exclude=exclude)]
                 if hist:
                     out["histogram"] = [
                         {"lo": lo, "hi": hi, "n_docs": int(n)}
                         for lo, hi, n in self.service.facet_histogram(
                             query, hist["col"], hist["edges"],
-                            where=where, require_all=require_all)]
+                            where=where, require_all=require_all,
+                            must=must, exclude=exclude)]
                 return 200, out
             with self._search_lock:
                 hits = (self.index.search_phrase(
@@ -349,10 +345,12 @@ class EngineHttpServer:
                         if hits else [])
                 facets = (self.index.facet_counts(
                     query, facet_col, where=where,
-                    require_all=require_all) if facet_col else None)
+                    require_all=require_all, must=must,
+                    exclude=exclude) if facet_col else None)
                 hrows = (self.index.facet_histogram(
                     query, hist["col"], hist["edges"], where=where,
-                    require_all=require_all) if hist else None)
+                    require_all=require_all, must=must,
+                    exclude=exclude) if hist else None)
                 snips = (self.index.snippets_of(
                     query, [d for d, _ in hits], snippet_col)
                     if snippets and hits else None)

@@ -520,19 +520,29 @@ class InvertedIndex:
 
     def facet_counts(self, query: str, col: str,
                      where: tuple | None = None,
-                     require_all: bool = False) -> list[tuple]:
+                     require_all: bool = False,
+                     must: str | None = None,
+                     exclude: str | None = None) -> list[tuple]:
         """Facet aggregation over the query's match set: -> [(value,
         n_docs)] sorted (count desc, value asc) for the doc-values
         column ``col``, counting documents that contain >=1 query term
         (the standard disjunctive facet base; ``require_all=True``
         switches to the AND match set).  Docs without a sidecar row are
         not counted under any facet value.  Deletes are already masked
-        out of decoded runs; ``where`` composes (facet within a
-        filter).  Pure integer work: the match mask indexes the
-        factorized code array once, then one bincount."""
+        out of decoded runs; ``where`` / ``must`` / ``exclude`` compose
+        (facet within the same gated set the hits come from).  Pure
+        integer work: the match mask indexes the factorized code array
+        once, then one bincount."""
         matched = self._match_mask(query, require_all)
         if matched is None:
             return []
+        if must:
+            mm = self._must_mask(must)
+            if mm is None:                 # absent must-term: empty set
+                return []
+            matched = matched & mm
+        if exclude:
+            matched = matched & self._exclude_mask(exclude)
         if where is not None:
             matched = matched & self.where_mask(*where)
         codes, uniq = self._load_doc_values(col)
@@ -580,7 +590,9 @@ class InvertedIndex:
 
     def facet_histogram(self, query: str, col: str, edges,
                         where: tuple | None = None,
-                        require_all: bool = False) -> list[tuple]:
+                        require_all: bool = False,
+                        must: str | None = None,
+                        exclude: str | None = None) -> list[tuple]:
         """Histogram facet over a NUMERIC doc-values column (the
         date-histogram analog): -> [(lo, hi, n_docs)] per half-open
         bucket ``[edges[i], edges[i+1])`` counting matched documents,
@@ -594,9 +606,14 @@ class InvertedIndex:
         if edges.size < 2:
             return []
         matched = self._match_mask(query, require_all)
+        if matched is not None and must:
+            mm = self._must_mask(must)
+            matched = None if mm is None else (matched & mm)
         if matched is None:
             counts = np.zeros(edges.size - 1, dtype=np.int64)
         else:
+            if exclude:
+                matched &= self._exclude_mask(exclude)
             if where is not None:
                 matched &= self.where_mask(*where)
             codes, uniq = self._load_doc_values(col)

@@ -80,15 +80,21 @@ class QueryWorker:
 
     def facet_counts(self, query: str, col: str,
                      where: tuple | None = None,
-                     require_all: bool = False):
+                     require_all: bool = False,
+                     must: str | None = None,
+                     exclude: str | None = None):
         return self.idx.facet_counts(query, col, where=where,
-                                     require_all=require_all)
+                                     require_all=require_all,
+                                     must=must, exclude=exclude)
 
     def facet_histogram(self, query: str, col: str, edges,
                         where: tuple | None = None,
-                        require_all: bool = False):
+                        require_all: bool = False,
+                        must: str | None = None,
+                        exclude: str | None = None):
         return self.idx.facet_histogram(query, col, edges, where=where,
-                                        require_all=require_all)
+                                        require_all=require_all,
+                                        must=must, exclude=exclude)
 
     def suggest(self, prefix: str, k: int = 10):
         return self.idx.suggest(prefix, k=k)
@@ -127,17 +133,22 @@ class QueryService:
 
     def facet_counts(self, query: str, col: str,
                      where: tuple | None = None,
-                     require_all: bool = False):
+                     require_all: bool = False,
+                     must: str | None = None,
+                     exclude: str | None = None):
         w = self.workers[hash(query) % len(self.workers)]
         return ray.get(w.facet_counts.remote(query, col, where,
-                                             require_all))
+                                             require_all, must, exclude))
 
     def facet_histogram(self, query: str, col: str, edges,
                         where: tuple | None = None,
-                        require_all: bool = False):
+                        require_all: bool = False,
+                        must: str | None = None,
+                        exclude: str | None = None):
         w = self.workers[hash(query) % len(self.workers)]
         return ray.get(w.facet_histogram.remote(query, col, edges,
-                                                where, require_all))
+                                                where, require_all,
+                                                must, exclude))
 
     def suggest(self, prefix: str, k: int = 10):
         w = self.workers[hash(prefix) % len(self.workers)]
@@ -756,18 +767,24 @@ class DocShardWorker:
 
     def facet_counts(self, query: str, col: str, dfs: dict[str, int],
                      where: tuple | None = None,
-                     require_all: bool = False):
+                     require_all: bool = False,
+                     must: str | None = None,
+                     exclude: str | None = None):
         self.idx.add_df_overrides(dfs)
         return self.idx.facet_counts(query, col, where=where,
-                                     require_all=require_all)
+                                     require_all=require_all,
+                                     must=must, exclude=exclude)
 
     def facet_histogram(self, query: str, col: str, edges,
                         dfs: dict[str, int],
                         where: tuple | None = None,
-                        require_all: bool = False):
+                        require_all: bool = False,
+                        must: str | None = None,
+                        exclude: str | None = None):
         self.idx.add_df_overrides(dfs)
         return self.idx.facet_histogram(query, col, edges, where=where,
-                                        require_all=require_all)
+                                        require_all=require_all,
+                                        must=must, exclude=exclude)
 
     def snippets_of(self, query: str, doc_ids, col: str = "text"):
         """Windows for the docs THIS shard owns (others hydrate None —
@@ -911,17 +928,20 @@ class DocShardedQueryService:
 
     def facet_counts(self, query: str, col: str,
                      where: tuple | None = None,
-                     require_all: bool = False):
+                     require_all: bool = False,
+                     must: str | None = None,
+                     exclude: str | None = None):
         """Distributed facet aggregation: shards count locally over
         their disjoint doc ranges, the front sums per value — exact
-        (counts are additive over a doc partition), O(S x n_values)
+        (counts are additive over a doc partition; must/exclude are
+        per-doc predicates gated shard-locally), O(S x n_values)
         network."""
         terms = self._terms_of(query)
         if not terms:
             return []
         dfs = self._global_dfs(terms)
         parts = ray.get([w.facet_counts.remote(query, col, dfs, where,
-                                               require_all)
+                                               require_all, must, exclude)
                          for w in self.workers])
         tot: dict = {}
         for p in parts:
@@ -931,7 +951,9 @@ class DocShardedQueryService:
 
     def facet_histogram(self, query: str, col: str, edges,
                         where: tuple | None = None,
-                        require_all: bool = False):
+                        require_all: bool = False,
+                        must: str | None = None,
+                        exclude: str | None = None):
         """Distributed histogram facet: per-shard bucket counts sum
         exactly (buckets are fixed, shards partition docs)."""
         terms = self._terms_of(query)
@@ -939,7 +961,8 @@ class DocShardedQueryService:
             return []
         dfs = self._global_dfs(terms)
         parts = ray.get([w.facet_histogram.remote(query, col, list(edges),
-                                                  dfs, where, require_all)
+                                                  dfs, where, require_all,
+                                                  must, exclude)
                          for w in self.workers])
         if not parts or not parts[0]:
             return []

@@ -211,11 +211,14 @@ def test_duplicate_keys_fail_loud(unit_webtext, tmp_path_factory, dv_index):
 
 
 def _facet_oracle(idx: InvertedIndex, df: pd.DataFrame, query: str,
-                  require_all: bool = False, langs=None):
+                  require_all: bool = False, langs=None,
+                  must: str | None = None, exclude: str | None = None):
     """Independent facet counts: per-doc token sets straight from the
     fixture text via the engine tokenizer, then plain Python counting."""
     from engine.tokenize import tokenize
     terms = set(idx.query_terms(query))
+    must_terms = set(idx.query_terms(must)) if must else set()
+    ex_terms = set(idx.query_terms(exclude)) if exclude else set()
     from collections import Counter
     cnt = Counter()
     for _, row in df.iterrows():
@@ -223,6 +226,10 @@ def _facet_oracle(idx: InvertedIndex, df: pd.DataFrame, query: str,
             continue
         toks = set(tokenize(row["text"]))
         ok = terms <= toks if require_all else bool(terms & toks)
+        if must_terms and not must_terms <= toks:
+            ok = False
+        if ex_terms & toks:
+            ok = False
         if ok:
             cnt[row["lang"]] += 1
     return sorted(cnt.items(), key=lambda t: (-t[1], t[0]))
@@ -242,6 +249,39 @@ def test_facet_counts_require_all_and_where(dv_index):
     assert got == _facet_oracle(idx, df, "the of", require_all=True)
     got = idx.facet_counts(QUERY, "lang", where=("lang", ("de", "fr")))
     assert got == _facet_oracle(idx, df, QUERY, langs=("de", "fr"))
+
+
+def test_facet_counts_must_exclude(dv_index):
+    """Facet base gated by the SAME must/exclude clauses the hits use
+    — pinned against per-doc brute force over the fixture text."""
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    got = idx.facet_counts(QUERY, "lang", must="the")
+    assert got == _facet_oracle(idx, df, QUERY, must="the")
+    got = idx.facet_counts(QUERY, "lang", exclude="the")
+    assert got == _facet_oracle(idx, df, QUERY, exclude="the")
+    got = idx.facet_counts(QUERY, "lang", must="the of",
+                           exclude="house", where=("lang", ("en", "de")))
+    assert got == _facet_oracle(idx, df, QUERY, must="the of",
+                                exclude="house", langs=("en", "de"))
+    # absent must-term: empty facet set, matching search()
+    assert idx.facet_counts(QUERY, "lang", must="zzz_unseen") == []
+    # histogram facet under the same gates: brute-force bucket counts
+    edges = [0.0, 100.0, 200.0, 400.0, 1e9]
+    got = idx.facet_histogram(QUERY, "nlen", edges, must="the",
+                              exclude="house")
+    from engine.tokenize import tokenize
+    terms = set(idx.query_terms(QUERY))
+    want = [0] * (len(edges) - 1)
+    for _, row in df.iterrows():
+        toks = set(tokenize(row["text"]))
+        if not (terms & toks) or "the" not in toks or "house" in toks:
+            continue
+        v = float(len(row["text"]))
+        for i in range(len(edges) - 1):
+            if edges[i] <= v < edges[i + 1]:
+                want[i] += 1
+    assert [n for _, _, n in got] == want
 
 
 def test_doc_sharded_filtered_and_facets(dv_index, unit_webtext,

@@ -610,22 +610,25 @@ def test_http_service_backend(tmp_path, unit_webtext):
             assert [(h["doc_id"], round(h["score"], 9))
                     for h in resp["hits"]] == \
                 [(d, round(s, 9)) for d, s in want], kw
-        # must composed with a facet is rejected, not silently ungated
-        status, resp = post({"query": "the data", "must": "house",
-                             "facet": "lang"})
-        assert status == 400 and \
-            resp["error"]["code"] == "unsupported_facet"
-
         snip_payload = {"query": "the data", "k": 5, "snippets": True}
         status, resp = post(snip_payload)
         assert status == 400 and resp["error"]["code"] == "no_doc_values"
         from engine.docvalues import attach_doc_values
-        attach_doc_values(idx_dir, unit_webtext, ["text"],
+        attach_doc_values(idx_dir, unit_webtext, ["text", "lang"],
                           dedup="earliest")
         status, resp = post(snip_payload)
         assert status == 200
         want = idx.snippets_of("the data", [d for d, _ in local])
         assert [h.get("snippet") for h in resp["hits"]] == want
+        # facets gated by the SAME boolean clauses as the hits
+        status, resp = post({"query": "the data", "k": 5,
+                             "facet": "lang", "must": "house",
+                             "exclude": "cat"})
+        assert status == 200
+        want = idx.facet_counts("the data", "lang", must="house",
+                                exclude="cat")
+        assert [(f["value"], f["n_docs"]) for f in resp["facets"]] == \
+            [(v, int(n)) for v, n in want]
     finally:
         server.stop()
 

@@ -169,6 +169,13 @@ def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
         assert svc.search(queries[0], k=10,
                           exclude="zzz_unseen_term") == \
             local.search(queries[0], k=10, method="daat")
+        # clauses through the FRONT POOL batch path too
+        assert svc.search_many(queries[:4], k=10, require_all=True) == \
+            [local.search(q, k=10, require_all=True)
+             for q in queries[:4]]
+        assert svc.search_many(queries[:4], k=10, exclude="data") == \
+            [local.search(q, k=10, method="daat", exclude="data")
+             for q in queries[:4]]
     finally:
         svc.shutdown()
 
