@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_range": d.q_bm25_topk_range,
         "bm25_topk_filtered_narrow": d.q_bm25_topk_filtered_narrow,
         "bm25_topk_must": d.q_bm25_topk_must,
+        "match_totals": d.q_match_totals,
         "facet_nchars_hist": d.q_facet_nchars_hist,
         "bm25_topk_and": d.q_bm25_topk_and,
         "bm25_topk_deleted": d.q_bm25_topk_deleted,
@@ -918,6 +919,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (
               SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
             ORDER BY score DESC, doc_id LIMIT 10""",
+
+        # hits.total family: pure COUNT(DISTINCT) aggregations over the
+        # same tokenized match sets the bm25 oracles use — no scores
+        "match_totals": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            m AS (SELECT DISTINCT doc_id FROM toks
+                  WHERE term IN ('hash','join','table')),
+            a AS (SELECT doc_id FROM toks
+                  WHERE term IN ('hash','join','table')
+                  GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+            mu AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),
+            ex AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'sort'),
+            g AS (SELECT doc_id FROM m
+                  WHERE doc_id IN (SELECT doc_id FROM mu)
+                    AND doc_id NOT IN (SELECT doc_id FROM ex)),
+            fl AS (SELECT doc_id FROM m
+                   WHERE doc_id IN (SELECT doc_id FROM documents
+                                    WHERE lang = 'en'))
+            SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_or,
+                   CAST((SELECT count(*) FROM a) AS BIGINT) AS n_and,
+                   CAST((SELECT count(*) FROM g) AS BIGINT) AS n_gated,
+                   CAST((SELECT count(*) FROM fl) AS BIGINT) AS n_filtered""",
 
         # boolean MUST_NOT: docs containing 'sort' never rank; the
         # survivors' scores are the plain BM25 sums (exclusion adds no

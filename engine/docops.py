@@ -314,6 +314,28 @@ def q_facet_nchars_hist(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_match_totals(sf_dir: str) -> pd.DataFrame:
+    """hits.total under the full clause set (engine/query.py
+    match_count — the total every search UI shows next to top-k):
+    disjunctive match count, conjunctive (require_all), must+exclude
+    gated, and lang-filtered, all over the BM25 query's decoded runs
+    with no scoring and no top-k cut."""
+    idx = docs_index(sf_dir)
+    _ensure_docvalues(idx, sf_dir)
+    q = BM25_QUERY
+    return pd.DataFrame({
+        "n_or": pd.Series([idx.match_count(q)], dtype=np.int64),
+        "n_and": pd.Series([idx.match_count(q, require_all=True)],
+                           dtype=np.int64),
+        "n_gated": pd.Series(
+            [idx.match_count(q, must="merge", exclude="sort")],
+            dtype=np.int64),
+        "n_filtered": pd.Series(
+            [idx.match_count(q, where=("lang", ("en",)))],
+            dtype=np.int64),
+    })
+
+
 def q_bm25_topk_must(sf_dir: str) -> pd.DataFrame:
     """Mixed boolean MUST (Lucene '+term'): candidates must contain
     'merge', scores still sum all of the query's matching terms

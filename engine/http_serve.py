@@ -299,6 +299,12 @@ class EngineHttpServer:
                 "must/require_all are not supported with phrase=true "
                 "(a phrase is already conjunctive over its terms)",
                 "invalid_request_error", "invalid_request")
+        # with_total=true: hits.total — the gated candidate-set size
+        with_total = bool(req.get("with_total"))
+        if phrase and with_total:
+            return 400, _error(
+                "with_total is not supported with phrase=true",
+                "invalid_request_error", "invalid_request")
         kwargs = {"where": where} if where is not None else {}
         if exclude:
             kwargs["exclude"] = str(exclude)
@@ -316,6 +322,9 @@ class EngineHttpServer:
                 out = {"hits": [
                     {"doc_id": int(d), "score": float(s), "url": u}
                     for (d, s), u in zip(hits, urls)]}
+                if with_total:
+                    out["total"] = int(
+                        self.service.match_count(query, **kwargs))
                 if snippets and hits:
                     # every serving tier hydrates shard/replica-side
                     # (serve.py snippets_of) — only window strings move
@@ -354,6 +363,8 @@ class EngineHttpServer:
                 snips = (self.index.snippets_of(
                     query, [d for d, _ in hits], snippet_col)
                     if snippets and hits else None)
+                total = (self.index.match_count(query, **kwargs)
+                         if with_total else None)
         except (FileNotFoundError, KeyError) as e:  # missing sidecar/col
             return 400, _error(str(e), "invalid_request_error",
                                "no_doc_values")
@@ -390,6 +401,8 @@ class EngineHttpServer:
         if hrows is not None:
             out["histogram"] = [{"lo": lo, "hi": hi, "n_docs": int(n)}
                                 for lo, hi, n in hrows]
+        if total is not None:
+            out["total"] = int(total)
         return 200, out
 
     # -- multimodal routes (reference server/src/lib.rs:321-838) ----------

@@ -557,6 +557,34 @@ class InvertedIndex:
         order = sorted(nz.tolist(), key=lambda i: (-int(cnt[i]), uniq[i]))
         return [(uniq[i], int(cnt[i])) for i in order]
 
+    def match_count(self, query: str, where: tuple | None = None,
+                    where_range: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False) -> int:
+        """Total hits of a query under the full clause set (the
+        ``hits.total`` every search UI shows next to top-k): documents
+        containing >=1 query term (every term with ``require_all``),
+        gated by must/exclude and the doc-values filters.  Pure mask
+        work over the same decoded runs search() uses — no scoring, no
+        top-k cut; an absent must-term gives 0 (matching search's
+        empty result)."""
+        matched = self._match_mask(query, require_all)
+        if matched is None:
+            return 0
+        if must:
+            mm = self._must_mask(must)
+            if mm is None:
+                return 0
+            matched = matched & mm
+        if exclude:
+            matched = matched & self._exclude_mask(exclude)
+        if where is not None:
+            matched = matched & self.where_mask(*where)
+        if where_range is not None:
+            matched = matched & self.range_mask(*where_range)
+        return int(matched.sum())
+
     def _match_mask(self, query: str,
                     require_all: bool = False) -> np.ndarray | None:
         """Boolean match set of a query (>=1 term by default, every

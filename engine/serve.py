@@ -99,6 +99,14 @@ class QueryWorker:
     def suggest(self, prefix: str, k: int = 10):
         return self.idx.suggest(prefix, k=k)
 
+    def match_count(self, query: str, where: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False):
+        return self.idx.match_count(query, where=where, must=must,
+                                    exclude=exclude,
+                                    require_all=require_all)
+
     def snippets_of(self, query: str, doc_ids, col: str = "text"):
         return self.idx.snippets_of(query, doc_ids, col)
 
@@ -153,6 +161,15 @@ class QueryService:
     def suggest(self, prefix: str, k: int = 10):
         w = self.workers[hash(prefix) % len(self.workers)]
         return ray.get(w.suggest.remote(prefix, k))
+
+    def match_count(self, query: str, where: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False) -> int:
+        """Total hits (hits.total) on one replica."""
+        w = self.workers[hash(query) % len(self.workers)]
+        return ray.get(w.match_count.remote(query, where, must,
+                                            exclude, require_all))
 
     def snippets_of(self, query: str, doc_ids, col: str = "text"):
         """Top-k snippet hydration on a replica (every replica holds
@@ -348,7 +365,7 @@ class _Front:
 
     def _scatter(self, query: str, k: int, where: tuple | None = None,
                  must: str | None = None, exclude: str | None = None,
-                 require_all: bool = False):
+                 require_all: bool = False, no_fast: bool = False):
         """Submit score_terms futures for one query (no blocking) ->
         (terms, {(shard, range): future}, gate) or None for empty
         queries.  ``k`` is threaded explicitly — the HTTP front calls
@@ -373,7 +390,8 @@ class _Front:
         for t in terms:
             by_shard.setdefault(self._shard_of(t), []).append(t)
         self._rr += 1
-        if len(by_shard) == 1 and self.n_ranges == 1 and not gating:
+        if (len(by_shard) == 1 and self.n_ranges == 1 and not gating
+                and not no_fast):
             # single-shard fast path: ship the query, get k rows back
             # (O(k) network instead of the terms' decoded postings)
             (si, _ts), = by_shard.items()
@@ -421,9 +439,9 @@ class _Front:
         self._gate_cache[term] = ids
         self._gate_cache_bytes += nb
 
-    def _gather(self, plan, k: int):
+    def _gather(self, plan, k: int, count_only: bool = False):
         if plan is None:
-            return []
+            return 0 if count_only else []
         terms, futs, extras = plan
         if terms == "local":               # single-shard fast path
             return ray.get(futs)
@@ -449,9 +467,9 @@ class _Front:
                 all_ids.append(ent[0])
                 all_scores.append(ent[1])
         if not all_ids:
-            return []
+            return 0 if count_only else []
         if require_all and any(t not in frags for t in terms):
-            return []                      # a query term matched nowhere
+            return 0 if count_only else []  # a query term matched nowhere
         ids = np.concatenate(all_ids)
         scores = np.concatenate(all_scores)
         uniq, inv = np.unique(ids, return_inverse=True)
@@ -500,8 +518,8 @@ class _Front:
 
             for t in must_terms:
                 tids = sets.get(t)
-                if tids is None:
-                    return []              # absent must-term empties
+                if tids is None:           # absent must-term empties
+                    return 0 if count_only else []
                 m = (member(tids) if tids.size
                      else np.zeros(uniq.size, dtype=bool))
                 keep = m if keep is None else (keep & m)
@@ -513,7 +531,9 @@ class _Front:
         if keep is not None:
             uniq, acc = uniq[keep], acc[keep]
             if uniq.size == 0:
-                return []
+                return 0 if count_only else []
+        if count_only:
+            return int(uniq.size)
         if require_all:
             # conjunctive scoring sums terms in ascending-df order
             # (stable: query order on equal dfs) — the exact float
@@ -540,6 +560,18 @@ class _Front:
             return []
         return self._gather(self._scatter(query, k, where, must,
                                           exclude, require_all), k)
+
+    def match_count(self, query: str, where: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False) -> int:
+        """Total hits under the full clause set (hits.total): the
+        same scatter the search path uses (fast path bypassed — a
+        worker's k-row answer cannot yield a count), counting the gated
+        candidate set instead of scoring it."""
+        plan = self._scatter(query, 1, where, must, exclude,
+                             require_all, no_fast=True)
+        return self._gather(plan, 1, count_only=True)
 
     def search_many(self, queries: list[str], k: int = 10,
                     where: tuple | None = None,
@@ -687,6 +719,15 @@ class ShardedQueryService:
         cand.sort(key=lambda t: (-t[1], t[0]))
         return cand[:k]
 
+    def match_count(self, query: str, where: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False) -> int:
+        """Total hits via the front's count-only gather (exact: the
+        gated candidate set is the same one search() scores)."""
+        return self._local.match_count(query, where, must, exclude,
+                                       require_all)
+
     def snippets_of(self, query: str, doc_ids, col: str = "text"):
         """Top-k snippet hydration: routed to ONE worker (the sidecar
         read is disk-side and independent of the worker's term-part /
@@ -785,6 +826,18 @@ class DocShardWorker:
         return self.idx.facet_histogram(query, col, edges, where=where,
                                         require_all=require_all,
                                         must=must, exclude=exclude)
+
+    def match_count(self, query: str, dfs: dict[str, int],
+                    where: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False):
+        """Hits among THIS shard's docs (df overrides keep the decode
+        cache's scores global-stats-consistent, same as facet_counts)."""
+        self.idx.add_df_overrides(dfs)
+        return self.idx.match_count(query, where=where, must=must,
+                                    exclude=exclude,
+                                    require_all=require_all)
 
     def snippets_of(self, query: str, doc_ids, col: str = "text"):
         """Windows for the docs THIS shard owns (others hydrate None —
@@ -983,6 +1036,21 @@ class DocShardedQueryService:
                          for w in self.workers])
         return [next((p[i] for p in parts if p[i] is not None), None)
                 for i in range(len(ids))]
+
+    def match_count(self, query: str, where: tuple | None = None,
+                    must: str | None = None,
+                    exclude: str | None = None,
+                    require_all: bool = False) -> int:
+        """Distributed total hits: per-shard counts sum exactly over
+        the disjoint doc partition (all clauses are per-doc masks)."""
+        terms = self._terms_of(query)
+        if not terms:
+            return 0
+        dfs = self._global_dfs(terms)
+        return int(sum(ray.get(
+            [w.match_count.remote(query, dfs, where, must, exclude,
+                                  require_all)
+             for w in self.workers])))
 
     def url_of(self, doc_ids):
         """Distributed top-k url hydration: every shard answers for the

@@ -266,6 +266,47 @@ def test_facet_counts_must_exclude(dv_index):
                                 exclude="house", langs=("en", "de"))
     # absent must-term: empty facet set, matching search()
     assert idx.facet_counts(QUERY, "lang", must="zzz_unseen") == []
+
+
+def test_match_count_brute_force(dv_index):
+    """hits.total == per-doc brute force under every clause shape,
+    and == the facet total (same match set, two code paths)."""
+    idx_dir, df = dv_index
+    idx = InvertedIndex(idx_dir)
+    from engine.tokenize import tokenize
+    terms = set(idx.query_terms(QUERY))
+
+    def brute(require_all=False, must=None, exclude=None, langs=None,
+              rng=None):
+        n = 0
+        for _, row in df.iterrows():
+            toks = set(tokenize(row["text"]))
+            ok = terms <= toks if require_all else bool(terms & toks)
+            if must and not set(idx.query_terms(must)) <= toks:
+                ok = False
+            if exclude and set(idx.query_terms(exclude)) & toks:
+                ok = False
+            if langs is not None and row["lang"] not in langs:
+                ok = False
+            if rng is not None and not (rng[0] <= row["nlen"] <= rng[1]):
+                ok = False
+            n += int(ok)
+        return n
+
+    assert idx.match_count(QUERY) == brute()
+    assert idx.match_count(QUERY, require_all=True) == \
+        brute(require_all=True)
+    assert idx.match_count(QUERY, must="the", exclude="house") == \
+        brute(must="the", exclude="house")
+    assert idx.match_count(QUERY, where=("lang", ("en", "de"))) == \
+        brute(langs=("en", "de"))
+    assert idx.match_count(QUERY, where_range=("nlen", 100, 300)) == \
+        brute(rng=(100, 300))
+    assert idx.match_count(QUERY, must="zzz_unseen") == 0
+    assert idx.match_count("zzz_unseen") == 0
+    # facet totals count the same match set (docs with a sidecar row)
+    assert sum(n for _, n in idx.facet_counts(QUERY, "lang")) == \
+        idx.match_count(QUERY)
     # histogram facet under the same gates: brute-force bucket counts
     edges = [0.0, 100.0, 200.0, 400.0, 1e9]
     got = idx.facet_histogram(QUERY, "nlen", edges, must="the",

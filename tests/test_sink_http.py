@@ -610,6 +610,13 @@ def test_http_service_backend(tmp_path, unit_webtext):
             assert [(h["doc_id"], round(h["score"], 9))
                     for h in resp["hits"]] == \
                 [(d, round(s, 9)) for d, s in want], kw
+        # hits.total next to top-k (with_total), gated consistently
+        status, resp = post({"query": "the data", "k": 3,
+                             "with_total": True, "exclude": "house"})
+        assert status == 200 and len(resp["hits"]) == 3
+        assert resp["total"] == idx.match_count("the data",
+                                                exclude="house")
+
         snip_payload = {"query": "the data", "k": 5, "snippets": True}
         status, resp = post(snip_payload)
         assert status == 400 and resp["error"]["code"] == "no_doc_values"

@@ -95,6 +95,7 @@ def test_query_service(ray_session, e2e_webtext, tmp_path_factory):
         assert local.url_of([12345]) == [None]
         # boolean clauses pass through whole to a replica
         q = queries[0]
+        assert svc.match_count(q) == local.match_count(q)
         for kw in ({"must": "data"}, {"require_all": True},
                    {"exclude": "data"}):
             assert svc.search(q, k=10, **kw) == \
@@ -169,6 +170,15 @@ def test_sharded_query_service(ray_session, e2e_webtext, tmp_path_factory):
         assert svc.search(queries[0], k=10,
                           exclude="zzz_unseen_term") == \
             local.search(queries[0], k=10, method="daat")
+        # hits.total via the count-only gather == local match_count
+        for q in queries[:4]:
+            assert svc.match_count(q) == local.match_count(q), q
+        assert svc.match_count(queries[0], must="data",
+                               exclude="house") == \
+            local.match_count(queries[0], must="data", exclude="house")
+        assert svc.match_count(queries[0], require_all=True) == \
+            local.match_count(queries[0], require_all=True)
+        assert svc.match_count("zzz_unseen_term") == 0
         # clauses through the FRONT POOL batch path too
         assert svc.search_many(queries[:4], k=10, require_all=True) == \
             [local.search(q, k=10, require_all=True)
@@ -339,6 +349,13 @@ def test_doc_sharded_query_service(ray_session, e2e_webtext,
                 assert svc.search(q, k=10, **kw) == \
                     local.search(q, k=10, method="daat", **kw), (q, kw)
         assert svc.search(queries[0], k=10, must="zzz_unseen_term") == []
+        # distributed hits.total: per-shard counts sum over the
+        # disjoint doc partition
+        for q in queries[:4]:
+            assert svc.match_count(q) == local.match_count(q), q
+        assert svc.match_count(queries[0], must="data",
+                               exclude="house") == \
+            local.match_count(queries[0], must="data", exclude="house")
     finally:
         svc.shutdown()
 
