@@ -262,6 +262,14 @@ class EngineHttpServer:
                                "no_index")
         query = req.get("query", "")
         k = int(req.get("k", 10))
+        # offset=N pages past the first N hits: any backend's (k+N)-row
+        # answer is an exact prefix of the full ranking (every tier's
+        # top-k is pinned bit-identical to the local engine), so
+        # fetch k+offset and slice — the classic from/size shape
+        offset = int(req.get("offset", 0))
+        if offset < 0:
+            return 400, _error("offset must be >= 0",
+                               "invalid_request_error", "invalid_request")
         # doc-values filter/facets: {"filter": {"col": ..., "values":
         # [...]}, "facet": "col"} — engine/docvalues.py semantics
         where = None
@@ -315,8 +323,9 @@ class EngineHttpServer:
         try:
             if self.service is not None:
                 hits = (self.service.search_phrase(
-                    query, k=k, slop=slop, **kwargs) if phrase
-                    else self.service.search(query, k=k, **kwargs))
+                    query, k=k + offset, slop=slop, **kwargs) if phrase
+                    else self.service.search(query, k=k + offset,
+                                             **kwargs))[offset:]
                 urls = (self.service.url_of([d for d, _ in hits])
                         if hits else [])
                 out = {"hits": [
@@ -348,8 +357,9 @@ class EngineHttpServer:
                 return 200, out
             with self._search_lock:
                 hits = (self.index.search_phrase(
-                    query, k=k, slop=slop, **kwargs) if phrase
-                    else self.index.search(query, k=k, **kwargs))
+                    query, k=k + offset, slop=slop, **kwargs) if phrase
+                    else self.index.search(query, k=k + offset,
+                                           **kwargs))[offset:]
                 urls = (self.index.url_of([d for d, _ in hits])
                         if hits else [])
                 facets = (self.index.facet_counts(

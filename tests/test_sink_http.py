@@ -610,6 +610,16 @@ def test_http_service_backend(tmp_path, unit_webtext):
             assert [(h["doc_id"], round(h["score"], 9))
                     for h in resp["hits"]] == \
                 [(d, round(s, 9)) for d, s in want], kw
+        # offset pagination: page 2 == rows [3:6] of the full ranking
+        status, resp = post({"query": "the data", "k": 3, "offset": 3})
+        assert status == 200
+        want = idx.search("the data", k=6)[3:]
+        assert [(h["doc_id"], round(h["score"], 9))
+                for h in resp["hits"]] == \
+            [(d, round(s2, 9)) for d, s2 in want]
+        status, resp = post({"query": "the data", "offset": -1})
+        assert status == 400
+
         # hits.total next to top-k (with_total), gated consistently
         status, resp = post({"query": "the data", "k": 3,
                              "with_total": True, "exclude": "house"})
