@@ -57,11 +57,16 @@ def test_serve_job_cli(unit_webtext, tmp_path):
               "--docmeta-parts", "2", "--local-cpus", "4"])
     assert r.returncode == 0, r.stderr[-2000:]
 
-    r = _run(["tools/serve_job.py", "--index", out_dir,
-              "--tier", "replicas", "--replicas", "1",
-              "--local-cpus", "4", "--smoke"])
-    assert r.returncode == 0, r.stderr[-2000:]
-    lines = _json_lines(r.stdout)
-    assert lines[0]["status"] == "serving"
-    hits = lines[1]["smoke_search"]["hits"]
-    assert hits and all("doc_id" in h and "score" in h for h in hits)
+    for tier, extra in (("replicas", ["--replicas", "1"]),
+                        ("term-shards", ["--shards", "2",
+                                         "--fronts", "1"])):
+        r = _run(["tools/serve_job.py", "--index", out_dir,
+                  "--tier", tier, "--local-cpus", "4", "--smoke"]
+                 + extra)
+        assert r.returncode == 0, (tier, r.stderr[-2000:])
+        lines = _json_lines(r.stdout)
+        assert lines[0]["status"] == "serving" and \
+            lines[0]["tier"] == tier
+        hits = lines[1]["smoke_search"]["hits"]
+        assert hits and all("doc_id" in h and "score" in h
+                            for h in hits), tier
