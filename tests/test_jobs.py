@@ -70,3 +70,39 @@ def test_serve_job_cli(unit_webtext, tmp_path):
         hits = lines[1]["smoke_search"]["hits"]
         assert hits and all("doc_id" in h and "score" in h
                             for h in hits), tier
+
+
+def test_serve_job_cli_doc_shards(ray_session, unit_webtext, tmp_path):
+    """doc-shards tier through the CLI: two url-hash shard indexes
+    (disjoint docs — the tier's correctness requirement), --index given
+    once per shard, one smoke search through the distributed-IDF
+    exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.tokenize import stable_hash64
+
+    dirs = []
+    for si in range(2):
+        def keep(batch: pa.Table, _si=si) -> pa.Table:
+            urls = np.asarray(batch.column("url").to_pylist(),
+                              dtype=object)
+            m = (stable_hash64(urls) % np.uint64(2)) == np.uint64(_si)
+            return batch.filter(pa.array(m))
+
+        ds = (ray.data.read_parquet(unit_webtext,
+                                    columns=["url", "warc_ts", "html"])
+              .map_batches(keep, batch_format="pyarrow"))
+        d = str(tmp_path / f"dsh{si}")
+        build_index(ds, d, EngineConfig(num_parts=4, docmeta_parts=2))
+        dirs.append(d)
+
+    r = _run(["tools/serve_job.py", "--index", dirs[0],
+              "--index", dirs[1], "--tier", "doc-shards",
+              "--local-cpus", "4", "--smoke"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = _json_lines(r.stdout)
+    assert lines[0]["tier"] == "doc-shards"
+    assert lines[1]["smoke_search"]["hits"]

@@ -463,3 +463,48 @@ def test_list_media_files(ray_session, tmp_path):
     assert [p.rsplit("/", 1)[-1] for p in auds["path"]] == ["c.wav"]
     vids = list_media_files(str(tmp_path), "video").to_pandas()
     assert [p.rsplit("/", 1)[-1] for p in vids["path"]] == ["d.mp4"]
+
+
+def test_front_gate_cache_eviction(ray_session, e2e_webtext,
+                                   tmp_path_factory):
+    """The front's gate-set LRU stays under its byte budget (oldest
+    out), caches absence, and eviction never corrupts results — the
+    query re-fetches and stays bit-identical."""
+    import json
+    from engine.build import build_index
+    from engine.config import EngineConfig
+    from engine.query import InvertedIndex
+    from engine.serve import ShardedQueryService
+
+    idx_dir = str(tmp_path_factory.mktemp("gateidx") / "index")
+    build_index(e2e_webtext, idx_dir, EngineConfig(num_parts=8,
+                                                   docmeta_parts=3))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "queries.json")) as f:
+        queries = json.load(f)
+
+    svc = ShardedQueryService(idx_dir, n_shards=2, replicas_per_shard=1)
+    try:
+        local = InvertedIndex(idx_dir)
+        front = svc._local
+        # tiny budget: every distinct gate term evicts the previous one
+        front.GATE_CACHE_BYTES = 1 << 10
+        gates = [w for q in queries[:6] for w in q.split()][:8]
+        for q in queries[:4]:
+            for g in gates:
+                assert svc.search(q, k=10, exclude=g) == \
+                    local.search(q, k=10, method="daat", exclude=g), \
+                    (q, g)
+                assert front._gate_cache_bytes <= front.GATE_CACHE_BYTES
+        # absence is cached under the budget too
+        svc.search(queries[0], k=10, exclude="zzz_unseen_term")
+        assert front._gate_cache.get("zzz_unseen_term", False) is None \
+            or "zzz_unseen_term" not in front._gate_cache  # may be evicted
+        # repeated gate on a warm cache: still exact
+        g = gates[0]
+        a = svc.search(queries[0], k=10, exclude=g)
+        b = svc.search(queries[0], k=10, exclude=g)
+        assert a == b == local.search(queries[0], k=10, method="daat",
+                                      exclude=g)
+    finally:
+        svc.shutdown()
