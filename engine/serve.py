@@ -345,8 +345,15 @@ class _Front:
         # term -> sorted global int64 ids, or None for absent terms
         # (absence is worth caching too: an absent must-term empties
         # every query that names it).  Plain LRU by insertion order.
+        # The lock guards the pop/reinsert LRU touch and the eviction
+        # loop: the LOCAL front is called concurrently by the threaded
+        # HTTP server (FrontWorker actors are single-threaded, where
+        # the lock is uncontended).  Mask building never needs it —
+        # gather snapshots set references before any eviction.
+        import threading
         self._gate_cache: dict[str, np.ndarray | None] = {}
         self._gate_cache_bytes = 0
+        self._gate_lock = threading.Lock()
 
     def _terms_of(self, query: str) -> list[str]:
         seen, out = set(), []
@@ -408,9 +415,10 @@ class _Front:
         if must_terms or ex_terms:
             gate_by_shard: dict[int, list[str]] = {}
             for t in dict.fromkeys(must_terms + ex_terms):
-                if t in self._gate_cache:       # cached set: no fetch
-                    self._gate_cache[t] = self._gate_cache.pop(t)
-                    continue
+                with self._gate_lock:
+                    if t in self._gate_cache:   # cached set: no fetch
+                        self._gate_cache[t] = self._gate_cache.pop(t)
+                        continue
                 gate_by_shard.setdefault(self._shard_of(t), []).append(t)
             gfuts = []
             for si, ts in gate_by_shard.items():
@@ -429,15 +437,18 @@ class _Front:
         nb = 64 if ids is None else ids.nbytes
         if nb > self.GATE_CACHE_BYTES:
             return
-        old = self._gate_cache.pop(term, False)
-        if old is not False:
-            self._gate_cache_bytes -= 64 if old is None else old.nbytes
-        while (self._gate_cache_bytes + nb > self.GATE_CACHE_BYTES
-               and self._gate_cache):
-            old = self._gate_cache.pop(next(iter(self._gate_cache)))
-            self._gate_cache_bytes -= 64 if old is None else old.nbytes
-        self._gate_cache[term] = ids
-        self._gate_cache_bytes += nb
+        with self._gate_lock:
+            old = self._gate_cache.pop(term, False)
+            if old is not False:
+                self._gate_cache_bytes -= (64 if old is None
+                                           else old.nbytes)
+            while (self._gate_cache_bytes + nb > self.GATE_CACHE_BYTES
+                   and self._gate_cache):
+                old = self._gate_cache.pop(next(iter(self._gate_cache)))
+                self._gate_cache_bytes -= (64 if old is None
+                                           else old.nbytes)
+            self._gate_cache[term] = ids
+            self._gate_cache_bytes += nb
 
     def _gather(self, plan, k: int, count_only: bool = False):
         if plan is None:
@@ -488,9 +499,12 @@ class _Front:
             must_terms, ex_terms, gfuts = gate
             # start from the front's cache (scatter skipped fetching
             # cached terms), overlay freshly fetched sets
-            sets: dict[str, "np.ndarray | None"] = {
-                t: self._gate_cache[t]
-                for t in must_terms + ex_terms if t in self._gate_cache}
+            _MISS = object()
+            sets: dict[str, "np.ndarray | None"] = {}
+            for t in must_terms + ex_terms:
+                v = self._gate_cache.get(t, _MISS)
+                if v is not _MISS:
+                    sets[t] = v
             if gfuts:
                 res = ray.get([f for _, f in gfuts])
                 per_term: dict[str, list] = {}
@@ -507,6 +521,24 @@ class _Front:
                     self._cache_gate(t, None)
                 for t, frs in per_term.items():
                     full = frs[0] if len(frs) == 1 else np.concatenate(frs)
+                    sets[t] = full
+                    self._cache_gate(t, full)
+            for t in dict.fromkeys(must_terms + ex_terms):
+                if t not in sets:
+                    # evicted between scatter's cache touch and here
+                    # (concurrent fronts under a tiny budget — rare):
+                    # one synchronous refetch; treating it as absent
+                    # would wrongly EMPTY a must query
+                    si = self._shard_of(t)
+                    parts = ray.get(
+                        [self.shards[si][ri][0].term_doc_ids.remote([t])
+                         for ri in range(self.n_ranges)])
+                    if all(p[t] is None for p in parts):
+                        full = None
+                    else:
+                        frs = [p[t] for p in parts if p[t] is not None]
+                        full = (frs[0] if len(frs) == 1
+                                else np.concatenate(frs))
                     sets[t] = full
                     self._cache_gate(t, full)
 
