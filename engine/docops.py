@@ -205,6 +205,23 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
+# SPLADE-style learned-sparse query vector: weights are exact binary
+# fractions so engine-float and SQL-decimal multiplication agree bitwise
+WEIGHTED_QUERY = {"hash": 2.0, "join": 0.5, "table": 1.25}
+
+
+def q_search_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted-term (learned-sparse seam) top-k: sum of
+    query_weight * per-term BM25 contribution (engine/query.py
+    search_weighted)."""
+    idx = docs_index(sf_dir)
+    hits = idx.search_weighted(WEIGHTED_QUERY, k=10)
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits], dtype=np.float64),
+    })
+
+
 DOCVALUE_COLS = ["lang", "n_chars"]
 
 
@@ -1081,27 +1098,30 @@ def _assets_ds(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_image_features(sf_dir: str):
-    """Actor-pool image decode + feature extraction (stubbed decoder,
-    real actor signature/schema; SURVEY.md multimodal plumbing).  The
-    contract row projects the vector to scalars (norm + head) so the
-    driver's value-hash can sort it."""
-    from engine.multimodal import ImageFeatureActor
+    """Actor-pool image decode + feature extraction over REAL PNG bytes
+    (round 5: stdlib-zlib chunk/CRC/inflate/unfilter decoder,
+    engine/multimodal.py decode_png — the reference decodes real image
+    files before embedding, /root/reference/rust/src/embeddings/local/
+    clip.rs).  Value-checked: fixture pixels are a closed-form function
+    of doc_id, so the DuckDB oracle recomputes the per-channel sums
+    from `documents` while the engine round-trips genuine PNGs whose
+    scanline filters cycle through all five PNG filter types."""
+    from engine.multimodal import PngImageFeatureActor, synth_png_payload
 
-    def project(batch: pa.Table) -> pa.Table:
-        feats = np.array(batch.column("feature").to_pylist(),
-                         dtype=np.float64)
+    def mk_assets(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        img = ids[ids % 3 == 0]                 # image-kind assets
         return pa.table({
-            "asset_id": batch.column("asset_id"),
-            "decode_ok": batch.column("decode_ok"),
-            "feat_norm": pa.array(
-                np.round(np.linalg.norm(feats, axis=1), 6)),
-            "feat_0": pa.array(np.round(feats[:, 0], 6)),
+            "asset_id": pa.array(img, pa.int64()),
+            "payload": pa.array([synth_png_payload(int(i)) for i in img],
+                                pa.binary()),
         })
 
-    return _assets_ds(sf_dir).filter(
-        expr='kind == "image"').map_batches(
-        ImageFeatureActor, batch_format="pyarrow", batch_size=64,
-        concurrency=2).map_batches(project, batch_format="pyarrow")
+    assets = documents_ds(sf_dir, columns=("doc_id",)).map_batches(
+        mk_assets, batch_format="pyarrow")
+    return assets.map_batches(PngImageFeatureActor,
+                              batch_format="pyarrow", batch_size=64,
+                              concurrency=(1, 4))
 
 
 def q_frame_samples(sf_dir: str):

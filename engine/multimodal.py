@@ -275,6 +275,194 @@ class AudioSegmentActor:
 
 
 # ---------------------------------------------------------------------------
+# REAL PNG decode path (round 5): stdlib-zlib PNG codec.
+#
+# The reference decodes real image files before embedding them
+# (/root/reference/rust/src/embeddings/local/clip.rs loads images from
+# bytes); PIL is absent here, so the engine carries its own honest PNG
+# implementation: chunk parse + CRC verify + zlib inflate + all five
+# scanline unfilters (None/Sub/Up/Average/Paeth, PNG spec §9).  The
+# synthetic fixture pixels are a closed-form function of doc_id so a
+# DuckDB oracle recomputes the per-channel sums from `documents` alone
+# while the ENGINE path round-trips genuine PNG bytes (the encoder
+# cycles the filter type per row, so a decoder that skips unfiltering
+# fails loudly).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_SIZE = 16                       # fixture images are 16x16 RGB
+
+
+def synth_png_pixels(doc_id: int, w: int = PNG_SIZE,
+                     h: int = PNG_SIZE) -> np.ndarray:
+    """Deterministic RGB pixels: byte i of the w*h*3 raster is
+    ``(doc_id*31 + i*7 + (i*i) % 251) % 256`` — the SQL oracle
+    recomputes channel sums as sum over i≡c (mod 3) of the same
+    expression.  The quadratic term breaks the complete-residue cycle a
+    purely linear formula produces (which made every channel sum the
+    constant 32640 — a vacuous value check)."""
+    i = np.arange(w * h * 3, dtype=np.int64)
+    return ((int(doc_id) * 31 + i * 7 + (i * i) % 251) % 256
+            ).astype(np.uint8)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _z
+    return (len(body).to_bytes(4, "big") + tag + body
+            + _z.crc32(tag + body).to_bytes(4, "big"))
+
+
+def encode_png(pixels: np.ndarray, w: int, h: int) -> bytes:
+    """Minimal real PNG writer (8-bit RGB, no interlace).  Scanline
+    filter type cycles ``row % 5`` so every filter appears in every
+    fixture image — the decoder must implement true unfiltering."""
+    import zlib as _z
+    px = np.asarray(pixels, dtype=np.uint8).reshape(h, w * 3)
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for r in range(h):
+        row = px[r].astype(np.int64)
+        a = np.concatenate((np.zeros(bpp, dtype=np.int64), row[:-bpp]))
+        b = prev
+        c = np.concatenate((np.zeros(bpp, dtype=np.int64), prev[:-bpp]))
+        ft = r % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - a
+        elif ft == 2:
+            filt = row - b
+        elif ft == 3:
+            filt = row - (a + b) // 2
+        else:
+            p = a + b - c
+            pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                            np.where(pb_ <= pc_, b, c))
+            filt = row - pred
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))       # 8-bit, color type 2 (RGB)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Real PNG decoder for the subset the engine emits (8-bit RGB,
+    non-interlaced): chunk walk with CRC verification, zlib inflate,
+    per-scanline unfilter (all five PNG filter types).  Raises
+    ValueError on anything malformed — surfaced as decode_ok=False by
+    the actor, the same error-column contract as the audio decoder."""
+    import zlib as _z
+    if data[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        crc = data[pos + 8 + ln:pos + 12 + ln]
+        if len(body) != ln or len(crc) != 4:
+            raise ValueError("truncated chunk")
+        if _z.crc32(tag + body) != int.from_bytes(crc, "big"):
+            raise ValueError("chunk CRC mismatch")
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, _, _, interlace = body[8:13]
+            if (bit_depth, color_type, interlace) != (8, 2, 0):
+                raise ValueError("unsupported PNG layout")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = _z.decompress(bytes(idat))
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        line = raw[r * (stride + 1):(r + 1) * (stride + 1)]
+        ft, filt = line[0], np.frombuffer(
+            line[1:], dtype=np.uint8).astype(np.int64)
+        row = np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            row[:] = filt
+        elif ft == 2:
+            row[:] = (filt + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-dependent filters need the sequential per-pixel scan
+            c_row = np.concatenate(
+                (np.zeros(bpp, dtype=np.int64), prev[:-bpp]))
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    row[x] = (filt[x] + a) % 256
+                elif ft == 3:
+                    row[x] = (filt[x] + (a + prev[x]) // 2) % 256
+                else:
+                    b, c = prev[x], c_row[x]
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    if pa_ <= pb_ and pa_ <= pc_:
+                        pred = a
+                    elif pb_ <= pc_:
+                        pred = b
+                    else:
+                        pred = c
+                    row[x] = (filt[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[r] = row
+        prev = row
+    return w, h, out.reshape(-1).astype(np.uint8)
+
+
+def synth_png_payload(doc_id: int) -> bytes:
+    """Real PNG bytes for the fixture pixels of ``doc_id``."""
+    return encode_png(synth_png_pixels(doc_id), PNG_SIZE, PNG_SIZE)
+
+
+class PngImageFeatureActor:
+    """Actor-pool stage: REAL PNG decode (chunk/CRC/inflate/unfilter)
+    + per-channel integer pixel sums.  Same heavy-init/per-batch shape
+    as ImageFeatureActor; decode failures produce decode_ok=False rows
+    with zeroed features (error column, never a silent drop)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sums = np.zeros((n, 3), dtype=np.int64)
+        npx = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        import zlib as _z
+        for r, payload in enumerate(batch.column("payload").to_pylist()):
+            try:
+                w, h, px = decode_png(payload)
+            except (ValueError, _z.error, IndexError):
+                continue
+            ok[r] = True
+            npx[r] = w * h
+            px64 = px.astype(np.int64)
+            for c in range(3):
+                sums[r, c] = int(px64[c::3].sum())
+        out = {"asset_id": batch.column("asset_id"),
+               "n_px": pa.array(npx),
+               "decode_ok": pa.array(ok.tolist(), pa.bool_())}
+        for c in range(3):
+            out[f"c{c}_sum"] = pa.array(sums[:, c])
+        return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
 # md5-mode image feature path (oracle parity for the stubbed decoder)
 # ---------------------------------------------------------------------------
 

@@ -759,6 +759,55 @@ class InvertedIndex:
             return self._search_dense(entries, k)
         return self._search_bmw(entries, k)
 
+    def search_weighted(self, term_weights, k: int = 10):
+        """Learned-sparse (SPLADE-style) retrieval seam: top-k by
+        ``sum over matching terms of w_q(term) * score_d(term)`` where
+        ``w_q`` is a caller-supplied per-term weight (a sparse learned
+        query vector) and ``score_d`` is the engine's cached per-term
+        BM25 contribution.  This is the retrieval shape of the
+        reference's learned-sparse embedders (EmbedAnything scores
+        sparse query/document term-weight dot products,
+        rust/src/embeddings/local/bert.rs:379-396, examples/splade.py:
+        37-48); with weights all 1.0 it degrades to ``search(...,
+        method="daat")`` exactly.
+
+        ``term_weights``: dict term -> weight, or iterable of
+        (term, weight).  Terms are looked up verbatim (callers supply
+        already-analyzed terms, the learned-sparse contract); unknown
+        terms contribute nothing; weight 0 terms are skipped.
+        Accumulation walks terms in ascending (overridden) df order —
+        the same order rule as ``_search_all`` — so doc-range shards
+        with global-stats overrides stay bit-identical to one global
+        index."""
+        if k <= 0:
+            return []
+        items = (term_weights.items()
+                 if isinstance(term_weights, dict) else term_weights)
+        entries = []
+        for term, w in items:
+            w = float(w)
+            if w == 0.0:
+                continue
+            e = self.lookup(term)
+            if e is None:
+                continue
+            df, pbytes, skips = e
+            entries.append(
+                (term, self._df_overrides.get(term, df), df, w,
+                 pbytes, skips))
+        if not entries:
+            return []
+        entries.sort(key=lambda e: (e[1], e[0]))  # global df asc, term
+        acc = np.zeros(self._doc_ids.size, dtype=np.float64)
+        touched = np.zeros(self._doc_ids.size, dtype=bool)
+        for term, gdf, df, w, pbytes, skips in entries:
+            pos, s = self._decode_term(
+                term, df, pbytes, skips, self.idf(gdf))
+            acc[pos] += w * s
+            touched[pos] = True
+        nz = np.flatnonzero(touched)
+        return self._topk(self._doc_ids[nz], acc[nz], k)
+
     def _must_mask(self, must: str) -> np.ndarray | None:
         """Keep-mask that is True only for documents containing EVERY
         must-term; None when a must-term is absent from the index (the

@@ -233,3 +233,41 @@ def test_must_matches_brute_force(index):
     assert index.search(q, k=10, must="zzqqneverthere") == []
     assert index.search(q, k=10, must="...") == \
         index.search(q, k=10, method="daat")
+
+
+def test_search_weighted(index):
+    """SPLADE-seam weighted-term retrieval: brute-force parity, the
+    all-ones degeneracy to daat, and the zero/unknown-term rules."""
+    q = "the house of"
+    terms = index.query_terms(q)
+    # all-ones weights == plain disjunctive search (exact float equality:
+    # same per-doc contributions, accumulation order may differ only by
+    # df ordering, which daat also uses per-term dense adds)
+    got = index.search_weighted({t: 1.0 for t in terms}, k=10)
+    want = index.search(q, k=10, method="daat")
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+    # weighted parity vs brute force over full results
+    w = {"the": 2.0, "house": 0.5, "of": 1.25}
+    per_term = {t: dict(index.search(t, k=index.n_docs, method="daat"))
+                for t in terms}
+    acc = {}
+    for t, wt in w.items():
+        for d, s in per_term[t].items():
+            acc[d] = acc.get(d, 0.0) + wt * s
+    want_rows = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = index.search_weighted(w, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want_rows]
+    for (_, gs), (_, ws) in zip(got, want_rows):
+        assert gs == pytest.approx(ws, rel=1e-9)
+    # zero-weight terms are skipped; unknown terms contribute nothing
+    assert index.search_weighted(
+        {"the": 2.0, "house": 0.0, "zzqneverthere": 3.0}, k=10) == \
+        index.search_weighted({"the": 2.0}, k=10)
+    # k<=0 and empty/unknown-only vectors return []
+    assert index.search_weighted(w, k=0) == []
+    assert index.search_weighted({}, k=10) == []
+    assert index.search_weighted({"zzqneverthere": 1.0}, k=10) == []
+    # iterable-of-pairs input accepted
+    assert index.search_weighted(list(w.items()), k=10) == got
