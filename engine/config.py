@@ -163,3 +163,25 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+def pool_size(frac: float = 0.25, lo: int = 4,
+              hi: int | None = None) -> tuple[int, int]:
+    """Actor-pool ``concurrency=(min, max)`` sized from the CLUSTER,
+    not a constant: ``max = max(lo, total_cpus * frac)``.  A hard-coded
+    ``concurrency=(1, 4)`` caps a broadcast-scoring stage at 4 actors
+    on a 256-node fleet (the round-4 lm_perplexity/dsir bottleneck);
+    deriving from ``ray.cluster_resources()`` lets the same code use
+    the whole fleet while the 4-cpu test session keeps the old floor
+    (autoscaling pools only spawn actors the backlog demands, so a
+    high max costs nothing on small inputs).  Library rule: never
+    initialises Ray — falls back to the ``lo`` floor when no session
+    exists yet (map_batches will have one by execution time anyway)."""
+    import ray
+    cpus = 0.0
+    if ray.is_initialized():
+        cpus = float(ray.cluster_resources().get("CPU", 0.0))
+    n = max(lo, int(cpus * frac))
+    if hi is not None:
+        n = min(n, hi)
+    return (1, n)

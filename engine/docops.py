@@ -24,7 +24,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from engine.build import build_index
-from engine.config import EngineConfig
+from engine.config import EngineConfig, pool_size
 from engine.query import InvertedIndex
 from engine.tokenize import count_terms
 from engine import dedup as dedup_ops
@@ -670,7 +670,7 @@ def q_image_features_md5(sf_dir: str):
         mk_assets, batch_format="pyarrow")
     return assets.map_batches(Md5ImageFeatureActor,
                               batch_format="pyarrow", batch_size=64,
-                              concurrency=(1, 4))
+                              concurrency=pool_size())
 
 
 SNIPPET_WINDOW = 8
@@ -871,7 +871,7 @@ def q_chunks_semantic(sf_dir: str):
 
     docs = documents_ds(sf_dir).map_batches(guard, batch_format="pyarrow")
     return semantic_chunk_documents(docs, kind="statistical",
-                                    concurrency=2)
+                                    concurrency=pool_size())
 
 
 # --- embedding / rerank / hybrid (reference A1-A5, hybridsearch RRF) --------
@@ -886,7 +886,7 @@ def _doc_embeddings(sf_dir: str):
     quantization noise the 6-dp value hash cannot absorb)."""
     from engine.embed import embed_documents
     return embed_documents(documents_ds(sf_dir), dim=EMBED_DIM,
-                           concurrency=2, batch_size=256,
+                           concurrency=pool_size(), batch_size=256,
                            hash_fn="md5", out_dtype="float64")
 
 
@@ -922,7 +922,7 @@ def q_late_chunk_knn(sf_dir: str) -> pd.DataFrame:
         fn_constructor_kwargs=dict(chunk_size=200, overlap=0,
                                    strategy="fixed", dim=EMBED_DIM,
                                    hash_fn="md5", out_dtype="float64"),
-        concurrency=2, batch_size=256, batch_format="pyarrow")
+        concurrency=pool_size(), batch_size=256, batch_format="pyarrow")
 
     def cid(t: pa.Table) -> pa.Table:
         # composite key doc_id * 2^20 + chunk_id: single int column for
@@ -1121,7 +1121,7 @@ def q_image_features(sf_dir: str):
         mk_assets, batch_format="pyarrow")
     return assets.map_batches(PngImageFeatureActor,
                               batch_format="pyarrow", batch_size=64,
-                              concurrency=(1, 4))
+                              concurrency=pool_size())
 
 
 def q_frame_samples(sf_dir: str):
@@ -1132,7 +1132,7 @@ def q_frame_samples(sf_dir: str):
     from engine.multimodal import FrameSampleActor
     return _assets_ds(sf_dir).map_batches(
         FrameSampleActor, batch_format="pyarrow", batch_size=64,
-        concurrency=2)
+        concurrency=pool_size())
 
 
 def q_audio_segments(sf_dir: str):
@@ -1146,7 +1146,7 @@ def q_audio_segments(sf_dir: str):
     from engine.multimodal import AudioSegmentActor
     return _assets_ds(sf_dir).map_batches(
         AudioSegmentActor, batch_format="pyarrow", batch_size=64,
-        concurrency=2).select_columns(
+        concurrency=pool_size()).select_columns(
             ["asset_id", "segment", "start_ms", "end_ms", "text",
              "decode_ok"])
 

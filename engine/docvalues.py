@@ -40,6 +40,7 @@ Scale/limits:
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 import pyarrow as pa
@@ -349,19 +350,28 @@ def get_doc_values(index_dir: str, cfg: EngineConfig, doc_ids,
 # hydration handle cache: ParquetFile (footer parsed ONCE) + per-row-
 # group doc_id min/max — the per-call pq.read_table(filters=...) dataset
 # machinery cost ~5 ms per part file touched, which dominated top-k
-# hydration.  Keyed on (path, mtime) so an atomic re-attach (os.replace
-# bumps mtime) invalidates; bounded by count (a sidecar set has
+# hydration.  Keyed on (path -> (mtime_ns, size)) so an atomic
+# re-attach (os.replace) invalidates even within the filesystem's
+# mtime granularity (size differs in practice; mtime_ns beats the
+# float-seconds mtime either way); bounded by count (a sidecar set has
 # docmeta_parts entries per index — 512 spans many live indexes).
-_PF_CACHE: dict[str, tuple[float, "pq.ParquetFile",
+# Guarded by a lock: get_doc_values is public and EngineHttpServer is a
+# ThreadingHTTPServer, so concurrent insert/evict would corrupt the
+# dict-ordered LRU.
+_PF_CACHE: dict[str, tuple[tuple[int, int], "pq.ParquetFile",
                            np.ndarray, np.ndarray]] = {}
 _PF_CACHE_MAX = 512
+_PF_LOCK = threading.Lock()
 
 
 def _sidecar_file(path: str):
-    m = os.path.getmtime(path)
-    hit = _PF_CACHE.get(path)
-    if hit is not None and hit[0] == m:
-        return hit[1], hit[2], hit[3]
+    st_ = os.stat(path)
+    key = (st_.st_mtime_ns, st_.st_size)
+    with _PF_LOCK:
+        hit = _PF_CACHE.get(path)
+        if hit is not None and hit[0] == key:
+            _PF_CACHE[path] = _PF_CACHE.pop(path)   # LRU touch
+            return hit[1], hit[2], hit[3]
     pf = pq.ParquetFile(path)
     md = pf.metadata
     ci = pf.schema_arrow.names.index("doc_id")
@@ -370,9 +380,10 @@ def _sidecar_file(path: str):
     for g in range(md.num_row_groups):
         st = md.row_group(g).column(ci).statistics
         mins[g], maxs[g] = st.min, st.max
-    while len(_PF_CACHE) >= _PF_CACHE_MAX:
-        _PF_CACHE.pop(next(iter(_PF_CACHE)))
-    _PF_CACHE[path] = (m, pf, mins, maxs)
+    with _PF_LOCK:
+        while len(_PF_CACHE) >= _PF_CACHE_MAX:
+            _PF_CACHE.pop(next(iter(_PF_CACHE)))
+        _PF_CACHE[path] = (key, pf, mins, maxs)
     return pf, mins, maxs
 
 

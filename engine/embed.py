@@ -510,8 +510,10 @@ def maxsim_topk(
                 "score": pa.array(scores[part], pa.float64()),
             })
 
+    from engine.config import pool_size
     cand = docs.map_batches(_Scorer, batch_format="pyarrow",
-                            batch_size=256, concurrency=2).to_pandas()
+                            batch_size=256,
+                            concurrency=pool_size()).to_pandas()
     cand = cand.sort_values(["score", "doc_id"],
                             ascending=[False, True]).head(k)
     return [(int(d), float(s))

@@ -47,6 +47,7 @@ import pyarrow as pa
 
 import ray
 
+from engine.config import pool_size
 from engine.textstats import micro_units
 from engine.tokenize import tokenize_batch
 
@@ -282,7 +283,7 @@ def lm_perplexity_over(docs, top_v: int = LM_TOP_V) -> "ray.data.Dataset":
     cf_ref = ray.put(cf)
     return docs.map_batches(LMScorer, batch_format="pyarrow",
                             fn_constructor_args=(cf_ref, t_total),
-                            concurrency=(1, 4))
+                            concurrency=pool_size())
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +352,7 @@ def decontaminate_over(docs, bench_docs,
     grams_ref = ray.put(grams)
     return docs.map_batches(DecontamScorer, batch_format="pyarrow",
                             fn_constructor_args=(grams_ref, n),
-                            concurrency=(1, 4))
+                            concurrency=pool_size())
 
 
 # ---------------------------------------------------------------------------
@@ -476,4 +477,4 @@ def dsir_weights_over(docs, target_mod: int = DSIR_TARGET_MOD,
     return docs.map_batches(DSIRScorer, batch_format="pyarrow",
                             fn_constructor_args=(bits_ref, target_mod,
                                                  n_buckets),
-                            concurrency=(1, 4))
+                            concurrency=pool_size())

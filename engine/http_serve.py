@@ -140,10 +140,19 @@ class EngineHttpServer:
     """Threaded HTTP front over a warm embedder (+ optional index)."""
 
     def __init__(self, index_dir: str | None = None, dim: int = 64,
-                 host: str = "127.0.0.1", port: int = 0, service=None):
+                 host: str = "127.0.0.1", port: int = 0, service=None,
+                 pdf_roots: tuple[str, ...] | None = None):
         self.embedder = HashingEmbedder(dim=dim)
         self.model_name = f"hashing-{dim}"
         self.index = None
+        # /v1/pdf_embeddings takes server-side *.pdf PATHS (reference
+        # parity, server/src/lib.rs:321-410) — a local-file read
+        # surface if the server is ever bound beyond loopback.
+        # pdf_roots restricts it to the given directory trees
+        # (realpath-prefix check); None keeps the reference's
+        # unrestricted loopback behavior.
+        self.pdf_roots = (tuple(os.path.realpath(r) for r in pdf_roots)
+                          if pdf_roots else None)
         # optional actor-tier backend (engine.serve QueryService /
         # ShardedQueryService / DocShardedQueryService): /v1/search
         # routes to service.search(query, k) instead of the in-process
@@ -190,8 +199,15 @@ class EngineHttpServer:
                 body = self.rfile.read(n)
                 if self.path == "/v1/pdf_embeddings/upload":
                     # multipart, not JSON — needs the raw body + headers
-                    self._send(*outer._pdf_upload(
-                        self.headers.get("Content-Type", ""), body))
+                    try:
+                        self._send(*outer._pdf_upload(
+                            self.headers.get("Content-Type", ""), body))
+                    except Exception:
+                        # malformed multipart must answer a JSON 500,
+                        # not kill the handler thread mid-response
+                        self._send(500, _error(
+                            "upload handling failed",
+                            "internal_error", "upload_error"))
                     return
                 try:
                     req = json.loads(body or b"{}")
@@ -261,12 +277,20 @@ class EngineHttpServer:
             return 400, _error("no index mounted", "invalid_request_error",
                                "no_index")
         query = req.get("query", "")
-        k = int(req.get("k", 10))
-        # offset=N pages past the first N hits: any backend's (k+N)-row
-        # answer is an exact prefix of the full ranking (every tier's
-        # top-k is pinned bit-identical to the local engine), so
-        # fetch k+offset and slice — the classic from/size shape
-        offset = int(req.get("offset", 0))
+        try:
+            k = int(req.get("k", 10))
+            # offset=N pages past the first N hits: any backend's
+            # (k+N)-row answer is an exact prefix of the full ranking
+            # (every tier's top-k is pinned bit-identical to the local
+            # engine), so fetch k+offset and slice — the classic
+            # from/size shape
+            offset = int(req.get("offset", 0))
+            slop = int(req.get("slop", 0))
+        except (TypeError, ValueError):
+            # non-numeric k/offset/slop is a client error, not a
+            # handler-thread crash — same 400 shape as offset<0
+            return 400, _error("k, offset and slop must be integers",
+                               "invalid_request_error", "invalid_request")
         if offset < 0:
             return 400, _error("offset must be >= 0",
                                "invalid_request_error", "invalid_request")
@@ -291,7 +315,6 @@ class EngineHttpServer:
         # phrase=true (+ optional slop=N): exact-phrase / proximity
         # top-k — search_phrase semantics, needs a positional index
         phrase = bool(req.get("phrase"))
-        slop = int(req.get("slop", 0))
         if phrase and (facet_col or hist):
             # facets aggregate over the disjunctive match set; a
             # phrase-restricted facet is a different (unimplemented)
@@ -439,6 +462,13 @@ class EngineHttpServer:
             if not os.path.isfile(f):
                 return 400, _error(f"'{f}' is not a file",
                                    "invalid_request_error", "invalid_path")
+            if self.pdf_roots is not None:
+                rp = os.path.realpath(f)
+                if not any(rp == r or rp.startswith(r + os.sep)
+                           for r in self.pdf_roots):
+                    return 400, _error(
+                        f"'{f}' is outside the allowed pdf roots",
+                        "invalid_request_error", "path_not_allowed")
         return self._embed_pdf_files(model, [str(f) for f in files])
 
     def _pdf_upload(self, content_type: str, body: bytes) -> tuple[int, dict]:

@@ -286,10 +286,15 @@ class ShardWorker:
         return self.idx.search(query, k=k, method="daat", where=where)
 
     def term_doc_ids(self, terms: list[str]) -> dict:
-        """term -> int64 doc ids (this worker's doc range) or None when
-        the term is ABSENT from the index dictionary — distinct from an
-        empty range fragment: an absent must-term empties the result
-        globally, an empty fragment only says no match in this range.
+        """term -> int64 doc ids (this worker's doc range), an EMPTY
+        int64 array when the term is in the dictionary but has no live
+        postings in this range, or None only for true dictionary
+        ABSENCE — the distinction matters at the front: an absent
+        must-term empties the result globally, an empty fragment only
+        says no match in this range.  (score_term_range conflates the
+        two — it returns None for both — so absence is re-checked via
+        lookup here rather than leaving the front to rely on non-None
+        fragments overwriting a premature absent mark.)
         The boolean-gate exchange of the term-sharded tier: must /
         exclude terms live on their owning shard, so the front fetches
         their global doc-id sets from here (cost = df ids, the same
@@ -297,7 +302,12 @@ class ShardWorker:
         out = {}
         for t in terms:
             ent = self.idx.score_term_range(t)
-            out[t] = None if ent is None else ent[0]
+            if ent is not None:
+                out[t] = ent[0]
+            elif self.idx.lookup(t) is None:
+                out[t] = None                       # not in dictionary
+            else:
+                out[t] = np.empty(0, dtype=np.int64)  # empty in range
         return out
 
     def suggest(self, prefix: str, k: int = 10, parts=None):
