@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": d.q_minhash_candidates,     # md5-mode oracle
         "neardup_dedup": d.q_neardup_dedup,               # md5-mode oracle
         "neardup_dedup_dist": d.q_neardup_dedup_dist,     # md5-mode oracle
+        "neardup_dedup_star": d.q_neardup_dedup_star,     # md5-mode oracle (new r5)
         # --- actor-pool stages resized this round (cluster-scaled pools) ---
         "lm_perplexity": d.q_lm_perplexity,
         "dsir_weights": d.q_dsir_weights,
@@ -209,16 +210,28 @@ def _minhash_sql() -> str:
           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id"""
 
 
-def _neardup_sql(threshold: float) -> str:
+def _neardup_sql(threshold: float, star: bool = False) -> str:
     """candidates -> Jaccard verify (string-shingle sets == engine's
     hash sets, md5 collision-free in practice) -> connected components
-    via recursive min-label propagation -> (doc_id, canonical_id)."""
-    return f"""
-        WITH RECURSIVE {_minhash_ctes()},
+    via recursive min-label propagation -> (doc_id, canonical_id).
+    ``star=True`` mirrors engine edge_mode="star": only
+    (per-band-group min, member) candidate edges."""
+    if star:
+        cand = """
+        cand AS (SELECT DISTINCT m.mn AS id_a, b.doc_id AS id_b
+                 FROM bh b JOIN (SELECT band, h, min(doc_id) AS mn
+                                 FROM bh GROUP BY 1, 2) m
+                   ON b.band = m.band AND b.h = m.h
+                  AND b.doc_id > m.mn)"""
+    else:
+        cand = """
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bh a JOIN bh b
                    ON a.band = b.band AND a.h = b.h
-                  AND a.doc_id < b.doc_id),
+                  AND a.doc_id < b.doc_id)"""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes()},
+        {cand},
         ver AS (SELECT c.id_a, c.id_b
                 FROM cand c
                 JOIN sh0 sa ON sa.doc_id = c.id_a
@@ -1444,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _minhash_sql(),
         "neardup_dedup": _neardup_sql(0.5),
         "neardup_dedup_dist": _neardup_sql(0.5),
+        "neardup_dedup_star": _neardup_sql(0.5, star=True),
         "simhash": _simhash_sql(),
         "simhash_candidates": _simhash_candidates_sql(),
         "fingerprints": _fingerprint_sql(),

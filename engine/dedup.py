@@ -194,6 +194,8 @@ def minhash_candidates(
     text_col: str = "text",
     hash_fn: str = "sip",
     band_mode: str = "splitmix",
+    max_group: int | None = None,
+    edge_mode: str = "pairs",
 ) -> pd.DataFrame:
     """LSH candidate pairs -> DataFrame(id_a, id_b) distinct, id_a<id_b.
 
@@ -202,7 +204,23 @@ def minhash_candidates(
     of times at scale.  Instead the shuffle key is a coarse BUCKET of
     the band hash (fixed count), and equal-key runs inside each bucket
     are found vectorized after one lexsort — same result, 64 groups.
+
+    ``max_group`` (scale knob, same contract as simhash_candidates):
+    skip band runs with more than max_group DISTINCT docs instead of
+    going quadratic — at web scale one degenerate run (empty docs all
+    share the sentinel signature; boilerplate pages collide in every
+    band) of g docs would otherwise emit g^2/2 pairs.  None = exact,
+    the oracle-parity configuration.
+
+    ``edge_mode="star"``: emit only (run_min, member) edges per band
+    run — O(g) instead of O(g^2).  The star edges span the same
+    band-co-membership graph, so connected components over them are
+    IDENTICAL to components over all pairs; only the pair LIST differs.
+    Use for clustering consumers (neardup_dedup edge_mode="star");
+    keep "pairs" for the oracle-checked candidate-pair entry.
     """
+    if edge_mode not in ("pairs", "star"):
+        raise ValueError(f"edge_mode must be 'pairs' or 'star': {edge_mode!r}")
     band_rows = minhash_bands(docs, n_perm, bands, shingle_k, id_col,
                               text_col, hash_fn, band_mode)
     n_buckets = 64
@@ -226,9 +244,17 @@ def minhash_candidates(
             ids_run = np.unique(i[starts[k]:starts[k] + sizes[k]])
             if ids_run.size < 2:
                 continue
-            iu = np.triu_indices(ids_run.size, 1)
-            out_a.append(ids_run[iu[0]])
-            out_b.append(ids_run[iu[1]])
+            if max_group is not None and ids_run.size > max_group:
+                continue   # documented hot-band skip (scale knob)
+            if edge_mode == "star":
+                # ids_run is sorted: [0] is the run minimum
+                out_a.append(np.full(ids_run.size - 1, ids_run[0],
+                                     dtype=np.int64))
+                out_b.append(ids_run[1:])
+            else:
+                iu = np.triu_indices(ids_run.size, 1)
+                out_a.append(ids_run[iu[0]])
+                out_b.append(ids_run[iu[1]])
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                                  "id_b": pd.Series(dtype=np.int64)})
@@ -256,45 +282,158 @@ def verify_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "sip",
+    mode: str = "grouped",
+    n_buckets: int = 64,
 ) -> pd.DataFrame:
     """Exact shingle-Jaccard for candidate pairs -> (id_a, id_b, jaccard)
-    filtered to >= threshold.
+    filtered to >= threshold, sorted by (id_a, id_b).
 
-    The candidate set is small by construction (LSH bands); its doc ids
-    are broadcast and only those docs' shingle sets are computed — a
-    broadcast semi-join, not a shuffle."""
+    ``mode="grouped"`` (default, the at-scale path): each pair is
+    hash-bucketed on id_a; every needed doc's shingle set is emitted
+    from the corpus scan into exactly the buckets whose pairs reference
+    it (membership via one broadcast searchsorted — the request table is
+    pair-sized, the shingle sets are not); verification runs vectorized
+    (numpy set intersections on unique-sorted hash arrays) inside
+    ``groupby(bucket).map_groups``.  The corpus-side shingle sets never
+    reach the driver — only the verified pairs do.
+
+    ``mode="broadcast"``: legacy path collecting ALL candidate docs'
+    shingle sets into one driver dict — kept for bit-identity testing;
+    its working set grows with the candidate-doc count, which at web
+    scale can exceed driver memory.
+
+    Both modes produce identical (id_a, id_b, jaccard) values: same
+    unique-shingle sets, same |A∩B| / |A∪B| integer ratio, same
+    round(j, 6).  Degenerate corner: a pair BOTH of whose docs are
+    absent from the corpus is reported (j=0.0) only by broadcast mode
+    when threshold <= 0; grouped mode never materializes such pairs.
+    """
+    if mode not in ("grouped", "broadcast"):
+        raise ValueError(f"mode must be 'grouped' or 'broadcast': {mode!r}")
     if not len(pairs):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    wanted = np.unique(np.concatenate((pairs["id_a"].to_numpy(),
-                                       pairs["id_b"].to_numpy()))).astype(np.int64)
+    pa_ids = pairs["id_a"].to_numpy().astype(np.int64)
+    pb_ids = pairs["id_b"].to_numpy().astype(np.int64)
+    wanted = np.unique(np.concatenate((pa_ids, pb_ids)))
 
-    def shingles_of(batch: pa.Table) -> pa.Table:
+    if mode == "broadcast":
+        def shingles_of(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy().astype(np.int64)
+            sub = batch.filter(pa.array(np.isin(ids, wanted)))
+            toks = tokenize_batch(sub.column(text_col).to_pylist())
+            return pa.table({
+                id_col: sub.column(id_col),
+                "shingles": pa.array(
+                    [shingle_hashes(t, shingle_k, hash_fn)
+                     .astype(np.int64).tolist()
+                     for t in toks],
+                    pa.large_list(pa.int64())),
+            })
+
+        sh_tab = (docs.map_batches(shingles_of, batch_format="pyarrow")
+                  .to_pandas())
+        sets = dict(zip(sh_tab[id_col].astype(int),
+                        (set(s) for s in sh_tab["shingles"])))
+        out = []
+        for a, b in zip(pa_ids, pb_ids):
+            sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= threshold:
+                out.append((int(a), int(b), round(j, 6)))
+        res = pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+        return (res.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+                if len(res) else res)
+
+    # --- grouped (distributed) path ---------------------------------------
+    import ray
+
+    bkt = (_splitmix64(pa_ids.astype(np.uint64))
+           % np.uint64(n_buckets)).astype(np.int64)
+    # request table (doc_id, bucket) distinct, sorted by (doc_id, bucket):
+    # which buckets need which doc's shingle set
+    rq_ids = np.concatenate((pa_ids, pb_ids))
+    rq_bkt = np.concatenate((bkt, bkt))
+    order = np.lexsort((rq_bkt, rq_ids))
+    rq_ids, rq_bkt = rq_ids[order], rq_bkt[order]
+    keep = np.r_[True, (rq_ids[1:] != rq_ids[:-1])
+                 | (rq_bkt[1:] != rq_bkt[:-1])]
+    rq_ids, rq_bkt = rq_ids[keep], rq_bkt[keep]
+    # pairs sorted by bucket for per-group slicing
+    p_order = np.argsort(bkt, kind="stable")
+    req_ref = ray.put((rq_ids, rq_bkt))
+    pair_ref = ray.put((bkt[p_order], pa_ids[p_order], pb_ids[p_order]))
+
+    def emit_shingles(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy().astype(np.int64)
-        sub = batch.filter(pa.array(np.isin(ids, wanted)))
-        toks = tokenize_batch(sub.column(text_col).to_pylist())
+        r_ids, r_bkt = ray.get(req_ref)
+        lo = np.searchsorted(r_ids, ids, side="left")
+        hi = np.searchsorted(r_ids, ids, side="right")
+        sel = np.flatnonzero(hi > lo)
+        if sel.size == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "shingles": pa.array([], pa.large_list(pa.int64())),
+            })
+        toks = tokenize_batch(
+            batch.filter(pa.array(np.isin(np.arange(ids.size), sel)))
+            .column(text_col).to_pylist())
+        sh = [shingle_hashes(t, shingle_k, hash_fn).astype(np.int64).tolist()
+              for t in toks]
+        reps = hi[sel] - lo[sel]
+        total = int(reps.sum())
+        # concat of ranges lo[j]..hi[j]: offsets into the request table
+        base = np.repeat(lo[sel], reps)
+        step = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        ridx = base + step
+        doc_rep = np.repeat(np.arange(sel.size), reps)
         return pa.table({
-            id_col: sub.column(id_col),
-            "shingles": pa.array(
-                [shingle_hashes(t, shingle_k, hash_fn)
-                 .astype(np.int64).tolist()
-                 for t in toks],
-                pa.large_list(pa.int64())),
+            id_col: pa.array(np.repeat(ids[sel], reps)),
+            "bucket": pa.array(r_bkt[ridx]),
+            "shingles": pa.array([sh[int(j)] for j in doc_rep],
+                                 pa.large_list(pa.int64())),
         })
 
-    sh_tab = (docs.map_batches(shingles_of, batch_format="pyarrow")
-              .to_pandas())
-    sets = dict(zip(sh_tab[id_col].astype(int),
-                    (set(s) for s in sh_tab["shingles"])))
-    ia = pairs["id_a"].to_numpy()
-    ib = pairs["id_b"].to_numpy()
-    out = []
-    for a, b in zip(ia, ib):
-        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j >= threshold:
-            out.append((int(a), int(b), round(j, 6)))
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        bt = int(g["bucket"].iloc[0])
+        p_bkt, p_a, p_b = ray.get(pair_ref)
+        plo = np.searchsorted(p_bkt, bt, side="left")
+        phi = np.searchsorted(p_bkt, bt, side="right")
+        ia, ib = p_a[plo:phi], p_b[plo:phi]
+        arrs: dict[int, np.ndarray] = {}
+        for did, s in zip(g[id_col].to_numpy().astype(np.int64),
+                          g["shingles"]):
+            arrs[int(did)] = np.asarray(s, dtype=np.int64)
+        oa, ob, oj = [], [], []
+        for a, b in zip(ia, ib):
+            sa = arrs.get(int(a))
+            sb = arrs.get(int(b))
+            la = sa.size if sa is not None else 0
+            lb = sb.size if sb is not None else 0
+            inter = (np.intersect1d(sa, sb, assume_unique=True).size
+                     if la and lb else 0)
+            union = la + lb - inter
+            j = (inter / union) if union else 0.0
+            if j >= threshold:
+                oa.append(int(a))
+                ob.append(int(b))
+                oj.append(round(j, 6))
+        return pd.DataFrame({
+            "id_a": pd.Series(oa, dtype=np.int64),
+            "id_b": pd.Series(ob, dtype=np.int64),
+            "jaccard": pd.Series(oj, dtype=np.float64),
+        })
+
+    res = (docs.map_batches(emit_shingles, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(verify, batch_format="pandas")
+           .to_pandas())
+    if "bucket" in res.columns:
+        res = res.drop(columns=["bucket"])
+    if not len(res):
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    return res.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -661,6 +800,9 @@ def neardup_dedup(
     hash_fn: str = "sip",
     band_mode: str = "splitmix",
     cc: str = "driver",
+    edge_mode: str = "pairs",
+    max_group: int | None = None,
+    verify_mode: str = "grouped",
 ) -> pd.DataFrame:
     """The operator a training-data user actually runs: MinHash-LSH
     candidates -> exact Jaccard verify (>= threshold) -> connected
@@ -669,20 +811,39 @@ def neardup_dedup(
     ``doc_id != canonical_id`` deduplicates the corpus.
 
     Scale shape: the distributed stages (banding shuffle, bucketed pair
-    extraction, broadcast-semi-join verify) touch the corpus; only the
-    VERIFIED pair list — bounded by the true near-dup rate — reaches the
-    driver, where union-find resolves components in O(pairs α).
+    extraction, co-partitioned vectorized verify) touch the corpus; only
+    the VERIFIED pair list — bounded by the true near-dup rate — reaches
+    the driver, where union-find resolves components in O(pairs α).
     ``cc="distributed"`` routes the component resolution through
     ``connected_components`` (alternating-star rounds, nothing but
     per-round checksums on the driver) for pair sets beyond driver
     memory; both paths are equivalence-tested bit-identical.
+
+    Scale knobs (both change WHICH candidate edges are verified, so each
+    has its own exact semantics — the defaults reproduce classic
+    all-pairs LSH):
+
+    ``edge_mode="star"`` verifies only (run-min, member) edges per band
+    run — O(g) instead of O(g^2) on a g-doc hot band (identical
+    boilerplate, empty-doc sentinel signatures).  Components are those
+    of the verified STAR graph: identical to all-pairs whenever run
+    members that pass verification against each other also pass against
+    the run min (always true for exact-duplicate runs, the degenerate
+    case that motivates it); in general a refinement (never merges more
+    docs than "pairs", may split a cluster whose only strong links avoid
+    the run min).  Exactly reproducible in SQL — see the
+    ``neardup_dedup_star`` oracle.
+
+    ``max_group=g`` skips band runs with more than g distinct docs
+    outright (the simhash_candidates contract).
     """
     if cc not in ("driver", "distributed"):
         raise ValueError(f"cc must be 'driver' or 'distributed': {cc!r}")
     cand = minhash_candidates(docs, n_perm, bands, shingle_k, id_col,
-                              text_col, hash_fn, band_mode)
+                              text_col, hash_fn, band_mode,
+                              max_group=max_group, edge_mode=edge_mode)
     ver = verify_jaccard(docs, cand, threshold, shingle_k, id_col,
-                         text_col, hash_fn)
+                         text_col, hash_fn, mode=verify_mode)
     if cc == "distributed":
         return connected_components(ver)
     parent: dict[int, int] = {}

@@ -533,6 +533,18 @@ def q_neardup_dedup(sf_dir: str) -> pd.DataFrame:
                                    hash_fn="md5", band_mode="md5str")
 
 
+def q_neardup_dedup_star(sf_dir: str) -> pd.DataFrame:
+    """Star-edge near-dup dedup (the 100-TB hot-band configuration):
+    per band run only (run_min, member) candidate edges are verified —
+    O(g) per run instead of O(g^2) — then components over the verified
+    star graph.  Its oracle mirrors the star candidate set exactly
+    (min-per-band-group join), so this entry is value-checked, not just
+    'usually equal to all-pairs'."""
+    return dedup_ops.neardup_dedup(documents_ds(sf_dir), threshold=0.5,
+                                   hash_fn="md5", band_mode="md5str",
+                                   edge_mode="star")
+
+
 def q_neardup_dedup_dist(sf_dir: str) -> pd.DataFrame:
     """Same pipeline resolved by the DISTRIBUTED connected-components
     path (alternating-star rounds; nothing but per-round checksums on

@@ -247,3 +247,70 @@ def test_neardup_dedup_distributed_equals_driver(corpus):
     a = neardup_dedup(_ds(corpus), cc="driver")
     b = neardup_dedup(_ds(corpus), cc="distributed").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# round-5 scale paths: grouped verify, star edges, minhash hot-band cap
+# ---------------------------------------------------------------------------
+
+def test_verify_jaccard_grouped_equals_broadcast(corpus):
+    """Distributed (co-partitioned) verify is bit-identical to the legacy
+    driver-dict path, with candidates actually routed through >1 bucket."""
+    from engine.dedup import _splitmix64
+    cand = minhash_candidates(_ds(corpus))
+    assert len(cand) >= 3
+    bkt = (_splitmix64(cand["id_a"].to_numpy().astype(np.uint64))
+           % np.uint64(64))
+    assert np.unique(bkt).size > 1      # multi-bucket routing exercised
+    a = verify_jaccard(_ds(corpus), cand, threshold=0.3, mode="grouped")
+    b = verify_jaccard(_ds(corpus), cand, threshold=0.3, mode="broadcast")
+    pd.testing.assert_frame_equal(a, b)
+    # multi-block corpus scan: per-doc bucket fan-out is batch-independent
+    c = verify_jaccard(ray.data.from_pandas(corpus).repartition(7), cand,
+                       threshold=0.3, mode="grouped")
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_minhash_star_hot_band_linear():
+    """A 10k-identical-doc hot band emits O(g) star edges (all-pairs
+    would be ~5e7) and still collapses to one component rooted at the
+    min id."""
+    from engine.dedup import neardup_dedup
+    g = 10_000
+    df = pd.DataFrame({
+        "doc_id": np.arange(g, dtype=np.int64),
+        "text": ["alpha beta gamma delta epsilon zeta"] * g})
+    cand = minhash_candidates(ray.data.from_pandas(df), edge_mode="star")
+    assert len(cand) == g - 1
+    assert (cand["id_a"] == 0).all()
+    out = neardup_dedup(ray.data.from_pandas(df), threshold=0.8,
+                        edge_mode="star")
+    assert len(out) == g
+    assert (out["canonical_id"] == 0).all()
+
+
+def test_neardup_star_equals_pairs_on_dup_clusters():
+    """On exact-duplicate clusters (the degenerate case star mode is
+    for), star components are bit-identical to all-pairs components."""
+    from engine.dedup import neardup_dedup
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = []
+    for size in (4, 3, 2):                       # planted dup clusters
+        t = " ".join(rng.choice(vocab, 40))
+        texts += [t] * size
+    texts += [" ".join(rng.choice(vocab, 35)) for _ in range(10)]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    a = neardup_dedup(_ds(df), threshold=0.8, edge_mode="pairs")
+    b = neardup_dedup(_ds(df), threshold=0.8, edge_mode="star")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_max_group_cap(corpus):
+    """max_group=1 drops every multi-doc run; a huge cap changes nothing."""
+    full = minhash_candidates(_ds(corpus))
+    capped = minhash_candidates(_ds(corpus), max_group=1)
+    assert len(capped) == 0
+    same = minhash_candidates(_ds(corpus), max_group=10_000)
+    pd.testing.assert_frame_equal(full, same)
