@@ -683,11 +683,18 @@ class InvertedIndex:
         or IN-list).  Corpus statistics stay GLOBAL — a filter narrows
         the candidate set without re-weighting idf/avgdl, the standard
         Lucene filter-query semantics, so a doc's score is identical
-        with and without the filter.  Filtered disjunctive queries
-        route to the exhaustive daat scorer: block-max upper bounds are
-        computed over UNFILTERED blocks, so under a selective filter
-        they stop pruning (a filter-aware WAND needs per-block filter
-        density, which the skip table does not store).
+        with and without the filter.  Filtered disjunctive routing is
+        density-split: at or below ``filtered_dense_cutoff`` the
+        selective candidate-block scorer runs (decode only blocks
+        containing a candidate — the win case for per-tenant filters);
+        above it, ``method="bmw"`` runs MASKED block-max MaxScore —
+        a block's unfiltered upper bound is still a valid upper bound
+        for its masked subset, and θ (the running kth-best) is taken
+        over masked candidates only, so pruning stays exact and a
+        90%-density filter costs ~one mask gather per term over the
+        unfiltered block-max query instead of an exhaustive decode.
+        ``method="daat"`` forces the exhaustive scorer (the
+        bit-identity reference for the serving tiers).
 
         ``where_range=(col, lo, hi)`` is the numeric-range filter
         (``lo <= col <= hi``, BETWEEN-inclusive) over a doc-values
@@ -750,6 +757,8 @@ class InvertedIndex:
             if (int(mask.sum())
                     <= self.filtered_dense_cutoff * self._doc_ids.size):
                 return self._search_filtered(entries, k, mask)
+            if method == "bmw":
+                return self._search_bmw(entries, k, mask)
             return self._search_daat(entries, k, mask)
         if require_all:
             return self._search_all(entries, k)
@@ -1295,7 +1304,7 @@ class InvertedIndex:
             self._cache_bytes += size
         return ids, scores
 
-    def _search_bmw(self, entries, k: int):
+    def _search_bmw(self, entries, k: int, mask: np.ndarray | None = None):
         """Block-max top-k: two-phase MaxScore (Turtle & Flood 1995 /
         PISA shape) driven by the per-block (max_tf, min_doclen) skip
         bounds — exact scores, rank-identical with ``daat`` and the
@@ -1315,6 +1324,16 @@ class InvertedIndex:
         score + remaining upper bounds fall strictly below θ are dropped
         before each term, shrinking stopword-list decode to a few
         blocks.  Strict inequalities keep doc_id-asc tie-breaks exact.
+
+        ``mask`` (dense doc-values filter route): non-candidates are
+        dropped from every term's postings right after decode, so θ is
+        the kth-best over FILTER CANDIDATES and phase B never touches a
+        non-candidate.  A block's unfiltered upper bound bounds every
+        doc in the block, hence also its masked subset — pruning
+        decisions stay exact for any mask.  Ranks match
+        ``_search_daat(entries, k, mask)`` exactly; per-doc sums agree
+        to float addition order (UB-descending here vs query order
+        there), the same contract as the unfiltered bmw/daat pair.
         """
         k1, b = self.cfg.k1, self.cfg.b
         terms = []
@@ -1329,6 +1348,17 @@ class InvertedIndex:
         ubs = np.array([t[0] for t in terms])
         # suffix_ub[i] = sum of ubs of terms[i:]
         suffix_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
+        # prefix_ub[i] = sum of ubs of terms[:i] — an upper bound on any
+        # partial score after i terms, hence on θ itself.  While
+        # prefix_ub[i+1] <= suffix_ub[i+1], the phase-A break can
+        # provably never fire at the next step, so θ maintenance (an
+        # O(n_docs) gather + partition per term — the dominant warm cost
+        # on stopword-heavy queries whose near-equal bounds never let
+        # phase A break) is skipped; θ stays a valid (smaller) lower
+        # bound, pruning only ever weakens, results are unchanged.  The
+        # final iteration always refreshes θ (prefix=total > suffix=0),
+        # so phase B starts from a fresh bound.
+        prefix_ub = np.concatenate([[0.0], np.cumsum(ubs)])
 
         # Phase A accumulates into a DENSE per-position array: postings
         # are docID-sorted so positions are unique within a term and
@@ -1347,13 +1377,18 @@ class InvertedIndex:
                 n_ess = i
                 break
             pos, s = self._decode_term(term, df, pbytes, skips, idf)
+            if mask is not None:
+                keep = mask[pos]
+                pos, s = pos[keep], s[keep]
             acc[pos] += s
             touched[pos] = True
-            n_touched = int(np.count_nonzero(touched))
-            if n_touched >= k:
-                part = acc[touched]
-                theta = float(np.partition(part, -k)[-k])
+            if prefix_ub[i + 1] > suffix_ub[i + 1]:
+                n_touched = int(np.count_nonzero(touched))
+                if n_touched >= k:
+                    part = acc[touched]
+                    theta = float(np.partition(part, -k)[-k])
         nz = np.flatnonzero(touched)
+        cand_pos = nz                               # positions (sorted)
         cand_ids = self._doc_ids[nz]                # sorted unique
         cand_scores = acc[nz]
 
@@ -1362,7 +1397,9 @@ class InvertedIndex:
             # drop candidates that can no longer reach θ (strict);
             # suffix_ub[j] = this term + all remaining ones
             keep = cand_scores + suffix_ub[j] >= theta
-            cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
+            cand_pos, cand_ids, cand_scores = (cand_pos[keep],
+                                               cand_ids[keep],
+                                               cand_scores[keep])
             if cand_ids.size == 0:
                 break
             # blocks whose docID range contains a candidate
@@ -1372,28 +1409,36 @@ class InvertedIndex:
                 continue
             if need.size * 4 >= skips.shape[0]:
                 # candidates touch most blocks: one vectorized full
-                # decode (cached, pre-scored) beats per-block access
+                # decode (cached, pre-scored) beats per-block access.
+                # Membership via a position->candidate-slot map — two
+                # O(n)/O(df) gathers instead of an O(df log c)
+                # searchsorted over a multi-M posting run.  The decoded
+                # run is docID-ascending, so the buffered adds land in
+                # the same per-candidate order as the searchsorted form.
                 dpos, s_all = self._decode_term(term, df, pbytes,
                                                 skips, idf)
-                ids = self._doc_ids[dpos]
+                slot = np.full(self._doc_ids.size, -1, np.int32)
+                slot[cand_pos] = np.arange(cand_pos.size, dtype=np.int32)
+                sl = slot[dpos]
+                hitmask = sl >= 0
+                if hitmask.any():
+                    # dpos unique within a term -> slots unique:
+                    # buffered fancy add is exact
+                    cand_scores[sl[hitmask]] += s_all[hitmask]
             else:
                 blk_parts = [decode_block(pbytes, skips, int(bi), df,
                                           self.cfg.block_size) for bi in need]
                 ids = np.concatenate([p[0] for p in blk_parts]).astype(np.int64)
                 tfs = np.concatenate([p[1] for p in blk_parts])
-                s_all = None
-            pos = np.searchsorted(cand_ids, ids)
-            pos[pos >= cand_ids.size] = cand_ids.size - 1
-            hitmask = cand_ids[pos] == ids
-            if hitmask.any():
-                if s_all is not None:
-                    s = s_all[hitmask]
-                else:
+                pos = np.searchsorted(cand_ids, ids)
+                pos[pos >= cand_ids.size] = cand_ids.size - 1
+                hitmask = cand_ids[pos] == ids
+                if hitmask.any():
                     s = self._term_score(tfs[hitmask],
                                          self._doclen_of(ids[hitmask]), idf)
-                # ids unique within a term -> hit positions unique:
-                # buffered fancy add is exact (and fast, unlike add.at)
-                cand_scores[pos[hitmask]] += s
+                    # ids unique within a term -> hit positions unique:
+                    # buffered fancy add is exact (and fast, unlike add.at)
+                    cand_scores[pos[hitmask]] += s
             if cand_scores.size >= k:
                 theta = float(np.partition(cand_scores, -k)[-k])
         return self._topk(cand_ids, cand_scores, k)

@@ -608,23 +608,33 @@ def test_selective_filter_route_bit_identical(dv_index):
     for q in ("the of data", "the", "garden house"):
         for kw in cases:
             outs = []
-            for cutoff in (1.0, 0.0):
+            for cutoff, method in ((1.0, "bmw"), (0.0, "daat")):
                 idx = InvertedIndex(idx_dir)
                 idx.filtered_dense_cutoff = cutoff
-                outs.append(idx.search(q, k=20, **kw))
+                outs.append(idx.search(q, k=20, method=method, **kw))
             assert outs[0] == outs[1], (q, kw)
-    # deletes compose identically on both routes
+            # dense route (masked block-max): rank-identical to daat,
+            # scores to float-addition order (the bmw/daat contract)
+            idx = InvertedIndex(idx_dir)
+            idx.filtered_dense_cutoff = 0.0
+            got = idx.search(q, k=20, method="bmw", **kw)
+            assert [d for d, _ in got] == [d for d, _ in outs[1]], (q, kw)
+            for (_, sa), (_, sb) in zip(got, outs[1]):
+                assert sa == pytest.approx(sb, rel=1e-9)
+    # deletes compose identically on all three routes
     base = InvertedIndex(idx_dir)
     hit0 = base.search("the of data", k=1, where=("lang", ("en",)))
     deleted = np.array([hit0[0][0]], dtype=np.int64)
     outs = []
-    for cutoff in (1.0, 0.0):
+    for cutoff, method in ((1.0, "bmw"), (0.0, "daat"), (0.0, "bmw")):
         idx = InvertedIndex(idx_dir, deleted=deleted)
         idx.filtered_dense_cutoff = cutoff
-        outs.append(idx.search("the of data", k=20,
+        outs.append(idx.search("the of data", k=20, method=method,
                                where=("lang", ("en",))))
     assert outs[0] == outs[1]
+    assert [d for d, _ in outs[2]] == [d for d, _ in outs[1]]
     assert hit0[0][0] not in {d for d, _ in outs[0]}
+    assert hit0[0][0] not in {d for d, _ in outs[2]}
     # warm-cache path (cached gather branch) agrees too
     idx = InvertedIndex(idx_dir)
     idx.filtered_dense_cutoff = 1.0
@@ -636,7 +646,44 @@ def test_selective_filter_route_bit_identical(dv_index):
 def outs_from_fresh_daat(idx_dir, q, where, k=20):
     idx = InvertedIndex(idx_dir)
     idx.filtered_dense_cutoff = 0.0
-    return idx.search(q, k=k, where=where)
+    return idx.search(q, k=k, where=where, method="daat")
+
+
+def test_masked_bmw_property(dv_index):
+    """Masked block-max == daat-with-mask (ranks exact, scores to
+    float-addition order) on random indexed-term queries across filter
+    densities, warm and cold caches; empty-match filters return []."""
+    idx_dir, df = dv_index
+    rng = np.random.default_rng(77)
+    idx = InvertedIndex(idx_dir)
+    entry, _, _ = idx._load_part(0)
+    terms = entry[0].tolist()
+    filters = [dict(where=("lang", ("en",))),            # dense
+               dict(where=("lang", ("en", "de", "fr"))),  # denser
+               dict(where_range=("nlen", 50, 10**9)),
+               dict(where=("lang", ("en",)), exclude="house")]
+    bm = InvertedIndex(idx_dir)
+    bm.filtered_dense_cutoff = 0.0       # force the dense route
+    da = InvertedIndex(idx_dir)
+    da.filtered_dense_cutoff = 0.0
+    for trial in range(25):
+        n = int(rng.integers(1, 5))
+        q = " ".join(terms[int(i)]
+                     for i in rng.integers(0, len(terms), n))
+        kw = filters[trial % len(filters)]
+        a = da.search(q, k=10, method="daat", **kw)
+        b = bm.search(q, k=10, method="bmw", **kw)   # warms bm's cache
+        c = bm.search(q, k=10, method="bmw", **kw)   # cached-decode leg
+        assert [d for d, _ in a] == [d for d, _ in b] == \
+            [d for d, _ in c], (q, kw)
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=1e-9)
+        assert b == c
+    # a filter matching nothing empties the result on the dense route
+    # (cutoff below zero so the zero-candidate mask still routes to bmw)
+    bm.filtered_dense_cutoff = -1.0
+    assert bm.search("the", k=10, method="bmw",
+                     where=("lang", ("zz",))) == []
 
 
 def test_deletes_compose_with_filters(dv_index):
