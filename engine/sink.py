@@ -152,8 +152,113 @@ class HttpVectorAdapter(VectorAdapter):
                       {"rows": self.convert(batch)})
 
 
+class ParquetVectorAdapter(VectorAdapter):
+    """Worked adapter example #2: a columnar on-disk vector store with
+    the table-per-index data model of the reference's lancedb adapter
+    (/root/reference/examples/adapters/lancedb_adapter.py — connect to
+    a root path, create a table per index, add converted row batches).
+    Each ``upsert`` appends one uniquely-named Parquet file under
+    ``root/index_name/`` — append-only and rename-atomic, so ANY number
+    of writer actors upsert concurrently with no coordination, and a
+    resumable pipeline never corrupts the store (half-written files
+    carry a ``.tmp`` suffix readers skip).  ``create_index`` records
+    {dimension, metric} in ``_meta.json``; ``as_dataset`` reads the
+    store back as a ``ray.data.Dataset`` for downstream ANN
+    (engine/similarity.knn_cosine and friends)."""
+
+    def __init__(self, root: str, index_name: str = "anything",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 vec_col: str = "embedding"):
+        self.root = root
+        self.index_name = index_name
+        self.id_col, self.text_col, self.vec_col = id_col, text_col, vec_col
+
+    def _dir(self, name: str | None = None) -> str:
+        import os
+        return os.path.join(self.root, name or self.index_name)
+
+    def create_index(self, dimension: int, metric: str = "cosine",
+                     index_name: str | None = None, **kwargs) -> None:
+        import json
+        import os
+        if index_name is not None:
+            self.index_name = index_name
+        os.makedirs(self._dir(), exist_ok=True)
+        meta = {"dimension": int(dimension), "metric": metric, **kwargs}
+        tmp = os.path.join(self._dir(), "_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self._dir(), "_meta.json"))
+
+    def delete_index(self, index_name: str | None = None) -> None:
+        import shutil
+        shutil.rmtree(self._dir(index_name), ignore_errors=True)
+
+    def convert(self, batch: pa.Table) -> list[dict]:
+        # same row dict shape as HttpVectorAdapter (the reference's
+        # convert contract) — the storage below keeps columns instead
+        return HttpVectorAdapter.convert(self, batch)
+
+    def upsert(self, batch: pa.Table) -> None:
+        import os
+        import uuid
+        import pyarrow.parquet as pq
+        path = os.path.join(self._dir(), f"rows-{uuid.uuid4().hex}.parquet")
+        pq.write_table(batch, path + ".tmp", compression="zstd")
+        os.replace(path + ".tmp", path)
+
+    def as_dataset(self):
+        """Read the store back (files-only glob skips _meta.json)."""
+        import glob
+        import os
+        import ray.data
+        files = sorted(glob.glob(os.path.join(self._dir(), "*.parquet")))
+        return ray.data.read_parquet(files)
+
+
+class JsonlVectorAdapter(VectorAdapter):
+    """Worked adapter example #3: a line-delimited-JSON payload log —
+    one ``convert`` row dict per line, exactly the request bodies the
+    reference's hosted-store adapters ship (pinecone_db.py upserts
+    {id, values, metadata} dicts; qdrant.py PointStruct dicts).  Useful
+    as a dead-letter/debug sink and as the fixture for asserting
+    payload-shape parity across adapters.  Each writer actor appends to
+    its OWN file (``{stem}-{pid}.jsonl``) — no cross-worker write
+    contention, the per-worker-connection rule of upsert_embeddings."""
+
+    def __init__(self, stem: str, index_name: str = "anything",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 vec_col: str = "embedding"):
+        self.stem = stem
+        self.index_name = index_name
+        self.id_col, self.text_col, self.vec_col = id_col, text_col, vec_col
+
+    def create_index(self, dimension: int, metric: str = "cosine",
+                     index_name: str | None = None, **kwargs) -> None:
+        import os
+        if index_name is not None:
+            self.index_name = index_name
+        os.makedirs(os.path.dirname(self.stem) or ".", exist_ok=True)
+
+    def delete_index(self, index_name: str | None = None) -> None:
+        import glob
+        import os
+        for p in glob.glob(f"{self.stem}-*.jsonl"):
+            os.unlink(p)
+
+    def convert(self, batch: pa.Table) -> list[dict]:
+        return HttpVectorAdapter.convert(self, batch)
+
+    def upsert(self, batch: pa.Table) -> None:
+        import json
+        import os
+        with open(f"{self.stem}-{os.getpid()}.jsonl", "a") as f:
+            for row in self.convert(batch):
+                f.write(json.dumps(row, sort_keys=True) + "\n")
+
+
 def upsert_embeddings(embedded, make_adapter, batch_size: int = 256,
-                      concurrency=(1, 4)) -> int:
+                      concurrency=None) -> int:
     """Stream an embedded Dataset into a vector store through a
     VectorAdapter: the adapter is built ONCE per writer actor
     (``make_adapter`` must be a picklable zero-arg factory — connection
@@ -161,7 +266,11 @@ def upsert_embeddings(embedded, make_adapter, batch_size: int = 256,
     ``upsert`` runs once per Arrow batch, exactly the reference's
     buffered-batch callback cadence.  Returns total rows upserted; the
     returned per-batch counts are the only thing that crosses back to
-    the driver."""
+    the driver.  ``concurrency=None`` sizes the writer pool from the
+    cluster (engine.config.pool_size)."""
+    if concurrency is None:
+        from engine.config import pool_size
+        concurrency = pool_size()
 
     class Writer:
         def __init__(self):

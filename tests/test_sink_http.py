@@ -739,3 +739,97 @@ def test_http_phrase_search(tmp_path, unit_webtext):
     finally:
         srv.stop()
         svc.shutdown()
+
+
+def test_parquet_vector_adapter_roundtrip(ray_session, tmp_path):
+    """Adapter example #2 (lancedb data-model: table-per-index columnar
+    store): concurrent actor upserts land append-only parquet; the
+    store reads back complete and feeds ANN; payload shape (convert)
+    matches the HTTP adapter's rows exactly; delete_index removes the
+    table."""
+    from functools import partial
+
+    import pandas as pd
+    import ray.data
+    from engine.embed import embed_documents
+    from engine.similarity import knn_cosine
+    from engine.sink import (HttpVectorAdapter, ParquetVectorAdapter,
+                             upsert_embeddings)
+
+    n = 120
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [f"doc number {i} about data" for i in range(n)],
+        "lang": ["en", "de", "fr"] * (n // 3),
+    })
+    embedded = embed_documents(ray.data.from_pandas(df), dim=16,
+                               batch_size=32, concurrency=2)
+    root = str(tmp_path / "vstore")
+    adapter = ParquetVectorAdapter(root, index_name="vecs")
+    assert adapter.create_index(16, "cosine") is None
+    meta = json.loads(open(f"{root}/vecs/_meta.json").read())
+    assert meta == {"dimension": 16, "metric": "cosine"}
+
+    total = upsert_embeddings(
+        embedded, partial(ParquetVectorAdapter, root, index_name="vecs"),
+        batch_size=32, concurrency=2)
+    assert total == n
+
+    back = adapter.as_dataset()
+    tab = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(tab) == n
+    assert tab["doc_id"].tolist() == list(range(n))
+    assert tab.loc[3, "text"] == "doc number 3 about data"
+    # the store feeds the engine's ANN operators directly
+    qvec = np.asarray(tab.loc[0, "embedding"], dtype=np.float64)
+    top = knn_cosine(back, np.array([qvec]), query_ids=[0], k=3,
+                     id_col="doc_id", exclude_self=False)
+    assert int(top.iloc[0]["vec_id"]) == 0
+
+    # convert() payload parity with the HTTP adapter (same row dicts)
+    one = embedded.take_batch(8, batch_format="pyarrow")
+    import pyarrow as pa_mod
+    one = pa_mod.table(one) if not isinstance(one, pa_mod.Table) else one
+    http_rows = HttpVectorAdapter("http://x", index_name="v").convert(one)
+    assert adapter.convert(one) == http_rows
+
+    assert adapter.delete_index() is None
+    assert not os.path.exists(f"{root}/vecs")
+
+
+def test_jsonl_vector_adapter(ray_session, tmp_path):
+    """Adapter example #3 (hosted-store payload log): every upserted row
+    appears exactly once as one JSON line with the convert() dict shape;
+    per-writer files never interleave; delete_index clears the log."""
+    from functools import partial
+
+    import pandas as pd
+    import ray.data
+    from engine.embed import embed_documents
+    from engine.sink import JsonlVectorAdapter, upsert_embeddings
+
+    n = 90
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [f"line {i}" for i in range(n)],
+    })
+    embedded = embed_documents(ray.data.from_pandas(df), dim=8,
+                               batch_size=32, concurrency=2)
+    stem = str(tmp_path / "log" / "vecs")
+    adapter = JsonlVectorAdapter(stem)
+    adapter.create_index(8)
+    total = upsert_embeddings(embedded,
+                              partial(JsonlVectorAdapter, stem),
+                              batch_size=32, concurrency=2)
+    assert total == n
+    import glob
+    rows = []
+    for p in glob.glob(f"{stem}-*.jsonl"):
+        with open(p) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == list(range(n))
+    r0 = next(r for r in rows if r["id"] == 5)
+    assert set(r0) == {"id", "embedding", "text", "metadata"}
+    assert r0["text"] == "line 5" and len(r0["embedding"]) == 8
+    adapter.delete_index()
+    assert glob.glob(f"{stem}-*.jsonl") == []
