@@ -336,6 +336,50 @@ class EngineHttpServer:
             return 400, _error(
                 "with_total is not supported with phrase=true",
                 "invalid_request_error", "invalid_request")
+        # weights={"term": w, ...}: weighted-term (learned-sparse /
+        # SPLADE-seam) retrieval — engine/query.py search_weighted.
+        # Terms are taken verbatim (the caller supplies an analyzed
+        # sparse query vector); the clause machinery (phrase, boolean
+        # gates, filters, facets, totals, snippets) scores TOKENIZED
+        # queries and does not compose with a weight vector, so any
+        # combination is a clean 400 instead of a silently-ignored knob.
+        weights = req.get("weights")
+        if weights is not None:
+            if (query or phrase or must or require_all or exclude
+                    or where is not None or facet_col or hist
+                    or with_total or snippets):
+                return 400, _error(
+                    "weights does not combine with query/phrase/boolean/"
+                    "filter/facet/total/snippet parameters",
+                    "invalid_request_error", "invalid_request")
+            if (not isinstance(weights, dict) or not weights
+                    or not all(isinstance(v, (int, float))
+                               and not isinstance(v, bool)
+                               for v in weights.values())):
+                return 400, _error(
+                    "weights must be a non-empty {term: number} object",
+                    "invalid_request_error", "invalid_request")
+            weights = {str(t): float(v) for t, v in weights.items()}
+            try:
+                if self.service is not None:
+                    hits = self.service.search_weighted(
+                        weights, k=k + offset)[offset:]
+                    urls = (self.service.url_of([d for d, _ in hits])
+                            if hits else [])
+                else:
+                    with self._search_lock:
+                        hits = self.index.search_weighted(
+                            weights, k=k + offset)[offset:]
+                        urls = (self.index.url_of([d for d, _ in hits])
+                                if hits else [])
+            except AttributeError:
+                return 400, _error(
+                    "weighted-term search not supported by this "
+                    "serving tier",
+                    "invalid_request_error", "unsupported_weighted")
+            return 200, {"hits": [
+                {"doc_id": int(d), "score": float(s), "url": u}
+                for (d, s), u in zip(hits, urls)]}
         kwargs = {"where": where} if where is not None else {}
         if exclude:
             kwargs["exclude"] = str(exclude)

@@ -116,6 +116,9 @@ class QueryWorker:
         return self.idx.search_phrase(query, k=k, slop=slop,
                                       where=where, exclude=exclude)
 
+    def search_weighted(self, term_weights: dict, k: int = 10):
+        return self.idx.search_weighted(term_weights, k=k)
+
     def url_of(self, doc_ids):
         return self.idx.url_of(doc_ids)
 
@@ -189,6 +192,15 @@ class QueryService:
         w = self.workers[hash(query) % len(self.workers)]
         return ray.get(w.search_phrase.remote(
             query, k=k, slop=slop, where=where, exclude=exclude))
+
+    def search_weighted(self, term_weights: dict, k: int = 10):
+        """SPLADE-seam weighted-term top-k on a replica (each holds the
+        whole index; engine/query.py search_weighted semantics).  Routed
+        by the weight VECTOR's hash so a repeated learned-sparse query
+        reuses the same replica's decoded-score cache."""
+        key = tuple(sorted(term_weights.items()))
+        w = self.workers[hash(key) % len(self.workers)]
+        return ray.get(w.search_weighted.remote(dict(term_weights), k))
 
     def url_of(self, doc_ids):
         """Top-k url hydration on any replica (full docmeta each)."""
@@ -869,6 +881,15 @@ class DocShardWorker:
                                         require_all=require_all,
                                         must=must, exclude=exclude)
 
+    def search_weighted_topk(self, term_weights: dict, k: int,
+                             dfs: dict[str, int]):
+        """Weighted-term top-k among THIS shard's docs under the global
+        df overrides — search_weighted accumulates in ascending
+        OVERRIDDEN-df order, so per-doc sums are bit-identical to one
+        global index and the front's merge is exact."""
+        self.idx.add_df_overrides(dfs)
+        return self.idx.search_weighted(term_weights, k=k)
+
     def match_count(self, query: str, dfs: dict[str, int],
                     where: tuple | None = None,
                     must: str | None = None,
@@ -1020,6 +1041,24 @@ class DocShardedQueryService:
             return []
         futs = self._scatter(query, k, where, exclude, must, require_all)
         return [] if futs is None else self._merge(ray.get(futs), k)
+
+    def search_weighted(self, term_weights: dict, k: int = 10):
+        """Distributed weighted-term (SPLADE-seam) top-k: the scored
+        terms are the weight keys VERBATIM (callers supply
+        already-analyzed terms, the learned-sparse contract), so the
+        global-df exchange runs over them directly — no tokenize.
+        Per-shard scores are bit-identical to one global index (the
+        ascending-overridden-df accumulation rule), so the O(S x k)
+        merge is exact."""
+        if k <= 0:
+            return []
+        terms = sorted(term_weights)
+        if not terms:
+            return []
+        dfs = self._global_dfs(terms)
+        futs = [w.search_weighted_topk.remote(dict(term_weights), k, dfs)
+                for w in self.workers]
+        return self._merge(ray.get(futs), k)
 
     def facet_counts(self, query: str, col: str,
                      where: tuple | None = None,

@@ -1,0 +1,178 @@
+"""Weighted-term (SPLADE-seam) retrieval on the serving surfaces.
+
+Exactness contracts under test:
+- QueryService.search_weighted == local (same index, same code path);
+- DocShardedQueryService.search_weighted == one global index,
+  BIT-identical: the global-stats exchange overrides df per term and
+  search_weighted accumulates in ascending OVERRIDDEN-df order, so
+  every shard adds a doc's weighted contributions in the same order a
+  global index would;
+- HTTP /v1/search {"weights": {...}} serves it (index and service
+  backends), with 400s for malformed weights, weights+phrase, and
+  tiers without the capability (term-sharded fronts own no doc data).
+"""
+
+import json
+import os
+import urllib.request
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.build import build_index
+from engine.config import EngineConfig
+from engine.query import InvertedIndex
+
+CFG = EngineConfig(num_parts=8, docmeta_parts=3)
+W = {"the": 2.0, "of": 0.5, "data": 1.25}
+
+
+@pytest.fixture(scope="module")
+def widx(e2e_webtext, tmp_path_factory):
+    base = tmp_path_factory.mktemp("wserve")
+    global_dir = str(base / "global")
+    build_index(e2e_webtext, global_dir, CFG)
+    return global_dir, base
+
+
+def _weight_sets(idx):
+    terms = idx.query_terms("the of data house garden")
+    return [W,
+            {terms[0]: 3.5},
+            {t: 1.0 + 0.25 * i for i, t in enumerate(terms)},
+            {"zzqneverthere": 2.0, terms[0]: 1.0}]
+
+
+def test_query_service_weighted(ray_session, widx):
+    from engine.serve import QueryService
+    global_dir, _ = widx
+    local = InvertedIndex(global_dir)
+    svc = QueryService(global_dir, replicas=2, num_cpus=0.5)
+    try:
+        for w in _weight_sets(local):
+            assert svc.search_weighted(w, k=10) == \
+                local.search_weighted(w, k=10), w
+        assert svc.search_weighted({"zzqneverthere": 1.0}, k=10) == []
+        assert svc.search_weighted(W, k=0) == []
+    finally:
+        svc.shutdown()
+
+
+def test_doc_sharded_weighted_bit_identical(ray_session, e2e_webtext,
+                                            widx, tmp_path_factory):
+    import ray.data
+    from engine.serve import DocShardedQueryService
+    from engine.tokenize import stable_hash64
+
+    global_dir, _ = widx
+    base = tmp_path_factory.mktemp("wshards")
+    n_shards = 3
+    shard_dirs = []
+    for si in range(n_shards):
+        def keep(batch: pa.Table, _si=si) -> pa.Table:
+            urls = np.asarray(batch.column("url").to_pylist(),
+                              dtype=object)
+            mask = (stable_hash64(urls) % np.uint64(n_shards)
+                    ) == np.uint64(_si)
+            return batch.filter(pa.array(mask))
+
+        ds = (ray.data.read_parquet(e2e_webtext,
+                                    columns=["url", "warc_ts", "html"])
+              .map_batches(keep, batch_format="pyarrow"))
+        d = str(base / f"shard{si}")
+        build_index(ds, d, CFG)
+        shard_dirs.append(d)
+
+    local = InvertedIndex(global_dir)
+    svc = DocShardedQueryService(shard_dirs, method="daat")
+    try:
+        for w in _weight_sets(local):
+            got = svc.search_weighted(w, k=10)
+            want = local.search_weighted(w, k=10)
+            assert got == want, w          # bit-identical, incl. scores
+        # a term present on only SOME shards still gets the global df
+        assert svc.search_weighted({"zzqneverthere": 1.0}, k=10) == []
+    finally:
+        svc.shutdown()
+
+
+def _post(url: str, payload: dict):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=15) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_weighted_search(ray_session, widx):
+    from engine.http_serve import EngineHttpServer
+    global_dir, _ = widx
+    local = InvertedIndex(global_dir)
+    srv = EngineHttpServer(index_dir=global_dir)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        want = local.search_weighted(W, k=5)
+        status, resp = _post(f"{base}/v1/search",
+                             {"weights": W, "k": 5})
+        assert status == 200
+        assert [(h["doc_id"], h["score"]) for h in resp["hits"]] == \
+            [(d, pytest.approx(s)) for d, s in want]
+        assert all(h["url"].startswith("http") for h in resp["hits"])
+        # offset paging is an exact prefix-slice, same as query search
+        status, resp2 = _post(f"{base}/v1/search",
+                              {"weights": W, "k": 3, "offset": 2})
+        assert status == 200
+        assert [h["doc_id"] for h in resp2["hits"]] == \
+            [h["doc_id"] for h in resp["hits"][2:5]]
+        # malformed / unsupported combinations -> 400 JSON errors
+        for bad in ({"weights": "the"},                    # not a dict
+                    {"weights": {"the": "x"}},             # non-numeric
+                    {"weights": {}},                       # empty
+                    {"weights": W, "phrase": True},
+                    {"weights": W, "must": "data"},
+                    {"weights": W, "require_all": True},
+                    {"weights": W, "query": "the of"}):
+            status, resp = _post(f"{base}/v1/search", bad)
+            assert status == 400, bad
+            assert resp["error"]["type"] == "invalid_request_error"
+    finally:
+        srv.stop()
+
+
+def test_http_weighted_on_service_tiers(ray_session, widx):
+    """Replica tier serves weights over HTTP; the term-sharded tier
+    answers a clean 400 (its fronts hold no per-doc score cache)."""
+    from engine.http_serve import EngineHttpServer
+    from engine.serve import QueryService, ShardedQueryService
+    global_dir, _ = widx
+    local = InvertedIndex(global_dir)
+    svc = QueryService(global_dir, replicas=2, num_cpus=0.5)
+    srv = EngineHttpServer(service=svc)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        want = local.search_weighted(W, k=5)
+        status, resp = _post(f"{base}/v1/search", {"weights": W, "k": 5})
+        assert status == 200
+        assert [h["doc_id"] for h in resp["hits"]] == \
+            [d for d, _ in want]
+    finally:
+        srv.stop()
+        svc.shutdown()
+
+    tsvc = ShardedQueryService(global_dir, n_shards=2, num_cpus=0.5)
+    srv = EngineHttpServer(service=tsvc)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        status, resp = _post(f"{base}/v1/search", {"weights": W, "k": 5})
+        assert status == 400
+        assert "weighted" in resp["error"]["message"]
+    finally:
+        srv.stop()
+        tsvc.shutdown()
