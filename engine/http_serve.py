@@ -655,7 +655,13 @@ class EngineHttpServer:
             return 400, _error("no index mounted", "invalid_request_error",
                                "no_index")
         prefix = str(req.get("prefix", ""))
-        k = int(req.get("k", 10))
+        try:
+            k = int(req.get("k", 10))
+        except (TypeError, ValueError):
+            # same contract as /v1/search: non-numeric k is a client
+            # error, not a handler-thread crash
+            return 400, _error("k must be an integer",
+                               "invalid_request_error", "invalid_request")
         try:
             if self.service is not None:
                 rows = self.service.suggest(prefix, k=k)
