@@ -641,6 +641,73 @@ class _Front:
                  for q in queries]
         return [self._gather(p, k) for p in plans]
 
+    def search_weighted(self, term_weights, k: int = 10):
+        """Weighted-term (learned-sparse / SPLADE-seam) top-k over the
+        term-sharded tier — the tier this retrieval shape is MADE for:
+        a sparse learned query names many terms, and each term's whole
+        posting list lives on exactly one shard, so scoring stays
+        shard-side and only scored fragments cross the wire (the same
+        cost class as an ordinary disjunctive query).
+
+        Weight keys are routed VERBATIM to their owning shards (callers
+        supply already-analyzed terms — no tokenize, the learned-sparse
+        contract).  The front accumulates ``w * score`` per candidate
+        walking matched entries in ascending (df, term) order with
+        duplicate input terms kept as separate entries in input order —
+        exactly ``InvertedIndex.search_weighted``'s float order (a
+        term's one part holds ALL its postings, so the shard's df IS
+        the global df), so the merged top-k is bit-identical to one
+        local index."""
+        if k <= 0:
+            return []
+        items = (term_weights.items()
+                 if isinstance(term_weights, dict) else term_weights)
+        wanted = []                       # (term, w), zero weights out
+        for t, w in items:
+            w = float(w)
+            if w != 0.0:
+                wanted.append((str(t), w))
+        if not wanted:
+            return []
+        by_shard: dict[int, list[str]] = {}
+        for t in dict.fromkeys(t for t, _ in wanted):
+            by_shard.setdefault(self._shard_of(t), []).append(t)
+        self._rr += 1
+        futs = {}
+        for si, ts in by_shard.items():
+            for ri in range(self.n_ranges):
+                replicas = self.shards[si][ri]
+                futs[(si, ri)] = (replicas[self._rr % len(replicas)]
+                                  .score_terms.remote(ts))
+        # per-term fragments in ascending doc-range order — concatenated
+        # they equal the full docID-sorted decode (the _gather rule)
+        frags: dict[str, list] = {}
+        keys = sorted(futs.keys(), key=lambda sr: sr[1])
+        for key, res in zip(keys, ray.get([futs[key] for key in keys])):
+            for t, ent in res.items():
+                if ent is not None:
+                    frags.setdefault(t, []).append(ent)
+        merged: dict[str, tuple] = {}
+        for t, ents in frags.items():
+            ids = (ents[0][0] if len(ents) == 1
+                   else np.concatenate([e[0] for e in ents]))
+            s = (ents[0][1] if len(ents) == 1
+                 else np.concatenate([e[1] for e in ents]))
+            merged[t] = (ids, s, ents[0][2])   # df rides from the shard
+        entries = [(merged[t][2], t, w) + merged[t][:2]
+                   for t, w in wanted if t in merged]
+        if not entries:
+            return []
+        entries.sort(key=lambda e: (e[0], e[1]))   # df asc, term; stable
+        uniq = np.unique(np.concatenate([e[3] for e in entries]))
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        for df, t, w, ids, s in entries:
+            # ids are unique within a term (disjoint ranges), so the
+            # fancy-index add applies each contribution exactly once,
+            # per doc in the same order the local dense walk does
+            acc[np.searchsorted(uniq, ids)] += w * s
+        return InvertedIndex._topk(uniq, acc, k)
+
 
 @ray.remote
 class FrontWorker:
@@ -755,6 +822,14 @@ class ShardedQueryService:
             for j, r in enumerate(res):
                 out[fi + j * n] = r
         return out
+
+    def search_weighted(self, term_weights, k: int = 10):
+        """Weighted-term (learned-sparse / SPLADE-seam) top-k: weight
+        keys route verbatim to their owning term shards, scoring stays
+        shard-side, the front's ascending-(df, term) accumulation is
+        bit-identical to ``InvertedIndex.search_weighted`` on one
+        global index (see _Front.search_weighted)."""
+        return self._local.search_weighted(term_weights, k)
 
     def suggest(self, prefix: str, k: int = 10):
         """Distributed prefix suggestion on the term-sharded tier.

@@ -7,9 +7,15 @@ Exactness contracts under test:
   search_weighted accumulates in ascending OVERRIDDEN-df order, so
   every shard adds a doc's weighted contributions in the same order a
   global index would;
+- ShardedQueryService.search_weighted == local, BIT-identical: each
+  weight key routes verbatim to its owning term shard, fragments
+  concatenate in ascending doc-range order (== the full docID-sorted
+  decode), and the front accumulates w*score walking entries in
+  ascending (df, term) order with duplicate input terms kept as
+  separate entries — the local dense walk's exact float order;
 - HTTP /v1/search {"weights": {...}} serves it (index and service
-  backends), with 400s for malformed weights, weights+phrase, and
-  tiers without the capability (term-sharded fronts own no doc data).
+  backends), with 400s for malformed weights and weights+phrase/
+  boolean/filter combinations.
 """
 
 import json
@@ -97,6 +103,34 @@ def test_doc_sharded_weighted_bit_identical(ray_session, e2e_webtext,
         svc.shutdown()
 
 
+def test_term_sharded_weighted_bit_identical(ray_session, widx):
+    """Multi-shard + doc-range-split workers; every weight-set answer
+    must equal the local engine's, scores included.  Also pins the
+    duplicate-term iterable contract: two (term, w) entries stay two
+    accumulation steps in input order (w1*s + w2*s, NOT (w1+w2)*s),
+    matching the local entry walk float-for-float."""
+    from engine.serve import ShardedQueryService
+    global_dir, _ = widx
+    local = InvertedIndex(global_dir)
+    svc = ShardedQueryService(global_dir, n_shards=3, n_doc_ranges=2,
+                              num_cpus=0.25)
+    try:
+        for w in _weight_sets(local):
+            assert svc.search_weighted(w, k=10) == \
+                local.search_weighted(w, k=10), w
+        terms = local.query_terms("the of data")
+        dup = [(terms[0], 1.5), (terms[1], 0.5), (terms[0], 0.25)]
+        assert svc.search_weighted(dup, k=10) == \
+            local.search_weighted(dup, k=10)
+        assert svc.search_weighted({"zzqneverthere": 1.0}, k=10) == []
+        assert svc.search_weighted({terms[0]: 0.0}, k=10) == []
+        assert svc.search_weighted(W, k=0) == []
+        assert svc.search_weighted(W, k=10 ** 6) == \
+            local.search_weighted(W, k=10 ** 6)
+    finally:
+        svc.shutdown()
+
+
 def _post(url: str, payload: dict):
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(),
@@ -145,18 +179,18 @@ def test_http_weighted_search(ray_session, widx):
 
 
 def test_http_weighted_on_service_tiers(ray_session, widx):
-    """Replica tier serves weights over HTTP; the term-sharded tier
-    answers a clean 400 (its fronts hold no per-doc score cache)."""
+    """Replica AND term-sharded tiers serve weights over HTTP,
+    bit-identical to the local engine."""
     from engine.http_serve import EngineHttpServer
     from engine.serve import QueryService, ShardedQueryService
     global_dir, _ = widx
     local = InvertedIndex(global_dir)
+    want = local.search_weighted(W, k=5)
     svc = QueryService(global_dir, replicas=2, num_cpus=0.5)
     srv = EngineHttpServer(service=svc)
     port = srv.start()
     base = f"http://127.0.0.1:{port}"
     try:
-        want = local.search_weighted(W, k=5)
         status, resp = _post(f"{base}/v1/search", {"weights": W, "k": 5})
         assert status == 200
         assert [h["doc_id"] for h in resp["hits"]] == \
@@ -171,8 +205,9 @@ def test_http_weighted_on_service_tiers(ray_session, widx):
     base = f"http://127.0.0.1:{port}"
     try:
         status, resp = _post(f"{base}/v1/search", {"weights": W, "k": 5})
-        assert status == 400
-        assert "weighted" in resp["error"]["message"]
+        assert status == 200
+        assert [(h["doc_id"], h["score"]) for h in resp["hits"]] == \
+            [(d, pytest.approx(s)) for d, s in want]
     finally:
         srv.stop()
         tsvc.shutdown()
