@@ -116,6 +116,40 @@ def _query_latency(index_dir: str, iters: int = 200, k: int = 10) -> dict:
             "n": len(lat)}
 
 
+def _weighted_latency(index_dir: str, iters: int = 120,
+                      k: int = 10) -> dict:
+    """Weighted-term (learned-sparse seam) latency: SPLADE-shaped
+    sparse vectors synthesized from the fixture query vocabulary —
+    8/16/32 weighted terms across the df range with relu-log-ish decay
+    weights (the shape of a learned sparse encoder's output)."""
+    import numpy as np
+    from engine.query import InvertedIndex
+    from engine.tokenize import tokenize
+    idx = InvertedIndex(index_dir)
+    with open(QUERIES_PATH) as f:
+        qset = json.load(f)
+    vocab = sorted({t for q in qset for t in tokenize(q)})
+    by_df = sorted(vocab, key=lambda t: -idx.df_of(t))
+    sparse = []
+    for i in range(12):
+        for n in (8, 16, 32):
+            picks = list(dict.fromkeys(
+                by_df[(i * 3 + j * 5) % len(by_df)] for j in range(n)))
+            sparse.append({t: round(float(np.log1p(np.exp(2.5 - 0.15 * j))), 4)
+                           for j, t in enumerate(picks)})
+    for w in sparse:                       # warm the decoded-score cache
+        idx.search_weighted(w, k=k)
+    lat = []
+    for _ in range(max(1, iters // len(sparse))):
+        for w in sparse:
+            t0 = time.perf_counter()
+            idx.search_weighted(w, k=k)
+            lat.append(time.perf_counter() - t0)
+    lat.sort()
+    return {"p50_s": statistics.median(lat),
+            "p95_s": lat[int(len(lat) * 0.95) - 1]}
+
+
 def _query_qps(index_dir: str, replicas: int = 4,
                batches: int = 40) -> float:
     """Distributed serving throughput: actor replicas, fan-out batches."""
@@ -297,6 +331,9 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     lat = _query_latency(idx_dir)
     queries["bm25_query_p50"] = round(lat["p50_s"], 6)
     queries["bm25_query_p95"] = round(lat["p95_s"], 6)
+    wlat = _weighted_latency(idx_dir)
+    queries["weighted_query_p50"] = round(wlat["p50_s"], 6)
+    queries["weighted_query_p95"] = round(wlat["p95_s"], 6)
     qps = _query_qps(idx_dir)
     qps_sharded = _query_qps_sharded(idx_dir)
     qps_docsharded = _query_qps_docsharded()
