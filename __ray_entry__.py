@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_segments": d.q_audio_segments,
         # --- new in round 5 ---
         "search_weighted": d.q_search_weighted,           # SPLADE-style weighted terms
+        "search_weighted_filtered": d.q_search_weighted_filtered,  # + doc-values filter
         # --- core-engine spine: BM25 top-k + postings lookup (3.2, J3, T1) ---
         "bm25_topk": d.q_bm25_topk,
         "bm25_topk_filtered": d.q_bm25_topk_filtered,
@@ -861,6 +862,35 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM sc
             ORDER BY score DESC, doc_id LIMIT 10""",
+
+        # tenant-filtered learned-sparse retrieval: the weighted-term
+        # scores with candidates restricted to lang='en'; statistics
+        # stay corpus-global (Lucene filter-query rule), so survivors
+        # keep their exact unfiltered search_weighted scores
+        "search_weighted_filtered": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ('hash','join','table') GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum((CASE tf.term WHEN 'hash' THEN 2.0
+                                       WHEN 'join' THEN 0.5
+                                       ELSE 1.25 END)
+                         * ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf * ({k1} + 1)
+                         / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))
+                     ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+              GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id
+            WHERE dd.lang = 'en'
+            ORDER BY score DESC, sc.doc_id LIMIT 10""",
 
         # doc-values filter: candidates restricted to lang='en', but
         # every statistic (N, avgdl, df) stays corpus-global — the

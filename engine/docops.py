@@ -222,6 +222,22 @@ def q_search_weighted(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_search_weighted_filtered(sf_dir: str) -> pd.DataFrame:
+    """Tenant-filtered learned-sparse retrieval: the weighted-term
+    top-k restricted to lang='en' via the doc-values sidecar
+    (search_weighted(where=...)); statistics stay corpus-global, so a
+    survivor's score equals its unfiltered search_weighted score —
+    the Lucene filter-query rule applied to the SPLADE seam."""
+    idx = docs_index(sf_dir)
+    _ensure_docvalues(idx, sf_dir)
+    hits = idx.search_weighted(WEIGHTED_QUERY, k=10,
+                               where=("lang", ("en",)))
+    return pd.DataFrame({
+        "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+        "score": pd.Series([round(s, 6) for _, s in hits], dtype=np.float64),
+    })
+
+
 DOCVALUE_COLS = ["lang", "n_chars"]
 
 

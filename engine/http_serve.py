@@ -339,18 +339,19 @@ class EngineHttpServer:
         # weights={"term": w, ...}: weighted-term (learned-sparse /
         # SPLADE-seam) retrieval — engine/query.py search_weighted.
         # Terms are taken verbatim (the caller supplies an analyzed
-        # sparse query vector); the clause machinery (phrase, boolean
-        # gates, filters, facets, totals, snippets) scores TOKENIZED
-        # queries and does not compose with a weight vector, so any
-        # combination is a clean 400 instead of a silently-ignored knob.
+        # sparse query vector).  The doc-values "filter" composes (a
+        # per-doc predicate — tenant-filtered sparse retrieval); the
+        # clause machinery (phrase, boolean gates, facets, totals,
+        # snippets) scores TOKENIZED queries and does not compose with
+        # a weight vector, so those combinations are a clean 400
+        # instead of a silently-ignored knob.
         weights = req.get("weights")
         if weights is not None:
             if (query or phrase or must or require_all or exclude
-                    or where is not None or facet_col or hist
-                    or with_total or snippets):
+                    or facet_col or hist or with_total or snippets):
                 return 400, _error(
                     "weights does not combine with query/phrase/boolean/"
-                    "filter/facet/total/snippet parameters",
+                    "facet/total/snippet parameters",
                     "invalid_request_error", "invalid_request")
             if (not isinstance(weights, dict) or not weights
                     or not all(isinstance(v, (int, float))
@@ -363,13 +364,13 @@ class EngineHttpServer:
             try:
                 if self.service is not None:
                     hits = self.service.search_weighted(
-                        weights, k=k + offset)[offset:]
+                        weights, k=k + offset, where=where)[offset:]
                     urls = (self.service.url_of([d for d, _ in hits])
                             if hits else [])
                 else:
                     with self._search_lock:
                         hits = self.index.search_weighted(
-                            weights, k=k + offset)[offset:]
+                            weights, k=k + offset, where=where)[offset:]
                         urls = (self.index.url_of([d for d, _ in hits])
                                 if hits else [])
             except AttributeError:

@@ -768,7 +768,9 @@ class InvertedIndex:
             return self._search_dense(entries, k)
         return self._search_bmw(entries, k)
 
-    def search_weighted(self, term_weights, k: int = 10):
+    def search_weighted(self, term_weights, k: int = 10,
+                        where: tuple | None = None,
+                        where_range: tuple | None = None):
         """Learned-sparse (SPLADE-style) retrieval seam: top-k by
         ``sum over matching terms of w_q(term) * score_d(term)`` where
         ``w_q`` is a caller-supplied per-term weight (a sparse learned
@@ -787,7 +789,14 @@ class InvertedIndex:
         Accumulation walks terms in ascending (overridden) df order —
         the same order rule as ``_search_all`` — so doc-range shards
         with global-stats overrides stay bit-identical to one global
-        index."""
+        index.
+
+        ``where=(col, values)`` / ``where_range=(col, lo, hi)`` are the
+        doc-values filters (tenant-filtered sparse retrieval): the mask
+        drops non-candidates AFTER accumulation, so corpus stats stay
+        global and a survivor's score is identical with and without the
+        filter (the search() Lucene filter-query semantics; the two
+        compose with AND)."""
         if k <= 0:
             return []
         items = (term_weights.items()
@@ -814,6 +823,10 @@ class InvertedIndex:
                 term, df, pbytes, skips, self.idf(gdf))
             acc[pos] += w * s
             touched[pos] = True
+        if where is not None:
+            touched &= self.where_mask(*where)
+        if where_range is not None:
+            touched &= self.range_mask(*where_range)
         nz = np.flatnonzero(touched)
         return self._topk(self._doc_ids[nz], acc[nz], k)
 

@@ -116,8 +116,11 @@ class QueryWorker:
         return self.idx.search_phrase(query, k=k, slop=slop,
                                       where=where, exclude=exclude)
 
-    def search_weighted(self, term_weights: dict, k: int = 10):
-        return self.idx.search_weighted(term_weights, k=k)
+    def search_weighted(self, term_weights: dict, k: int = 10,
+                        where: tuple | None = None,
+                        where_range: tuple | None = None):
+        return self.idx.search_weighted(term_weights, k=k, where=where,
+                                        where_range=where_range)
 
     def url_of(self, doc_ids):
         return self.idx.url_of(doc_ids)
@@ -193,14 +196,18 @@ class QueryService:
         return ray.get(w.search_phrase.remote(
             query, k=k, slop=slop, where=where, exclude=exclude))
 
-    def search_weighted(self, term_weights: dict, k: int = 10):
+    def search_weighted(self, term_weights: dict, k: int = 10,
+                        where: tuple | None = None,
+                        where_range: tuple | None = None):
         """SPLADE-seam weighted-term top-k on a replica (each holds the
-        whole index; engine/query.py search_weighted semantics).  Routed
-        by the weight VECTOR's hash so a repeated learned-sparse query
-        reuses the same replica's decoded-score cache."""
+        whole index; engine/query.py search_weighted semantics,
+        including the doc-values filters).  Routed by the weight
+        VECTOR's hash so a repeated learned-sparse query reuses the
+        same replica's decoded-score cache."""
         key = tuple(sorted(term_weights.items()))
         w = self.workers[hash(key) % len(self.workers)]
-        return ray.get(w.search_weighted.remote(dict(term_weights), k))
+        return ray.get(w.search_weighted.remote(dict(term_weights), k,
+                                                where, where_range))
 
     def url_of(self, doc_ids):
         """Top-k url hydration on any replica (full docmeta each)."""
@@ -259,18 +266,22 @@ class ShardWorker:
         return int(self.idx._doc_ids.size)
 
     def score_terms(self, terms: list[str],
-                    where: tuple | None = None) -> dict:
+                    where: tuple | None = None,
+                    where_range: tuple | None = None) -> dict:
         """term -> (doc_ids int64, bm25 scores float64) or None,
         restricted to this worker's doc range.  Decoding + scoring
-        happen shard-side; only scored arrays move.  ``where`` filters
-        each term's entries by the worker's OWN doc-values mask (each
-        doc-range worker holds its range's sidecar slice) BEFORE
-        shipping — per-doc masks commute with per-term accumulation,
-        so the front's filtered result is bit-identical to local
-        daat-with-mask, and selective filters also shrink the bytes on
-        the wire."""
+        happen shard-side; only scored arrays move.  ``where`` /
+        ``where_range`` filter each term's entries by the worker's OWN
+        doc-values mask (each doc-range worker holds its range's
+        sidecar slice) BEFORE shipping — per-doc masks commute with
+        per-term accumulation, so the front's filtered result is
+        bit-identical to local daat-with-mask, and selective filters
+        also shrink the bytes on the wire."""
         out = {}
         mask = self.idx.where_mask(*where) if where is not None else None
+        if where_range is not None:
+            rm = self.idx.range_mask(*where_range)
+            mask = rm if mask is None else (mask & rm)
         for t in terms:
             ent = self.idx.score_term_range(t)
             if ent is not None and mask is not None:
@@ -641,7 +652,9 @@ class _Front:
                  for q in queries]
         return [self._gather(p, k) for p in plans]
 
-    def search_weighted(self, term_weights, k: int = 10):
+    def search_weighted(self, term_weights, k: int = 10,
+                        where: tuple | None = None,
+                        where_range: tuple | None = None):
         """Weighted-term (learned-sparse / SPLADE-seam) top-k over the
         term-sharded tier — the tier this retrieval shape is MADE for:
         a sparse learned query names many terms, and each term's whole
@@ -657,7 +670,10 @@ class _Front:
         exactly ``InvertedIndex.search_weighted``'s float order (a
         term's one part holds ALL its postings, so the shard's df IS
         the global df), so the merged top-k is bit-identical to one
-        local index."""
+        local index.  ``where`` / ``where_range`` (doc-values filters)
+        apply shard-side via score_terms' pre-masking — per-doc masks
+        commute with per-term accumulation, so filtered results equal
+        the local engine's accumulate-then-mask float-for-float."""
         if k <= 0:
             return []
         items = (term_weights.items()
@@ -678,7 +694,8 @@ class _Front:
             for ri in range(self.n_ranges):
                 replicas = self.shards[si][ri]
                 futs[(si, ri)] = (replicas[self._rr % len(replicas)]
-                                  .score_terms.remote(ts))
+                                  .score_terms.remote(ts, where,
+                                                      where_range))
         # per-term fragments in ascending doc-range order — concatenated
         # they equal the full docID-sorted decode (the _gather rule)
         frags: dict[str, list] = {}
@@ -823,13 +840,17 @@ class ShardedQueryService:
                 out[fi + j * n] = r
         return out
 
-    def search_weighted(self, term_weights, k: int = 10):
+    def search_weighted(self, term_weights, k: int = 10,
+                        where: tuple | None = None,
+                        where_range: tuple | None = None):
         """Weighted-term (learned-sparse / SPLADE-seam) top-k: weight
         keys route verbatim to their owning term shards, scoring stays
         shard-side, the front's ascending-(df, term) accumulation is
         bit-identical to ``InvertedIndex.search_weighted`` on one
-        global index (see _Front.search_weighted)."""
-        return self._local.search_weighted(term_weights, k)
+        global index (see _Front.search_weighted); doc-values filters
+        pre-mask shard-side."""
+        return self._local.search_weighted(term_weights, k, where,
+                                           where_range)
 
     def suggest(self, prefix: str, k: int = 10):
         """Distributed prefix suggestion on the term-sharded tier.
@@ -957,13 +978,18 @@ class DocShardWorker:
                                         must=must, exclude=exclude)
 
     def search_weighted_topk(self, term_weights: dict, k: int,
-                             dfs: dict[str, int]):
+                             dfs: dict[str, int],
+                             where: tuple | None = None,
+                             where_range: tuple | None = None):
         """Weighted-term top-k among THIS shard's docs under the global
         df overrides — search_weighted accumulates in ascending
         OVERRIDDEN-df order, so per-doc sums are bit-identical to one
-        global index and the front's merge is exact."""
+        global index and the front's merge is exact.  The doc-values
+        filters are per-doc predicates over the shard's own sidecars,
+        so they commute with doc sharding."""
         self.idx.add_df_overrides(dfs)
-        return self.idx.search_weighted(term_weights, k=k)
+        return self.idx.search_weighted(term_weights, k=k, where=where,
+                                        where_range=where_range)
 
     def match_count(self, query: str, dfs: dict[str, int],
                     where: tuple | None = None,
@@ -1117,21 +1143,25 @@ class DocShardedQueryService:
         futs = self._scatter(query, k, where, exclude, must, require_all)
         return [] if futs is None else self._merge(ray.get(futs), k)
 
-    def search_weighted(self, term_weights: dict, k: int = 10):
+    def search_weighted(self, term_weights: dict, k: int = 10,
+                        where: tuple | None = None,
+                        where_range: tuple | None = None):
         """Distributed weighted-term (SPLADE-seam) top-k: the scored
         terms are the weight keys VERBATIM (callers supply
         already-analyzed terms, the learned-sparse contract), so the
         global-df exchange runs over them directly — no tokenize.
         Per-shard scores are bit-identical to one global index (the
-        ascending-overridden-df accumulation rule), so the O(S x k)
-        merge is exact."""
+        ascending-overridden-df accumulation rule) and the doc-values
+        filters are per-doc predicates, so the O(S x k) merge is
+        exact."""
         if k <= 0:
             return []
         terms = sorted(term_weights)
         if not terms:
             return []
         dfs = self._global_dfs(terms)
-        futs = [w.search_weighted_topk.remote(dict(term_weights), k, dfs)
+        futs = [w.search_weighted_topk.remote(dict(term_weights), k, dfs,
+                                              where, where_range)
                 for w in self.workers]
         return self._merge(ray.get(futs), k)
 
