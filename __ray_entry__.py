@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 5 ---
         "search_weighted": d.q_search_weighted,           # SPLADE-style weighted terms
         "search_weighted_filtered": d.q_search_weighted_filtered,  # + doc-values filter
+        "sparse_doc_vectors": d.q_sparse_doc_vectors,     # SPLADE doc-side export
         # --- core-engine spine: BM25 top-k + postings lookup (3.2, J3, T1) ---
         "bm25_topk": d.q_bm25_topk,
         "bm25_topk_filtered": d.q_bm25_topk_filtered,
@@ -891,6 +892,30 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN documents dd ON sc.doc_id = dd.doc_id
             WHERE dd.lang = 'en'
             ORDER BY score DESC, sc.doc_id LIMIT 10""",
+
+        # document-side sparse vectors (SPLADE doc-embedding analog):
+        # per-(doc, term) BM25 weight in integer micro-units
+        # (half-away-from-zero, the micro_units rule); global top-200
+        # triplets with (doc_id, term) tie-break
+        "sparse_doc_vectors": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            w AS (
+              SELECT tf.doc_id, tf.term,
+                     CAST(round(
+                       ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * ({k1} + 1)
+                       / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))
+                       * 1e6) AS BIGINT) AS w_micro
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st)
+            SELECT doc_id, term, w_micro FROM w
+            ORDER BY w_micro DESC, doc_id, term LIMIT 200""",
 
         # doc-values filter: candidates restricted to lang='en', but
         # every statistic (N, avgdl, df) stays corpus-global — the

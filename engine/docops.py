@@ -82,6 +82,57 @@ def _exploded_tf(sf_dir: str) -> "ray.data.Dataset":
     return documents_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _exploded_tf_dl(sf_dir: str) -> "ray.data.Dataset":
+    """(term, doc_id, tf, dl) rows — _exploded_tf with the document
+    length riding along (the BM25 doc-side weight needs it)."""
+    def f(batch: pa.Table) -> pa.Table:
+        tf = count_terms(batch.column("text").to_pylist(),
+                         batch.column("doc_id").to_numpy())
+        return pa.table({
+            "term": pa.array(tf["term"].to_numpy(dtype=object), pa.string()),
+            "doc_id": pa.array(tf["doc_id"].to_numpy()),
+            "tf": pa.array(tf["tf"].to_numpy().astype(np.int64)),
+            "dl": pa.array(tf["doclen"].to_numpy().astype(np.int64)),
+        })
+    return documents_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_sparse_doc_vectors(sf_dir: str) -> pd.DataFrame:
+    """Document-side sparse vectors (engine/embed.py sparse_doc_vectors
+    — the SPLADE doc-embedding analog): per-(doc, term) BM25 weight in
+    integer micro-units after ONE term-keyed hash shuffle (exact global
+    df computed in-block, no driver vocabulary).  Contract cut: global
+    top-200 triplets by (w_micro desc, doc_id, term) via the per-block
+    prune — only 200 x n_blocks rows reach the driver."""
+    from engine.embed import sparse_doc_vectors
+
+    def stats_part(t: pa.Table) -> pa.Table:
+        dlv = t.column("doclen").to_numpy()
+        m = dlv > 0      # SQL's dl CTE has a row only for docs w/ tokens
+        return pa.table({"n": pa.array([int(m.sum())], pa.int64()),
+                         "tot": pa.array([int(dlv[m].sum())], pa.int64())})
+
+    st = (q_doclen(sf_dir).map_batches(stats_part, batch_format="pyarrow")
+          .aggregate(Sum("n", alias_name="n"), Sum("tot", alias_name="tot")))
+    n, tot = int(st["n"]), int(st["tot"])
+    vecs = sparse_doc_vectors(_exploded_tf_dl(sf_dir), n, tot / n)
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["w_micro", "doc_id", "term"],
+            ascending=[False, True, True]).head(200)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (vecs.map_batches(prune, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["w_micro", "doc_id", "term"],
+                        ascending=[False, True, True])
+           .head(200).reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["w_micro"] = out["w_micro"].astype(np.int64)
+    return out[["doc_id", "term", "w_micro"]]
+
+
 def _topk_by(agg: "ray.data.Dataset", val_col: str, k: int = 100) -> pd.DataFrame:
     """Global top-k of a groupby-aggregate output WITHOUT collecting the
     full vocabulary: each output block holds a term exactly once (hash

@@ -518,3 +518,106 @@ def maxsim_topk(
                             ascending=[False, True]).head(k)
     return [(int(d), float(s))
             for d, s in zip(cand["doc_id"], cand["score"])]
+
+
+def sparse_doc_vectors(tf_rows, n_docs: int, avgdl: float,
+                       k1: float = 1.2, b: float = 0.75,
+                       num_blocks: int = 64):
+    """Document-side sparse vectors (the reference's SPLADE document
+    embedding, rust/src/embeddings/local/bert.rs:379-396 — per-document
+    weighted term lists upserted to a sparse vector store,
+    examples/splade.py:37-76): each (doc, term) gets the engine's BM25
+    contribution ``idf(df) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    as integer micro-units, the doc-side dual of ``search_weighted``
+    (query weight x THESE stored weights is the learned-sparse dot
+    product).
+
+    ``tf_rows``: Dataset of (term, doc_id, tf, dl) rows, unique per
+    (doc, term) — the ``count_terms`` per-batch combiner output.
+
+    Scale shape: ONE keyed hash repartition on ``term`` co-locates all
+    of a term's rows, so each output block computes its terms' exact
+    GLOBAL df with one in-block factorize — no driver-side vocabulary,
+    no broadcast df map (a web-scale vocabulary never fits one); the
+    same shuffle class the index build itself uses.  ``n_docs`` /
+    ``avgdl`` are the only scalars shipped in.  Returns a Dataset of
+    (doc_id, term, w_micro) triplets, streaming."""
+    from engine.textstats import micro_units
+
+    # keyed repartition requires the hash-shuffle strategy; set it on
+    # the DATASET's captured context copy (derived datasets inherit it)
+    # so the session-global context stays untouched — the
+    # build/docvalues shuffle discipline, scoped tighter
+    import ray
+    from ray.data.context import ShuffleStrategy
+    ctx = tf_rows.context
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_aggr = max(2, min(num_blocks, n_cpus // 2))
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = n_aggr
+    # both overrides: the repartition here AND any downstream groupby
+    # (assemble_sparse_vectors) run on this context copy — an unsized
+    # aggregator pool deadlocks small sessions (the build's rule)
+    cpu_override = 0.5 / -(-num_blocks // n_aggr)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+        cpu_override
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = \
+        cpu_override
+    ctx.min_hash_shuffle_aggregator_wait_time_in_s = 30
+
+    n = float(n_docs)
+    avg = float(avgdl)
+
+    def score(t: pa.Table) -> pa.Table:
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("term", pa.string()),
+                                ("w_micro", pa.int64())])
+        if terms.size == 0:
+            return out_schema.empty_table()
+        uniq, inv, counts = np.unique(terms, return_inverse=True,
+                                      return_counts=True)
+        df = counts[inv].astype(np.float64)   # exact global df per row
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        dl = t.column("dl").to_numpy().astype(np.float64)
+        # the query path's float order (engine/query.py _score): idf
+        # first, then tf saturation — keeps micro-units bit-identical
+        # to the SQL oracle's expression tree
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        w = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avg))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "term": t.column("term"),
+            "w_micro": pa.array(micro_units(w), pa.int64()),
+        })
+
+    return (tf_rows
+            .repartition(num_blocks, keys=["term"], sort=False)
+            .map_batches(score, batch_format="pyarrow", batch_size=None))
+
+
+def assemble_sparse_vectors(triplets, top_per_doc: int | None = None):
+    """(doc_id, term, w_micro) triplets -> one row per document with
+    parallel ``terms`` / ``weights_micro`` list columns sorted by
+    (w_micro desc, term asc) — the upsert payload shape of the
+    reference's sparse-vector stores (examples/splade.py:57-76 upserts
+    {indices, values} per point).  ``top_per_doc`` keeps only each
+    document's heaviest terms (sparse-store size control).  One
+    groupby(doc_id) shuffle; each group is a single document's terms
+    (tiny), assembled vectorized."""
+    import pandas as pd
+    import ray
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["w_micro", "term"], ascending=[False, True])
+        if top_per_doc is not None:
+            g = g.head(top_per_doc)
+        return pd.DataFrame({
+            "doc_id": [int(g["doc_id"].iloc[0])],
+            "terms": [g["term"].tolist()],
+            "weights_micro": [g["w_micro"].tolist()],
+        })
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    return triplets.groupby(
+        "doc_id", num_partitions=max(4, n_cpus * 2)).map_groups(per_doc)

@@ -310,3 +310,95 @@ def test_multivector_trained_weights(ray_session):
     v = mv.vecs_for_terms(["hash", "join"])
     assert v.shape == (2, 64)
     assert np.allclose(np.linalg.norm(v, axis=1), 1.0)
+
+
+def _sparse_fixture():
+    """40 docs x 12-term vocab, deterministic tf/dl rows unique per
+    (doc, term) — the count_terms combiner shape."""
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i:02d}" for i in range(12)]
+    rows = []
+    for d in range(40):
+        picks = rng.choice(12, size=rng.integers(2, 8), replace=False)
+        tfs = rng.integers(1, 6, size=picks.size)
+        dl = int(tfs.sum())
+        for p, tf in zip(picks, tfs):
+            rows.append((vocab[int(p)], 1000 + d, int(tf), dl))
+    import pandas as pd
+    return pd.DataFrame(rows, columns=["term", "doc_id", "tf", "dl"])
+
+
+def test_sparse_doc_vectors_exact(ray_session):
+    """The one-keyed-shuffle df computation is exact: every (doc, term)
+    weight equals a driver-computed reference with true global dfs —
+    and is split-invariant (8 input blocks, 8 shuffle partitions)."""
+    import ray.data
+    from engine.embed import sparse_doc_vectors
+    from engine.textstats import micro_units
+
+    df = _sparse_fixture()
+    n = df["doc_id"].nunique()
+    avgdl = df.groupby("doc_id")["dl"].first().sum() / n
+    got = (sparse_doc_vectors(ray.data.from_pandas(df).repartition(8),
+                              n, avgdl, num_blocks=8)
+           .to_pandas().sort_values(["doc_id", "term"])
+           .reset_index(drop=True))
+
+    k1, b = 1.2, 0.75
+    ref = df.copy()
+    ref["df"] = ref.groupby("term")["doc_id"].transform("nunique")
+    idf = np.log(1.0 + (n - ref["df"] + 0.5) / (ref["df"] + 0.5))
+    w = (idf * ref["tf"] * (k1 + 1.0)
+         / (ref["tf"] + k1 * (1.0 - b + b * ref["dl"] / avgdl)))
+    ref["w_micro"] = micro_units(w.to_numpy())
+    ref = (ref[["doc_id", "term", "w_micro"]]
+           .sort_values(["doc_id", "term"]).reset_index(drop=True))
+    assert got.equals(ref)
+
+
+def test_assemble_sparse_vectors_and_upsert(ray_session, tmp_path):
+    """Per-doc assembly (w desc, term asc; top_per_doc cap) and the
+    sparse upsert flow of the reference's examples/splade.py:57-76 —
+    parallel term/weight lists per point, streamed through a
+    VectorAdapter."""
+    import json
+    import glob
+    from functools import partial
+    import ray.data
+    from engine.embed import sparse_doc_vectors, assemble_sparse_vectors
+    from engine.sink import JsonlVectorAdapter, upsert_embeddings
+
+    df = _sparse_fixture()
+    n = df["doc_id"].nunique()
+    avgdl = df.groupby("doc_id")["dl"].first().sum() / n
+    trip = sparse_doc_vectors(ray.data.from_pandas(df), n, avgdl,
+                              num_blocks=4)
+    tp = trip.to_pandas()
+    asm = assemble_sparse_vectors(trip, top_per_doc=3).to_pandas()
+    assert len(asm) == n
+    for _, row in asm.iterrows():
+        mine = (tp[tp["doc_id"] == row["doc_id"]]
+                .sort_values(["w_micro", "term"],
+                             ascending=[False, True]).head(3))
+        assert list(row["terms"]) == mine["term"].tolist()
+        assert [int(v) for v in row["weights_micro"]] == \
+            mine["w_micro"].tolist()
+        ws = [int(v) for v in row["weights_micro"]]
+        assert ws == sorted(ws, reverse=True)
+
+    stem = str(tmp_path / "sparse")
+    n_up = upsert_embeddings(
+        ray.data.from_pandas(asm),
+        partial(JsonlVectorAdapter, stem, vec_col="weights_micro",
+                text_col="terms"),
+        batch_size=16, concurrency=2)
+    assert n_up == n
+    lines = []
+    for p in glob.glob(f"{stem}-*.jsonl"):
+        with open(p) as f:
+            lines += [json.loads(ln) for ln in f]
+    assert len(lines) == n
+    by_id = {r["id"]: r for r in lines}
+    some = asm.iloc[0]
+    assert by_id[int(some["doc_id"])]["embedding"] == \
+        [float(v) for v in some["weights_micro"]]
