@@ -522,7 +522,7 @@ def maxsim_topk(
 
 def sparse_doc_vectors(tf_rows, n_docs: int, avgdl: float,
                        k1: float = 1.2, b: float = 0.75,
-                       num_blocks: int = 64):
+                       num_blocks: int | None = None):
     """Document-side sparse vectors (the reference's SPLADE document
     embedding, rust/src/embeddings/local/bert.rs:379-396 — per-document
     weighted term lists upserted to a sparse vector store,
@@ -552,6 +552,8 @@ def sparse_doc_vectors(tf_rows, n_docs: int, avgdl: float,
     from ray.data.context import ShuffleStrategy
     ctx = tf_rows.context
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    if num_blocks is None:      # cluster-sized; explicit for big jobs
+        num_blocks = max(4, n_cpus * 2)
     n_aggr = max(2, min(num_blocks, n_cpus // 2))
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.max_hash_shuffle_aggregators = n_aggr
@@ -596,28 +598,67 @@ def sparse_doc_vectors(tf_rows, n_docs: int, avgdl: float,
             .map_batches(score, batch_format="pyarrow", batch_size=None))
 
 
-def assemble_sparse_vectors(triplets, top_per_doc: int | None = None):
+def assemble_sparse_vectors(triplets, top_per_doc: int | None = None,
+                            num_blocks: int | None = None):
     """(doc_id, term, w_micro) triplets -> one row per document with
     parallel ``terms`` / ``weights_micro`` list columns sorted by
     (w_micro desc, term asc) — the upsert payload shape of the
     reference's sparse-vector stores (examples/splade.py:57-76 upserts
     {indices, values} per point).  ``top_per_doc`` keeps only each
-    document's heaviest terms (sparse-store size control).  One
-    groupby(doc_id) shuffle; each group is a single document's terms
-    (tiny), assembled vectorized."""
-    import pandas as pd
-    import ray
+    document's heaviest terms (sparse-store size control).
 
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["w_micro", "term"], ascending=[False, True])
+    One doc_id-keyed hash repartition co-locates each document's rows;
+    assembly is then fully vectorized per block — one lexsort, run
+    boundaries from one diff, list columns built zero-copy via
+    ``pa.ListArray.from_arrays`` offsets.  (A groupby().map_groups
+    version was 24x slower at 200k docs: per-group pandas overhead over
+    hundreds of thousands of tiny groups is the anti-pattern this
+    avoids.)"""
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    ctx = triplets.context
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    if num_blocks is None:      # cluster-sized; explicit for big jobs
+        num_blocks = max(4, n_cpus * 2)
+    n_aggr = max(2, min(num_blocks, n_cpus // 2))
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = n_aggr
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+        0.5 / -(-num_blocks // n_aggr)
+    ctx.min_hash_shuffle_aggregator_wait_time_in_s = 30
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("terms", pa.list_(pa.string())),
+                            ("weights_micro", pa.list_(pa.int64()))])
+
+    def assemble(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t.column("doc_id").to_numpy()
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        w = t.column("w_micro").to_numpy()
+        # primary doc_id, then w desc, then term asc (last key primary)
+        order = np.lexsort((terms, -w, ids))
+        ids, terms, w = ids[order], terms[order], w[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        counts = np.diff(np.r_[starts, ids.size])
         if top_per_doc is not None:
-            g = g.head(top_per_doc)
-        return pd.DataFrame({
-            "doc_id": [int(g["doc_id"].iloc[0])],
-            "terms": [g["term"].tolist()],
-            "weights_micro": [g["w_micro"].tolist()],
+            rank = np.arange(ids.size) - np.repeat(starts, counts)
+            keep = rank < top_per_doc
+            ids, terms, w = ids[keep], terms[keep], w[keep]
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            counts = np.diff(np.r_[starts, ids.size])
+        offsets = pa.array(np.r_[0, np.cumsum(counts)], pa.int32())
+        return pa.table({
+            "doc_id": pa.array(ids[starts], pa.int64()),
+            "terms": pa.ListArray.from_arrays(
+                offsets, pa.array(terms, pa.string())),
+            "weights_micro": pa.ListArray.from_arrays(
+                offsets, pa.array(w, pa.int64())),
         })
 
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    return triplets.groupby(
-        "doc_id", num_partitions=max(4, n_cpus * 2)).map_groups(per_doc)
+    return (triplets
+            .repartition(num_blocks, keys=["doc_id"], sort=False)
+            .map_batches(assemble, batch_format="pyarrow",
+                         batch_size=None))

@@ -374,7 +374,8 @@ def test_assemble_sparse_vectors_and_upsert(ray_session, tmp_path):
     trip = sparse_doc_vectors(ray.data.from_pandas(df), n, avgdl,
                               num_blocks=4)
     tp = trip.to_pandas()
-    asm = assemble_sparse_vectors(trip, top_per_doc=3).to_pandas()
+    asm = assemble_sparse_vectors(trip, top_per_doc=3,
+                                  num_blocks=4).to_pandas()
     assert len(asm) == n
     for _, row in asm.iterrows():
         mine = (tp[tp["doc_id"] == row["doc_id"]]
@@ -387,11 +388,16 @@ def test_assemble_sparse_vectors_and_upsert(ray_session, tmp_path):
         assert ws == sorted(ws, reverse=True)
 
     stem = str(tmp_path / "sparse")
+    # upsert the assembled Dataset DIRECTLY (streaming, no pandas
+    # round-trip — object-ndarray list cells don't re-arrow cleanly)
     n_up = upsert_embeddings(
-        ray.data.from_pandas(asm),
+        assemble_sparse_vectors(
+            sparse_doc_vectors(ray.data.from_pandas(df), n, avgdl,
+                               num_blocks=4),
+            top_per_doc=3, num_blocks=4),
         partial(JsonlVectorAdapter, stem, vec_col="weights_micro",
                 text_col="terms"),
-        batch_size=16, concurrency=2)
+        batch_size=16, concurrency=1)
     assert n_up == n
     lines = []
     for p in glob.glob(f"{stem}-*.jsonl"):
@@ -402,3 +408,4 @@ def test_assemble_sparse_vectors_and_upsert(ray_session, tmp_path):
     some = asm.iloc[0]
     assert by_id[int(some["doc_id"])]["embedding"] == \
         [float(v) for v in some["weights_micro"]]
+    assert by_id[int(some["doc_id"])]["text"] == list(some["terms"])
