@@ -132,7 +132,8 @@ class QueryService:
     def __init__(self, index_dir: str, replicas: int = 2,
                  num_cpus: float = 1.0):
         self.workers = [
-            QueryWorker.options(num_cpus=num_cpus).remote(index_dir)
+            QueryWorker.options(num_cpus=num_cpus, max_restarts=4,
+                                max_task_retries=2).remote(index_dir)
             for _ in range(replicas)
         ]
         # block until every replica is warm (index loaded)
@@ -788,7 +789,9 @@ class ShardedQueryService:
             for ri in range(n_doc_ranges):
                 doc_range = ((bounds[ri], bounds[ri + 1])
                              if n_doc_ranges > 1 else None)
-                replicas = [ShardWorker.options(num_cpus=num_cpus)
+                replicas = [ShardWorker.options(
+                                num_cpus=num_cpus, max_restarts=4,
+                                max_task_retries=2)
                             .remote(index_dir, doc_range=doc_range,
                                     cache_budget_bytes=per_worker_budget)
                             for _ in range(replicas_per_shard)]
@@ -797,7 +800,8 @@ class ShardedQueryService:
             self.shards.append(ranges)
         self._local = _Front(self.cfg, self.shards)
         self.fronts = [
-            FrontWorker.options(num_cpus=num_cpus)
+            FrontWorker.options(num_cpus=num_cpus, max_restarts=4,
+                                max_task_retries=2)
             .remote(self.cfg.to_dict(), self.shards)
             for _ in range(n_fronts)
         ]
@@ -919,10 +923,20 @@ class ShardedQueryService:
 
 @ray.remote
 class DocShardWorker:
-    """One doc-range sub-index (its own postings + docmeta)."""
+    """One doc-range sub-index (its own postings + docmeta).
 
-    def __init__(self, index_dir: str):
+    Global corpus stats arrive in the CONSTRUCTOR, not a post-init
+    call: with ``max_restarts`` set, Ray re-runs only ``__init__``
+    after an actor death — stats applied via a separate method would
+    silently vanish on restart and the revived shard would score with
+    LOCAL stats (wrong answers, no error).  Ctor args replay on
+    restart, so the revived actor is bit-identical to the original."""
+
+    def __init__(self, index_dir: str, n_docs: int | None = None,
+                 avgdl: float | None = None):
         self.idx = InvertedIndex(index_dir)
+        if n_docs is not None:
+            self.idx.set_global_stats(int(n_docs), float(avgdl))
 
     def local_stats(self) -> tuple[int, int]:
         st = self.idx.manifest["stats"]
@@ -1056,15 +1070,20 @@ class DocShardedQueryService:
     def __init__(self, index_dirs: list[str], num_cpus: float = 0.5,
                  method: str = "bmw"):
         self.method = method
-        self.workers = [DocShardWorker.options(num_cpus=num_cpus)
-                        .remote(d) for d in index_dirs]
-        stats = ray.get([w.local_stats.remote() for w in self.workers])
-        self.n_docs = sum(n for n, _ in stats)
-        tot = sum(t for _, t in stats)
+        # global stats from the manifests DRIVER-side (cheap JSON reads)
+        # so they can ride in the worker CONSTRUCTOR — restart-safe
+        # (see DocShardWorker docstring); max_task_retries replays a
+        # read-only call on the revived actor transparently
+        stats = [index_io.load_manifest(d)["stats"] for d in index_dirs]
+        self.n_docs = sum(int(s["n_docs"]) for s in stats)
+        tot = sum(int(s["total_tokens"]) for s in stats)
         # same float op as index_io.finalize -> bitwise-equal avgdl
         self.avgdl = (tot / self.n_docs) if self.n_docs else 0.0
-        ray.get([w.set_global_stats.remote(self.n_docs, self.avgdl)
-                 for w in self.workers])
+        self.workers = [
+            DocShardWorker.options(num_cpus=num_cpus, max_restarts=4,
+                                   max_task_retries=2)
+            .remote(d, self.n_docs, self.avgdl) for d in index_dirs]
+        ray.get([w.local_stats.remote() for w in self.workers])  # warm
         self.cfg = EngineConfig.from_dict(
             index_io.load_manifest(index_dirs[0])["config"])
         # bounded LRU (dict insertion order): the front's global-df
