@@ -348,10 +348,10 @@ class EngineHttpServer:
         weights = req.get("weights")
         if weights is not None:
             if (query or phrase or must or require_all or exclude
-                    or facet_col or hist or with_total or snippets):
+                    or facet_col or hist or with_total):
                 return 400, _error(
                     "weights does not combine with query/phrase/boolean/"
-                    "facet/total/snippet parameters",
+                    "facet/total parameters",
                     "invalid_request_error", "invalid_request")
             if (not isinstance(weights, dict) or not weights
                     or not all(isinstance(v, (int, float))
@@ -361,26 +361,43 @@ class EngineHttpServer:
                     "weights must be a non-empty {term: number} object",
                     "invalid_request_error", "invalid_request")
             weights = {str(t): float(v) for t, v in weights.items()}
+            # snippet windows for a sparse query: the weight KEYS are
+            # the query terms (already analyzed), so the standard
+            # best-window hydration runs on them directly
+            snip_q = " ".join(weights)
             try:
                 if self.service is not None:
                     hits = self.service.search_weighted(
                         weights, k=k + offset, where=where)[offset:]
                     urls = (self.service.url_of([d for d, _ in hits])
                             if hits else [])
+                    snips = (self.service.snippets_of(
+                        snip_q, [d for d, _ in hits], snippet_col)
+                        if snippets and hits else None)
                 else:
                     with self._search_lock:
                         hits = self.index.search_weighted(
                             weights, k=k + offset, where=where)[offset:]
                         urls = (self.index.url_of([d for d, _ in hits])
                                 if hits else [])
+                        snips = (self.index.snippets_of(
+                            snip_q, [d for d, _ in hits], snippet_col)
+                            if snippets and hits else None)
+            except (FileNotFoundError, KeyError) as e:  # missing sidecar
+                return 400, _error(str(e), "invalid_request_error",
+                                   "no_doc_values")
             except AttributeError:
                 return 400, _error(
                     "weighted-term search not supported by this "
                     "serving tier",
                     "invalid_request_error", "unsupported_weighted")
-            return 200, {"hits": [
+            out = {"hits": [
                 {"doc_id": int(d), "score": float(s), "url": u}
                 for (d, s), u in zip(hits, urls)]}
+            if snips is not None:
+                for h, sn in zip(out["hits"], snips):
+                    h["snippet"] = sn
+            return 200, out
         kwargs = {"where": where} if where is not None else {}
         if exclude:
             kwargs["exclude"] = str(exclude)

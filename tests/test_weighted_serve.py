@@ -56,10 +56,12 @@ def _dedup_df(src: str) -> pd.DataFrame:
 
 
 def _attach(idx_dir: str, df: pd.DataFrame) -> None:
+    # ONE attach with every column (attach REPLACES the sidecar);
+    # "text" feeds snippet hydration for weighted queries
     import ray.data
     attach_doc_values(idx_dir, ray.data.from_pandas(
-        df[["url", "lang", "nlen"]].reset_index(drop=True)),
-        ["lang", "nlen"])
+        df[["url", "lang", "nlen", "text"]].reset_index(drop=True)),
+        ["lang", "nlen", "text"])
 
 
 @pytest.fixture(scope="module")
@@ -242,6 +244,12 @@ def test_http_weighted_search(ray_session, widx):
         assert status == 200
         assert [h["doc_id"] for h in resp2["hits"]] == \
             [h["doc_id"] for h in resp["hits"][2:5]]
+        # snippets compose: best window over the weight-key terms
+        status, resps = _post(f"{base}/v1/search",
+                              {"weights": W, "k": 3, "snippets": True})
+        assert status == 200
+        assert all(isinstance(h.get("snippet"), str) and h["snippet"]
+                   for h in resps["hits"])
         # the doc-values filter COMPOSES with weights
         wantf = local.search_weighted(W, k=5, where=WHERE)
         status, respf = _post(f"{base}/v1/search", {
@@ -255,6 +263,7 @@ def test_http_weighted_search(ray_session, widx):
                     {"weights": {"the": "x"}},             # non-numeric
                     {"weights": {}},                       # empty
                     {"weights": W, "phrase": True},
+                    {"weights": W, "with_total": True},
                     {"weights": W, "must": "data"},
                     {"weights": W, "require_all": True},
                     {"weights": W, "query": "the of"}):
