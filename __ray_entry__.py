@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_weighted": d.q_search_weighted,           # SPLADE-style weighted terms
         "search_weighted_filtered": d.q_search_weighted_filtered,  # + doc-values filter
         "sparse_doc_vectors": d.q_sparse_doc_vectors,     # SPLADE doc-side export
+        "weighted_totals": d.q_weighted_totals,           # weighted hits.total
         # --- core-engine spine: BM25 top-k + postings lookup (3.2, J3, T1) ---
         "bm25_topk": d.q_bm25_topk,
         "bm25_topk_filtered": d.q_bm25_topk_filtered,
@@ -916,6 +917,19 @@ def oracle_sql() -> dict[str, str]:
                    CROSS JOIN st)
             SELECT doc_id, term, w_micro FROM w
             ORDER BY w_micro DESC, doc_id, term LIMIT 200""",
+
+        # weighted hits.total: membership is weight-independent, so
+        # the totals are COUNT DISTINCT over the weight keys' postings
+        # (unfiltered + lang-filtered in one row)
+        "weighted_totals": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            m AS (SELECT DISTINCT doc_id FROM toks
+                  WHERE term IN ('hash','join','table'))
+            SELECT (SELECT count(*) FROM m) AS total,
+                   (SELECT count(*) FROM m JOIN documents d
+                        USING (doc_id)
+                    WHERE d.lang = 'en') AS total_filtered""",
 
         # doc-values filter: candidates restricted to lang='en', but
         # every statistic (N, avgdl, df) stays corpus-global — the

@@ -273,6 +273,19 @@ def q_search_weighted(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_weighted_totals(sf_dir: str) -> pd.DataFrame:
+    """hits.total for the weighted query, unfiltered and lang-filtered
+    (match_count_weighted — membership is weight-independent, so the
+    oracle is a COUNT DISTINCT over the weight keys' postings)."""
+    idx = docs_index(sf_dir)
+    _ensure_docvalues(idx, sf_dir)
+    return pd.DataFrame([{
+        "total": np.int64(idx.match_count_weighted(WEIGHTED_QUERY)),
+        "total_filtered": np.int64(idx.match_count_weighted(
+            WEIGHTED_QUERY, where=("lang", ("en",)))),
+    }])
+
+
 def q_search_weighted_filtered(sf_dir: str) -> pd.DataFrame:
     """Tenant-filtered learned-sparse retrieval: the weighted-term
     top-k restricted to lang='en' via the doc-values sidecar

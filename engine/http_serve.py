@@ -348,10 +348,10 @@ class EngineHttpServer:
         weights = req.get("weights")
         if weights is not None:
             if (query or phrase or must or require_all or exclude
-                    or facet_col or hist or with_total):
+                    or facet_col or hist):
                 return 400, _error(
                     "weights does not combine with query/phrase/boolean/"
-                    "facet/total parameters",
+                    "facet parameters",
                     "invalid_request_error", "invalid_request")
             if (not isinstance(weights, dict) or not weights
                     or not all(isinstance(v, (int, float))
@@ -374,6 +374,8 @@ class EngineHttpServer:
                     snips = (self.service.snippets_of(
                         snip_q, [d for d, _ in hits], snippet_col)
                         if snippets and hits else None)
+                    total = (self.service.match_count_weighted(
+                        weights, where=where) if with_total else None)
                 else:
                     with self._search_lock:
                         hits = self.index.search_weighted(
@@ -383,6 +385,8 @@ class EngineHttpServer:
                         snips = (self.index.snippets_of(
                             snip_q, [d for d, _ in hits], snippet_col)
                             if snippets and hits else None)
+                        total = (self.index.match_count_weighted(
+                            weights, where=where) if with_total else None)
             except (FileNotFoundError, KeyError) as e:  # missing sidecar
                 return 400, _error(str(e), "invalid_request_error",
                                    "no_doc_values")
@@ -397,6 +401,8 @@ class EngineHttpServer:
             if snips is not None:
                 for h, sn in zip(out["hits"], snips):
                     h["snippet"] = sn
+            if total is not None:
+                out["total"] = int(total)
             return 200, out
         kwargs = {"where": where} if where is not None else {}
         if exclude:

@@ -830,6 +830,34 @@ class InvertedIndex:
         nz = np.flatnonzero(touched)
         return self._topk(self._doc_ids[nz], acc[nz], k)
 
+    def match_count_weighted(self, term_weights,
+                             where: tuple | None = None,
+                             where_range: tuple | None = None) -> int:
+        """hits.total for a weighted query: membership is
+        weight-INDEPENDENT (a doc matches iff it contains any term with
+        a nonzero weight), so this counts the union of those terms'
+        postings under the doc-values filters — the with_total dual of
+        ``search_weighted``, same decode/tombstone path."""
+        items = (term_weights.items()
+                 if isinstance(term_weights, dict) else term_weights)
+        seen = np.zeros(self._doc_ids.size, dtype=bool)
+        for term, w in items:
+            if float(w) == 0.0:
+                continue
+            e = self.lookup(term)
+            if e is None:
+                continue
+            df, pbytes, skips = e
+            pos, _ = self._decode_term(
+                term, df, pbytes, skips,
+                self.idf(self._df_overrides.get(term, df)))
+            seen[pos] = True
+        if where is not None:
+            seen &= self.where_mask(*where)
+        if where_range is not None:
+            seen &= self.range_mask(*where_range)
+        return int(seen.sum())
+
     def _must_mask(self, must: str) -> np.ndarray | None:
         """Keep-mask that is True only for documents containing EVERY
         must-term; None when a must-term is absent from the index (the

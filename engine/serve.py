@@ -122,6 +122,12 @@ class QueryWorker:
         return self.idx.search_weighted(term_weights, k=k, where=where,
                                         where_range=where_range)
 
+    def match_count_weighted(self, term_weights: dict,
+                             where: tuple | None = None,
+                             where_range: tuple | None = None):
+        return self.idx.match_count_weighted(term_weights, where=where,
+                                             where_range=where_range)
+
     def url_of(self, doc_ids):
         return self.idx.url_of(doc_ids)
 
@@ -209,6 +215,16 @@ class QueryService:
         w = self.workers[hash(key) % len(self.workers)]
         return ray.get(w.search_weighted.remote(dict(term_weights), k,
                                                 where, where_range))
+
+    def match_count_weighted(self, term_weights: dict,
+                             where: tuple | None = None,
+                             where_range: tuple | None = None) -> int:
+        """hits.total for a weighted query (same replica routing as
+        search_weighted so the decoded postings stay cache-hot)."""
+        key = tuple(sorted(term_weights.items()))
+        w = self.workers[hash(key) % len(self.workers)]
+        return ray.get(w.match_count_weighted.remote(
+            dict(term_weights), where, where_range))
 
     def url_of(self, doc_ids):
         """Top-k url hydration on any replica (full docmeta each)."""
@@ -726,6 +742,34 @@ class _Front:
             acc[np.searchsorted(uniq, ids)] += w * s
         return InvertedIndex._topk(uniq, acc, k)
 
+    def match_count_weighted(self, term_weights,
+                             where: tuple | None = None,
+                             where_range: tuple | None = None) -> int:
+        """hits.total for a weighted query on the term-sharded tier:
+        the same shard-side (filter-pre-masked) fragment gather as
+        search_weighted, counted instead of scored."""
+        items = (term_weights.items()
+                 if isinstance(term_weights, dict) else term_weights)
+        terms = list(dict.fromkeys(
+            str(t) for t, w in items if float(w) != 0.0))
+        if not terms:
+            return 0
+        by_shard: dict[int, list[str]] = {}
+        for t in terms:
+            by_shard.setdefault(self._shard_of(t), []).append(t)
+        self._rr += 1
+        futs = []
+        for si, ts in by_shard.items():
+            for ri in range(self.n_ranges):
+                replicas = self.shards[si][ri]
+                futs.append(replicas[self._rr % len(replicas)]
+                            .score_terms.remote(ts, where, where_range))
+        ids = [ent[0] for res in ray.get(futs)
+               for ent in res.values() if ent is not None]
+        if not ids:
+            return 0
+        return int(np.unique(np.concatenate(ids)).size)
+
 
 @ray.remote
 class FrontWorker:
@@ -855,6 +899,12 @@ class ShardedQueryService:
         pre-mask shard-side."""
         return self._local.search_weighted(term_weights, k, where,
                                            where_range)
+
+    def match_count_weighted(self, term_weights,
+                             where: tuple | None = None,
+                             where_range: tuple | None = None) -> int:
+        return self._local.match_count_weighted(term_weights, where,
+                                                where_range)
 
     def suggest(self, prefix: str, k: int = 10):
         """Distributed prefix suggestion on the term-sharded tier.
@@ -1004,6 +1054,14 @@ class DocShardWorker:
         self.idx.add_df_overrides(dfs)
         return self.idx.search_weighted(term_weights, k=k, where=where,
                                         where_range=where_range)
+
+    def match_count_weighted(self, term_weights: dict,
+                             where: tuple | None = None,
+                             where_range: tuple | None = None):
+        """Membership needs no df exchange at all — counts are summed
+        across disjoint shards."""
+        return self.idx.match_count_weighted(term_weights, where=where,
+                                             where_range=where_range)
 
     def match_count(self, query: str, dfs: dict[str, int],
                     where: tuple | None = None,
@@ -1183,6 +1241,15 @@ class DocShardedQueryService:
                                               where, where_range)
                 for w in self.workers]
         return self._merge(ray.get(futs), k)
+
+    def match_count_weighted(self, term_weights: dict,
+                             where: tuple | None = None,
+                             where_range: tuple | None = None) -> int:
+        """hits.total: per-shard membership counts sum exactly (doc
+        spaces are disjoint; membership needs no df exchange)."""
+        return sum(ray.get([w.match_count_weighted.remote(
+            dict(term_weights), where, where_range)
+            for w in self.workers]))
 
     def facet_counts(self, query: str, col: str,
                      where: tuple | None = None,

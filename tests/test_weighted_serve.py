@@ -103,6 +103,39 @@ def test_query_service_weighted(ray_session, widx):
         svc.shutdown()
 
 
+def test_weighted_totals_all_tiers(ray_session, widx):
+    """match_count_weighted == len(exhaustive search_weighted) under
+    every filter combination, on the local engine and every tier
+    (term-sharded counts the same shard-side pre-masked fragments;
+    doc-sharded sums disjoint per-shard counts — no df exchange)."""
+    from engine.serve import QueryService, ShardedQueryService
+    global_dir, _, _ = widx
+    local = InvertedIndex(global_dir)
+    cases = [{}, {"where": WHERE}, {"where_range": WHERE_RANGE},
+             {"where": WHERE, "where_range": WHERE_RANGE}]
+    wants = {}
+    for i, kw in enumerate(cases):
+        want = len(local.search_weighted(W, k=10 ** 9, **kw))
+        assert local.match_count_weighted(W, **kw) == want, kw
+        wants[i] = want
+    assert local.match_count_weighted({"zzqneverthere": 1.0}) == 0
+    assert local.match_count_weighted({"the": 0.0}) == 0
+
+    svc = QueryService(global_dir, replicas=2, num_cpus=0.5)
+    try:
+        for i, kw in enumerate(cases):
+            assert svc.match_count_weighted(W, **kw) == wants[i], kw
+    finally:
+        svc.shutdown()
+    tsh = ShardedQueryService(global_dir, n_shards=3, n_doc_ranges=2,
+                              num_cpus=0.25)
+    try:
+        for i, kw in enumerate(cases):
+            assert tsh.match_count_weighted(W, **kw) == wants[i], kw
+    finally:
+        tsh.shutdown()
+
+
 def test_weighted_filter_lucene_semantics(widx):
     """Filters drop candidates, never re-weight: every filtered
     survivor keeps its exact unfiltered score, and the survivor set is
@@ -175,6 +208,10 @@ def test_doc_sharded_weighted_bit_identical(ray_session, e2e_webtext,
             local.search_weighted(W, k=10, where=WHERE)
         assert svc.search_weighted(W, k=10, where_range=WHERE_RANGE) == \
             local.search_weighted(W, k=10, where_range=WHERE_RANGE)
+        # totals: disjoint per-shard membership counts sum exactly
+        for kw in ({}, {"where": WHERE}, {"where_range": WHERE_RANGE}):
+            assert svc.match_count_weighted(W, **kw) == \
+                local.match_count_weighted(W, **kw), kw
     finally:
         svc.shutdown()
 
@@ -244,6 +281,11 @@ def test_http_weighted_search(ray_session, widx):
         assert status == 200
         assert [h["doc_id"] for h in resp2["hits"]] == \
             [h["doc_id"] for h in resp["hits"][2:5]]
+        # with_total composes: weighted hits.total (+filter)
+        status, respt = _post(f"{base}/v1/search",
+                              {"weights": W, "k": 3, "with_total": True})
+        assert status == 200
+        assert respt["total"] == local.match_count_weighted(W)
         # snippets compose: best window over the weight-key terms
         status, resps = _post(f"{base}/v1/search",
                               {"weights": W, "k": 3, "snippets": True})
@@ -263,7 +305,6 @@ def test_http_weighted_search(ray_session, widx):
                     {"weights": {"the": "x"}},             # non-numeric
                     {"weights": {}},                       # empty
                     {"weights": W, "phrase": True},
-                    {"weights": W, "with_total": True},
                     {"weights": W, "must": "data"},
                     {"weights": W, "require_all": True},
                     {"weights": W, "query": "the of"}):
